@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * `queries` aggregates every operator family's map; `oracleSql` holds the
+  * DuckDB-equivalent SQL for the hash-checked subset (approximate/stub ops
+  * are rows-only by design, see SURVEY §2 "oracle" column).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    operators.Reports.conditionalRates(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Etl.queries ++
+    operators.Reports.queries ++
+    operators.Timelines.queries ++
+    operators.Tpch.queries ++
+    operators.Events.queries
+
+  def oracleSql: Map[String, String] =
+    operators.Etl.oracles ++
+    operators.Reports.oracles ++
+    operators.Timelines.oracles ++
+    operators.Tpch.oracles ++
+    operators.Events.oracles
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** ETL / ingestion-shape operators.
+  *
+  * Re-expresses the reference's file-ingest pipeline semantics
+  * (cleaning, dedup/upsert, PHI hashing, schema validation, load stats)
+  * as declarative Spark plans. References:
+  *  - cleaning: /root/reference/core/etl_service.py:659-762
+  *  - upsert-by-primary-key: /root/reference/core/database_adapter.py
+  *    (insert/update/skip decision per key)
+  *  - content-hash duplicate skip: /root/reference/core/etl_service.py:364-370
+  *  - PHI hashing on import: /root/reference/core/etl_service.py:721-739
+  *  - schema/quality validation: /root/reference/core/schema_validator.py
+  *  - per-file load statistics: /root/reference/core/etl_service.py (ETL metadata)
+  *
+  * Scale notes: cleaning/hash/validate are map-only (no shuffle);
+  * `etl_dedup_latest` shuffles once on the entity key (high-cardinality,
+  * uniform → no salting needed); `etl_ingest_stats` is a low-cardinality
+  * partial agg.
+  */
+object Etl {
+
+  /** Trim / null-normalize / derive — the reference's _clean_data pass. */
+  def cleanNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(
+      col("doc_id"),
+      length(trim(col("text"))).cast("long").as("clean_len"),
+      coalesce(when(trim(col("source")) === "", null)
+        .otherwise(trim(col("source"))), lit("unknown")).as("source_norm"),
+      coalesce(when(trim(col("lang")) === "", null)
+        .otherwise(trim(col("lang"))), lit("unknown")).as("lang_norm"))
+  }
+
+  /** Upsert-by-key semantics: keep only the newest record per key.
+    * One shuffle on the key; window instead of self-join (single pass). */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_orderdate"))
+  }
+
+  /** Exact duplicate detection via content hash (map-side hash + agg). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+  }
+
+  /** PHI hashing: irreversible sha-256 of identifying columns on import. */
+  def phiHash(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(
+      col("c_custkey"),
+      sha2(col("c_name"), 256).as("name_hash"),
+      col("c_mktsegment"))
+  }
+
+  /** Rule-based quality audit: one row of violation counters (map-only + final agg). */
+  def schemaValidate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def viol(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("l_quantity") <= 0).as("bad_quantity"),
+      viol(col("l_extendedprice") < 0).as("bad_price"),
+      viol(!col("l_discount").between(0.0, 1.0)).as("bad_discount"),
+      viol(!col("l_returnflag").isin("A", "N", "R")).as("bad_returnflag"),
+      viol(col("l_shipdate").isNull).as("null_shipdate"))
+  }
+
+  /** Per-source load statistics (counts / distincts / size stats). */
+  def ingestStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_clean_normalize" -> (cleanNormalize _),
+    "etl_dedup_latest"    -> (dedupLatest _),
+    "etl_dedup_exact"     -> (dedupExact _),
+    "etl_phi_hash"        -> (phiHash _),
+    "etl_schema_validate" -> (schemaValidate _),
+    "etl_ingest_stats"    -> (ingestStats _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_clean_normalize" ->
+      """SELECT doc_id,
+         CAST(length(trim(text)) AS BIGINT) AS clean_len,
+         coalesce(nullif(trim(source), ''), 'unknown') AS source_norm,
+         coalesce(nullif(trim(lang), ''), 'unknown') AS lang_norm
+         FROM documents""",
+    "etl_dedup_latest" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+         FROM orders
+         QUALIFY row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""",
+    "etl_dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+                count(*) AS n_copies,
+                min(doc_id) AS keeper_doc_id
+         FROM documents GROUP BY 1""",
+    "etl_phi_hash" ->
+      """SELECT c_custkey, sha256(c_name) AS name_hash, c_mktsegment
+         FROM customer""",
+    "etl_schema_validate" ->
+      """SELECT count(*) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+         CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+         CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+         FROM lineitem""",
+    "etl_ingest_stats" ->
+      """SELECT source,
+                count(*) AS n_docs,
+                count(DISTINCT lang) AS n_langs,
+                round(avg(n_chars), 2) AS avg_chars,
+                max(n_chars) AS max_chars
+         FROM documents GROUP BY source""")
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream operators (batch twins of the streaming module).
+  *
+  * The reference ingests activity logs and reports period aggregates
+  * (core/reports/handlers.py:776-880); here the same shapes run over the
+  * `events` table plus the stream-native extras a large pipeline needs:
+  * tumbling windows, gap-based sessionization, and semi-structured JSON
+  * prop extraction. The Structured Streaming variants live in
+  * graft.streaming.EventStream; these batch forms are the oracle-checked
+  * semantics.
+  *
+  * Scale notes: windowed agg is a partial agg on (hour, type) — tiny
+  * shuffle. Sessionization shuffles once on user_id (high-cardinality,
+  * uniform); the two window functions share that single partitioning, so
+  * Catalyst plans one Exchange + one Sort. JSON extraction is map-only.
+  * Timestamps are compared in integer microseconds (no float time math).
+  */
+object Events {
+
+  /** Tumbling 1-hour window × event_type aggregation. */
+  def windowHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization: a >30-min silence starts a new session.
+    * lag + running-sum over one user_id partitioning (single shuffle). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .withColumn("avg_events_per_session",
+        round(col("n_events") * 1.0 / col("n_sessions"), 2))
+  }
+
+  /** Semi-structured extraction: pull a JSON prop, aggregate per type. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("k")), 2).as("avg_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_window_hourly" -> (windowHourly _),
+    "evt_sessionize"    -> (sessionize _),
+    "evt_json_extract"  -> (jsonExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "evt_window_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "evt_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, us, event_id,
+                  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM t),
+         g AS (
+           SELECT user_id,
+                  SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM s)
+         SELECT user_id,
+                CAST(max(session_id) AS BIGINT) AS n_sessions,
+                count(*) AS n_events,
+                round(count(*) * 1.0 / CAST(max(session_id) AS BIGINT), 2)
+                  AS avg_events_per_session
+         FROM g GROUP BY user_id""",
+    "evt_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""")
+}

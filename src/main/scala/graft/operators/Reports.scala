@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Report-shape operators: distributions, rollups, buckets, networks.
+  *
+  * Re-expresses the reference's report endpoints over the testdata star
+  * schema. References (file:line in /root/reference):
+  *  - summary counts: core/reports/handlers.py:25-74
+  *  - status distribution: core/reports/handlers.py:76-125
+  *  - top-N category rollup: core/reports/handlers.py:127-151
+  *  - pair-wise provider network (HAVING + top-N):
+  *    core/reports/handlers.py:191-226 and core/reports/router.py:434-509
+  *  - CASE bucketing (age distribution): core/reports/handlers.py:235-300
+  *  - CASE brackets w/ bracket-order sort (income):
+  *    core/reports/handlers.py:491-561
+  *  - conditional-agg acceptance rates (top programs):
+  *    core/reports/router.py:268-306
+  *
+  * Scale notes: all group keys are low-cardinality → map-side partial
+  * aggregation shrinks the shuffle to O(groups × partitions). The network
+  * query joins facts on their natural keys (shuffle once each) and
+  * broadcasts only the genuinely small dims (nation). Top-N is computed
+  * after full aggregation with a total order (deterministic under ties).
+  */
+object Reports {
+
+  /** Multi-table scalar summary — four counts in one row. Each input is a
+    * separately-aggregated single row; the final cross join is trivial. */
+  def summary(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("total_orders"),
+           countDistinct(col("o_custkey")).as("active_customers"))
+    val li = Tables.lineitem(spark, dir).agg(count(lit(1)).as("total_lineitems"))
+    val ev = Tables.events(spark, dir).agg(count(lit(1)).as("total_events"))
+    o.crossJoin(li).crossJoin(ev)
+  }
+
+  /** Status distribution, count-descending (referral-status shape). */
+  def statusDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isNotNull)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderstatus"))
+
+  /** Top-N category rollup with deterministic tiebreak (service-types shape). */
+  def topTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_type"))
+      .limit(10)
+
+  /** Pair-wise network rollup (provider-collaboration / sankey shape):
+    * who sends volume to whom, HAVING a floor, top-N. Fact tables join on
+    * natural keys; the 25-row nation dim is broadcast twice. */
+  def pairNetwork(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s  = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cn = Tables.nation(spark, dir).select(col("n_nationkey").as("cn_key"),
+                                              col("n_name").as("cust_nation"))
+    val sn = Tables.nation(spark, dir).select(col("n_nationkey").as("sn_key"),
+                                              col("n_name").as("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_links"))
+      .filter(col("n_links") >= 3)
+      .orderBy(col("n_links").desc, col("cust_nation"), col("supp_nation"))
+      .limit(20)
+  }
+
+  private def balanceBucket(c: Column): Column =
+    when(c < 0, "negative")
+      .when(c < 2500, "low")
+      .when(c < 5000, "mid")
+      .when(c < 7500, "high")
+      .otherwise("top")
+
+  private def balanceBucketOrder(c: Column): Column =
+    when(c === "negative", 0).when(c === "low", 1).when(c === "mid", 2)
+      .when(c === "high", 3).otherwise(4)
+
+  /** CASE bucketing with custom bucket ordering (age-distribution shape). */
+  def bucketBalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(balanceBucket(col("c_acctbal")).as("balance_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(balanceBucketOrder(col("balance_bucket")))
+
+  private def priceBracket(c: Column): Column =
+    when(c < 100000, "under-100k")
+      .when(c < 200000, "100k-200k")
+      .when(c < 300000, "200k-300k")
+      .otherwise("300k-plus")
+
+  private def priceBracketOrder(c: Column): Column =
+    when(c === "under-100k", 0).when(c === "100k-200k", 1)
+      .when(c === "200k-300k", 2).otherwise(3)
+
+  /** CASE brackets ordered by bracket (income-distribution shape). */
+  def priceBrackets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(priceBracket(col("o_totalprice")).as("price_bracket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(priceBracketOrder(col("price_bracket")))
+
+  /** Conditional-aggregation rates (top-programs-with-acceptance-rate
+    * shape): totals + SUM(CASE) + derived percentage, HAVING floor, top-N. */
+  def conditionalRates(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_returnflag")
+    val p  = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("total_lines"),
+           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"))
+      .filter(col("total_lines") >= 5)
+      .withColumn("return_rate",
+        round(col("returned") * 100.0 / col("total_lines"), 1))
+      .orderBy(col("total_lines").desc, col("p_brand"))
+      .limit(15)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_summary"           -> (summary _),
+    "rpt_status_dist"       -> (statusDist _),
+    "rpt_top_types"         -> (topTypes _),
+    "rpt_pair_network"      -> (pairNetwork _),
+    "rpt_bucket_balance"    -> (bucketBalance _),
+    "rpt_price_brackets"    -> (priceBrackets _),
+    "rpt_conditional_rates" -> (conditionalRates _))
+
+  val oracles: Map[String, String] = Map(
+    "rpt_summary" ->
+      """SELECT
+           (SELECT count(*) FROM orders) AS total_orders,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS active_customers,
+           (SELECT count(*) FROM lineitem) AS total_lineitems,
+           (SELECT count(*) FROM events) AS total_events""",
+    "rpt_status_dist" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+         WHERE o_orderstatus IS NOT NULL
+         GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus""",
+    "rpt_top_types" ->
+      """SELECT p_type, count(*) AS n FROM part
+         GROUP BY p_type ORDER BY n DESC, p_type LIMIT 10""",
+    "rpt_pair_network" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                count(*) AS n_links
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey  = c_custkey
+         JOIN supplier ON l_suppkey  = s_suppkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE cn.n_name <> sn.n_name
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY n_links DESC, cust_nation, supp_nation LIMIT 20""",
+    "rpt_bucket_balance" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                     WHEN c_acctbal < 2500 THEN 'low'
+                     WHEN c_acctbal < 5000 THEN 'mid'
+                     WHEN c_acctbal < 7500 THEN 'high'
+                     ELSE 'top' END AS balance_bucket,
+                count(*) AS n
+         FROM customer GROUP BY 1
+         ORDER BY CASE balance_bucket WHEN 'negative' THEN 0 WHEN 'low' THEN 1
+                  WHEN 'mid' THEN 2 WHEN 'high' THEN 3 ELSE 4 END""",
+    "rpt_price_brackets" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'under-100k'
+                     WHEN o_totalprice < 200000 THEN '100k-200k'
+                     WHEN o_totalprice < 300000 THEN '200k-300k'
+                     ELSE '300k-plus' END AS price_bracket,
+                count(*) AS n
+         FROM orders GROUP BY 1
+         ORDER BY CASE price_bracket WHEN 'under-100k' THEN 0
+                  WHEN '100k-200k' THEN 1 WHEN '200k-300k' THEN 2 ELSE 3 END""",
+    "rpt_conditional_rates" ->
+      """SELECT p_brand,
+                count(*) AS total_lines,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
+                round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) * 100.0
+                      / count(*), 1) AS return_rate
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand HAVING count(*) >= 5
+         ORDER BY total_lines DESC, p_brand LIMIT 15""")
+}

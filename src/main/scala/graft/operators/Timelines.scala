@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series and lifecycle-metric operators.
+  *
+  * References (file:line in /root/reference):
+  *  - period time series: core/reports/handlers.py:776-816
+  *  - period × status matrix: core/reports/handlers.py:818-880
+  *  - resolution-time avg/min/max by group: core/reports/router.py:341-385
+  *  - funnel via SUM(CASE): core/reports/router.py:512-608
+  *  - UNION ALL multi-stage timing: core/reports/router.py:611-666
+  *  - per-entity performance metrics: core/reports/router.py:669-730
+  *  - drop-off ranking by computed rate: core/reports/router.py:733-789
+  *  - journey stages (count/distinct/datediff): core/reports/router.py:792-831
+  *
+  * The reference computes "days since now" with julianday('now'); for a
+  * deterministic oracle we pin the reference date to 2001-09-01 (just past
+  * the data's max order date) — same operator, reproducible output.
+  *
+  * Scale notes: every query below is a single scan + partial agg on a
+  * low-cardinality key (period, status, priority). The only join
+  * (resolution/perf) shuffles both facts on the natural join key once;
+  * the 10×SF-row supplier side stays broadcastable far beyond 100 TB of
+  * lineitem. Periods are emitted as strings so plans stay
+  * whole-stage-codegen and outputs are engine-portable.
+  */
+object Timelines {
+
+  private val RefDate = "2001-09-01"
+
+  /** Orders per month (timeline shape). */
+  def timelineMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("period"))
+
+  /** Month × status counts (cases-over-time shape). */
+  def statusOverTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"),
+               col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("period"), col("o_orderstatus"))
+
+  /** Resolution time avg/min/max by group with HAVING floor. Days from
+    * order date to line ship date, via the natural-key join. */
+  def resolutionTime(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    val o  = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val days = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+           round(avg(days), 1).as("avg_days"),
+           min(days).cast("long").as("min_days"),
+           max(days).cast("long").as("max_days"))
+      .filter(col("n_lines") >= 3)
+      .orderBy(col("avg_days").desc, col("o_orderpriority"))
+  }
+
+  /** Single-row multi-stage funnel (SUM(CASE) per lifecycle stage). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    def stage(v: String) = sum(when(col("o_orderstatus") === v, 1L).otherwise(0L))
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("total_orders"),
+      stage("O").as("open_orders"),
+      stage("P").as("partial_orders"),
+      stage("F").as("final_orders"))
+  }
+
+  /** UNION ALL of per-stage timing metrics (timing-analysis shape). */
+  def unionTiming(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val joined = li.select("l_orderkey", "l_shipdate", "l_linestatus")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+    def branch(status: String, label: String) =
+      joined.filter(col("l_linestatus") === status)
+        .agg(lit(label).as("stage"),
+             count(lit(1)).as("n"),
+             round(avg(lag), 1).as("avg_days"),
+             min(lag).cast("long").as("min_days"),
+             max(lag).cast("long").as("max_days"))
+    branch("F", "finished-lines").unionAll(branch("O", "open-lines"))
+  }
+
+  /** Per-supplier performance: conditional aggs + derived rates + floor +
+    * top-N (provider-performance shape). */
+  def perfSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_returnflag", "l_quantity")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("total_lines"),
+           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"),
+           sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("accepted"),
+           round(avg(col("l_quantity")), 2).as("avg_qty"))
+      .filter(col("total_lines") >= 5)
+      .withColumn("return_rate",
+        round(col("returned") * 100.0 / col("total_lines"), 1))
+      .orderBy(col("total_lines").desc, col("s_name"))
+      .limit(15)
+  }
+
+  /** Rank groups by computed drop-off rate (high-risk-drop-off shape). */
+  def dropoff(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("total_lines"),
+           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("dropped"))
+      .filter(col("total_lines") >= 10)
+      .withColumn("drop_rate",
+        round(col("dropped") * 100.0 / col("total_lines"), 1))
+      .orderBy(col("drop_rate").desc, col("l_returnflag"), col("l_linestatus"))
+
+  /** Journey stages: count + distinct entities + avg days-in-stage
+    * against the pinned reference date. */
+  def journey(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isNotNull)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("o_custkey")).as("unique_customers"),
+           round(avg(datediff(to_date(lit(RefDate)), to_date(col("o_orderdate")))), 1)
+             .as("avg_days_in_stage"))
+      .orderBy(col("n").desc, col("o_orderstatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_timeline_month"   -> (timelineMonth _),
+    "rpt_status_over_time" -> (statusOverTime _),
+    "rpt_resolution_time"  -> (resolutionTime _),
+    "rpt_funnel"           -> (funnel _),
+    "rpt_union_timing"     -> (unionTiming _),
+    "rpt_perf_suppliers"   -> (perfSuppliers _),
+    "rpt_dropoff"          -> (dropoff _),
+    "rpt_journey"          -> (journey _))
+
+  val oracles: Map[String, String] = Map(
+    "rpt_timeline_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n
+         FROM orders WHERE o_orderdate IS NOT NULL
+         GROUP BY 1 ORDER BY period""",
+    "rpt_status_over_time" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS period, o_orderstatus,
+                count(*) AS n
+         FROM orders
+         WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+         GROUP BY 1, 2 ORDER BY period, o_orderstatus""",
+    "rpt_resolution_time" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_lines,
+                round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE))), 1) AS avg_days,
+                min(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS min_days,
+                max(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS max_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+         GROUP BY o_orderpriority HAVING count(*) >= 3
+         ORDER BY avg_days DESC, o_orderpriority""",
+    "rpt_funnel" ->
+      """SELECT count(*) AS total_orders,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS partial_orders,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS final_orders
+         FROM orders""",
+    "rpt_union_timing" ->
+      """WITH j AS (
+           SELECT l_linestatus,
+                  date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS lag
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT 'finished-lines' AS stage, count(*) AS n,
+                round(avg(lag), 1) AS avg_days,
+                min(lag) AS min_days, max(lag) AS max_days
+         FROM j WHERE l_linestatus = 'F'
+         UNION ALL
+         SELECT 'open-lines' AS stage, count(*) AS n,
+                round(avg(lag), 1) AS avg_days,
+                min(lag) AS min_days, max(lag) AS max_days
+         FROM j WHERE l_linestatus = 'O'""",
+    "rpt_perf_suppliers" ->
+      """SELECT s_name,
+                count(*) AS total_lines,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
+                CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+                round(avg(l_quantity), 2) AS avg_qty,
+                round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                      * 100.0 / count(*), 1) AS return_rate
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name HAVING count(*) >= 5
+         ORDER BY total_lines DESC, s_name LIMIT 15""",
+    "rpt_dropoff" ->
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS total_lines,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+                round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                      * 100.0 / count(*), 1) AS drop_rate
+         FROM lineitem
+         GROUP BY 1, 2 HAVING count(*) >= 10
+         ORDER BY drop_rate DESC, l_returnflag, l_linestatus""",
+    "rpt_journey" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                count(DISTINCT o_custkey) AS unique_customers,
+                round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                    DATE '2001-09-01')), 1) AS avg_days_in_stage
+         FROM orders WHERE o_orderstatus IS NOT NULL
+         GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus""")
+}

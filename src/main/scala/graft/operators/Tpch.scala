@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytical-core showcases in TPC-H shapes.
+  *
+  * The reference's report engine is SQL-over-facts; these three queries
+  * exercise the same machinery at its heaviest: a full-scan wide
+  * aggregation, a selective 3-way join with top-N, and a star join.
+  * They double as the scale/bench anchors (see SURVEY §4, §6).
+  *
+  * Scale notes:
+  *  - q1: map-side partial agg over 4 measures, 6 output groups — shuffle
+  *    is O(groups), scan-bound at any SF. Filter pushed to parquet.
+  *  - q3: filters pushed below the joins (Catalyst), both fact joins on
+  *    natural keys; AQE picks broadcast for the filtered customer side
+  *    when it fits, else shuffle-hash.
+  *  - q5: dims (region→nation) broadcast; facts shuffle once each on the
+  *    join key.
+  */
+object Tpch {
+
+  /** TPC-H Q1 shape: pricing summary over lineitem. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("2001-06-30"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: segment revenue top-N. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c  = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o  = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+               date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by supplier nation within a region/year. */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+              to_date(col("o_orderdate")) < lit("1997-01-01"))
+      .select("o_orderkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"       -> (q1Pricing _),
+    "q3_shipping"      -> (q3Shipping _),
+    "q5_region_volume" -> (q5RegionVolume _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 2) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+           AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+         GROUP BY o_orderkey, orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_region_volume" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""")
+}
