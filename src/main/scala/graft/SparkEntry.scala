@@ -19,12 +19,20 @@ object SparkEntry {
     operators.Reports.queries ++
     operators.Timelines.queries ++
     operators.Tpch.queries ++
-    operators.Events.queries
+    operators.Events.queries ++
+    operators.TextOps.queries ++
+    dedup.Dedup.queries ++
+    similarity.Knn.queries ++
+    multimodal.BinaryPipeline.queries
 
   def oracleSql: Map[String, String] =
     operators.Etl.oracles ++
     operators.Reports.oracles ++
     operators.Timelines.oracles ++
     operators.Tpch.oracles ++
-    operators.Events.oracles
+    operators.Events.oracles ++
+    operators.TextOps.oracles ++
+    dedup.Dedup.oracles ++
+    similarity.Knn.oracles ++
+    multimodal.BinaryPipeline.oracles
 }

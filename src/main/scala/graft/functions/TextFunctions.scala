@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-analysis column builders.
+  *
+  * Everything here is pure `Column` composition over Spark built-ins and
+  * higher-order functions — no UDFs — so every consumer stays inside
+  * whole-stage codegen and the same expressions are portable to the
+  * DuckDB oracles (see SURVEY §5).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (the reference's pandas `str.split()` shape). */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Regex word tokens: lowercase alnum runs (BPE-ish normalization). */
+  def reTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Canonical text: regex tokens re-joined on single spaces. */
+  def normText(text: Column): Column = array_join(reTokens(text), " ")
+
+  /** Word-k-grams (shingles) over an already-tokenized array, distinct. */
+  def shingles(tokens: Column, k: Int): Column = {
+    val gram = transform(
+      sequence(lit(0), greatest(size(tokens) - k, lit(-1))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*))
+    array_distinct(when(size(tokens) >= k, gram).otherwise(array()))
+  }
+
+  /** How many of `words` appear in the fixed vocabulary. */
+  def vocabHits(words: Column, vocab: Seq[String]): Column =
+    size(filter(words, w => w.isin(vocab.map(v => v: Any): _*)))
+
+  /** Sum of token lengths (for avg word length). */
+  def totalChars(words: Column): Column =
+    aggregate(words, lit(0), (acc, w) => acc + length(w))
+}

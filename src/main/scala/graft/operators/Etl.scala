@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.rnd
 
 /** ETL / ingestion-shape operators.
   *
@@ -89,7 +90,7 @@ object Etl {
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
-        round(avg(col("n_chars")), 2).as("avg_chars"),
+        rnd(avg(col("n_chars")), 2).as("avg_chars"),
         max(col("n_chars")).as("max_chars"))
   }
 
@@ -135,7 +136,7 @@ object Etl {
       """SELECT source,
                 count(*) AS n_docs,
                 count(DISTINCT lang) AS n_langs,
-                round(avg(n_chars), 2) AS avg_chars,
+                floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars,
                 max(n_chars) AS max_chars
          FROM documents GROUP BY source""")
 }

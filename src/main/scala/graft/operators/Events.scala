@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.rnd
 
 /** Event-stream operators (batch twins of the streaming module).
   *
@@ -29,7 +30,7 @@ object Events {
     Tables.events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
                col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Gap-based sessionization: a >30-min silence starts a new session.
@@ -50,7 +51,7 @@ object Events {
       .agg(max(col("session_id")).as("n_sessions"),
            count(lit(1)).as("n_events"))
       .withColumn("avg_events_per_session",
-        round(col("n_events") * 1.0 / col("n_sessions"), 2))
+        rnd(col("n_events") * 1.0 / col("n_sessions"), 2))
   }
 
   /** Semi-structured extraction: pull a JSON prop, aggregate per type. */
@@ -59,7 +60,7 @@ object Events {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-           round(avg(col("k")), 2).as("avg_k"),
+           rnd(avg(col("k")), 2).as("avg_k"),
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
@@ -71,7 +72,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "evt_window_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
-                count(*) AS n, round(sum(value), 2) AS sum_value
+                count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "evt_sessionize" ->
       """WITH t AS (
@@ -93,12 +94,12 @@ object Events {
          SELECT user_id,
                 CAST(max(session_id) AS BIGINT) AS n_sessions,
                 count(*) AS n_events,
-                round(count(*) * 1.0 / CAST(max(session_id) AS BIGINT), 2)
+                floor((count(*) * 1.0 / CAST(max(session_id) AS BIGINT)) * 100 + 0.5) / 100
                   AS avg_events_per_session
          FROM g GROUP BY user_id""",
     "evt_json_extract" ->
       """SELECT event_type, count(*) AS n,
-                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+                floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 100 + 0.5) / 100 AS avg_k,
                 max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""")
 }

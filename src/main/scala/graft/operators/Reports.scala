@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.rnd
 
 /** Report-shape operators: distributions, rollups, buckets, networks.
   *
@@ -126,7 +127,7 @@ object Reports {
            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"))
       .filter(col("total_lines") >= 5)
       .withColumn("return_rate",
-        round(col("returned") * 100.0 / col("total_lines"), 1))
+        rnd(col("returned") * 100.0 / col("total_lines"), 1))
       .orderBy(col("total_lines").desc, col("p_brand"))
       .limit(15)
   }
@@ -189,8 +190,8 @@ object Reports {
       """SELECT p_brand,
                 count(*) AS total_lines,
                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
-                round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) * 100.0
-                      / count(*), 1) AS return_rate
+                floor((CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) * 100.0
+                      / count(*)) * 10 + 0.5) / 10 AS return_rate
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand HAVING count(*) >= 5
          ORDER BY total_lines DESC, p_brand LIMIT 15""")

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num.rnd
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` corpus — the
+  * training-data-pipeline extension of the reference's per-file data
+  * profiling (ref: /root/reference/core/etl_service.py:659-762 cleans and
+  * profiles text columns; these operators generalize that to corpus-level
+  * token statistics, quality scoring, language-ID and fingerprinting).
+  *
+  * Scale notes: all four are map-only over documents (no shuffle at all);
+  * token arrays are computed once per row inside whole-stage codegen via
+  * higher-order functions — no UDFs, no Python workers.
+  */
+object TextOps {
+
+  private val EnStop   = Seq("the", "a", "of", "and")
+  private val TechWords = Seq("spark", "vector", "hash", "stream")
+
+  /** Token counting: whitespace tokens + regex word tokens + chars. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(reTokens(col("text"))).cast("long").as("n_re_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Quality scoring: word count, avg word length, stopword ratio. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val words = reTokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      rnd(totalChars(words).cast("double") / size(words), 2).as("avg_word_len"),
+      rnd(vocabHits(words, EnStop).cast("double") / size(words), 4)
+        .as("stopword_ratio"))
+  }
+
+  /** Language-ID heuristic: profile-vocabulary scoring + argmax. (The
+    * corpus is synthetic word salad, so the two profiles are English
+    * stopwords vs tech jargon — the operator structure, ratio scoring
+    * with a deterministic argmax, is the point.) */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val words = reTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        rnd(vocabHits(words, EnStop).cast("double") / size(words), 4)
+          .as("en_score"),
+        rnd(vocabHits(words, TechWords).cast("double") / size(words), 4)
+          .as("tech_score"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= col("tech_score"), "en").otherwise("tech"))
+  }
+
+  /** Document fingerprint: md5 of canonicalized text + shingle count. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = reTokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fp_md5"),
+      size(shingles(toks, 3)).cast("long").as("n_shingles"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> (tokens _),
+    "text_quality"     -> (quality _),
+    "text_langid"      -> (langid _),
+    "text_fingerprint" -> (fingerprint _))
+
+  // DuckDB notes: list indices are 1-based (as is Spark's element_at);
+  // list_sum over INTs would be HUGEINT, so char totals are CAST.
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents)
+         SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_words,
+                floor((CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                      / len(w)) * 100 + 0.5) / 100 AS avg_word_len,
+                floor((CAST(len(list_filter(w, x -> x IN ('the','a','of','and')))
+                           AS DOUBLE) / len(w)) * 10000 + 0.5) / 10000 AS stopword_ratio
+         FROM t""",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents),
+         s AS (SELECT doc_id,
+                      floor((CAST(len(list_filter(w, x -> x IN ('the','a','of','and')))
+                                 AS DOUBLE) / len(w)) * 10000 + 0.5) / 10000 AS en_score,
+                      floor((CAST(len(list_filter(w, x -> x IN ('spark','vector','hash','stream')))
+                                 AS DOUBLE) / len(w)) * 10000 + 0.5) / 10000 AS tech_score
+               FROM t)
+         SELECT doc_id, en_score, tech_score,
+                CASE WHEN en_score >= tech_score THEN 'en' ELSE 'tech' END
+                  AS predicted_lang
+         FROM s""",
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents)
+         SELECT doc_id,
+                md5(array_to_string(w, ' ')) AS fp_md5,
+                CAST(len(list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(len(w) - 2),
+                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                  ELSE [] END)) AS BIGINT) AS n_shingles
+         FROM t""")
+}

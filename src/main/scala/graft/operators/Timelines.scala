@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.rnd
 
 /** Time-series and lifecycle-metric operators.
   *
@@ -60,7 +61,7 @@ object Timelines {
       .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
-           round(avg(days), 1).as("avg_days"),
+           rnd(avg(days), 1).as("avg_days"),
            min(days).cast("long").as("min_days"),
            max(days).cast("long").as("max_days"))
       .filter(col("n_lines") >= 3)
@@ -88,7 +89,7 @@ object Timelines {
       joined.filter(col("l_linestatus") === status)
         .agg(lit(label).as("stage"),
              count(lit(1)).as("n"),
-             round(avg(lag), 1).as("avg_days"),
+             rnd(avg(lag), 1).as("avg_days"),
              min(lag).cast("long").as("min_days"),
              max(lag).cast("long").as("max_days"))
     branch("F", "finished-lines").unionAll(branch("O", "open-lines"))
@@ -105,10 +106,10 @@ object Timelines {
       .agg(count(lit(1)).as("total_lines"),
            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"),
            sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("accepted"),
-           round(avg(col("l_quantity")), 2).as("avg_qty"))
+           rnd(avg(col("l_quantity")), 2).as("avg_qty"))
       .filter(col("total_lines") >= 5)
       .withColumn("return_rate",
-        round(col("returned") * 100.0 / col("total_lines"), 1))
+        rnd(col("returned") * 100.0 / col("total_lines"), 1))
       .orderBy(col("total_lines").desc, col("s_name"))
       .limit(15)
   }
@@ -121,7 +122,7 @@ object Timelines {
            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("dropped"))
       .filter(col("total_lines") >= 10)
       .withColumn("drop_rate",
-        round(col("dropped") * 100.0 / col("total_lines"), 1))
+        rnd(col("dropped") * 100.0 / col("total_lines"), 1))
       .orderBy(col("drop_rate").desc, col("l_returnflag"), col("l_linestatus"))
 
   /** Journey stages: count + distinct entities + avg days-in-stage
@@ -132,7 +133,7 @@ object Timelines {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
            countDistinct(col("o_custkey")).as("unique_customers"),
-           round(avg(datediff(to_date(lit(RefDate)), to_date(col("o_orderdate")))), 1)
+           rnd(avg(datediff(to_date(lit(RefDate)), to_date(col("o_orderdate")))), 1)
              .as("avg_days_in_stage"))
       .orderBy(col("n").desc, col("o_orderstatus"))
 
@@ -160,8 +161,8 @@ object Timelines {
     "rpt_resolution_time" ->
       """SELECT o_orderpriority,
                 count(*) AS n_lines,
-                round(avg(date_diff('day', CAST(o_orderdate AS DATE),
-                                    CAST(l_shipdate AS DATE))), 1) AS avg_days,
+                floor((avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)))) * 10 + 0.5) / 10 AS avg_days,
                 min(date_diff('day', CAST(o_orderdate AS DATE),
                               CAST(l_shipdate AS DATE))) AS min_days,
                 max(date_diff('day', CAST(o_orderdate AS DATE),
@@ -183,12 +184,12 @@ object Timelines {
                             CAST(l_shipdate AS DATE)) AS lag
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
          SELECT 'finished-lines' AS stage, count(*) AS n,
-                round(avg(lag), 1) AS avg_days,
+                floor((avg(lag)) * 10 + 0.5) / 10 AS avg_days,
                 min(lag) AS min_days, max(lag) AS max_days
          FROM j WHERE l_linestatus = 'F'
          UNION ALL
          SELECT 'open-lines' AS stage, count(*) AS n,
-                round(avg(lag), 1) AS avg_days,
+                floor((avg(lag)) * 10 + 0.5) / 10 AS avg_days,
                 min(lag) AS min_days, max(lag) AS max_days
          FROM j WHERE l_linestatus = 'O'""",
     "rpt_perf_suppliers" ->
@@ -196,9 +197,9 @@ object Timelines {
                 count(*) AS total_lines,
                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
                 CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
-                round(avg(l_quantity), 2) AS avg_qty,
-                round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
-                      * 100.0 / count(*), 1) AS return_rate
+                floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+                floor((CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                      * 100.0 / count(*)) * 10 + 0.5) / 10 AS return_rate
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name HAVING count(*) >= 5
          ORDER BY total_lines DESC, s_name LIMIT 15""",
@@ -206,8 +207,8 @@ object Timelines {
       """SELECT l_returnflag, l_linestatus,
                 count(*) AS total_lines,
                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
-                round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
-                      * 100.0 / count(*), 1) AS drop_rate
+                floor((CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                      * 100.0 / count(*)) * 10 + 0.5) / 10 AS drop_rate
          FROM lineitem
          GROUP BY 1, 2 HAVING count(*) >= 10
          ORDER BY drop_rate DESC, l_returnflag, l_linestatus""",
@@ -215,8 +216,8 @@ object Timelines {
       """SELECT o_orderstatus,
                 count(*) AS n,
                 count(DISTINCT o_custkey) AS unique_customers,
-                round(avg(date_diff('day', CAST(o_orderdate AS DATE),
-                                    DATE '2001-09-01')), 1) AS avg_days_in_stage
+                floor((avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                    DATE '2001-09-01'))) * 10 + 0.5) / 10 AS avg_days_in_stage
          FROM orders WHERE o_orderstatus IS NOT NULL
          GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus""")
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.rnd
 
 /** Analytical-core showcases in TPC-H shapes.
   *
@@ -29,12 +30,12 @@ object Tpch {
       .filter(to_date(col("l_shipdate")) <= lit("2001-06-30"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+        rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        rnd(avg(col("l_quantity")), 2).as("avg_qty"),
+        rnd(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -53,7 +54,7 @@ object Tpch {
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"),
                date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -77,7 +78,7 @@ object Tpch {
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -90,11 +91,11 @@ object Tpch {
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-                round(avg(l_quantity), 2) AS avg_qty,
-                round(avg(l_discount), 4) AS avg_disc,
+                floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+                floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+                floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+                floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+                floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
                 count(*) AS count_order
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30'
@@ -103,7 +104,7 @@ object Tpch {
     "q3_shipping" ->
       """SELECT o_orderkey,
                 strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -114,7 +115,7 @@ object Tpch {
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q5_region_volume" ->
       """SELECT n_name,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num.rnd
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.operators.Events). The reference polls + batch-loads activity
+  * files (/root/reference/core/etl_service.py job loop); stream-native
+  * re-expression uses watermarked windows and keyed state instead.
+  *
+  * Tested via MemoryStream in EventStreamSpec (batch parity at sf0.001);
+  * rows-only per SURVEY §2.5 (streaming output has no SQL oracle).
+  */
+object EventStream {
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Watermarked tumbling-hour aggregation over an event stream. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful gap sessionizer: >30-min silence starts a new session.
+    * Same semantics as the batch window-function version
+    * (graft.operators.Events.sessionize), expressed as keyed state so it
+    * runs unbounded. Scale: state is O(users) and partitioned by key. */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val isNew = st.lastTsMicros == Long.MinValue ||
+              us - st.lastTsMicros > gapUs
+            st = SessionState(us, st.nSessions + (if (isNew) 1 else 0),
+                              st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Convenience: run the hourly aggregation over a micro-batch stream
+    * into an in-memory sink (complete mode — append would hold back
+    * windows the watermark hasn't closed yet, losing the stream's tail). */
+  def runHourlyToMemory(spark: SparkSession, events: DataFrame,
+                        queryName: String): Unit = {
+    val q = hourlyCounts(events).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.functions.Num.rnd
+
+/** Unit semantics for the shared column builders. */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("shingles builds distinct word 3-grams") {
+    import spark.implicits._
+    val df = Seq("a b c d", "x y", "a b c a b c a b c").toDF("text")
+    val got = df.select(shingles(wsTokens(col("text")), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("a b c", "b c a", "c a b"))
+  }
+
+  test("reTokens lowercases and strips punctuation") {
+    import spark.implicits._
+    val got = Seq("Hello, World! 42").toDF("text")
+      .select(reTokens(col("text"))).collect().head.getSeq[String](0)
+    assert(got === Seq("hello", "world", "42"))
+  }
+
+  test("cosine similarity on known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)),
+                 (Seq(1.0, 2.0), Seq(2.0, 4.0)),
+                 (Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+    val got = df.select(rnd(cosine(col("a"), col("b")), 4)).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got === Seq(0.0, 1.0, -1.0))
+  }
+
+  test("rnd matches half-up at boundary values both ways") {
+    import spark.implicits._
+    val got = Seq(4.725, 4.7249, -1.005, 2.675).toDF("x")
+      .select(rnd(col("x"), 2)).collect().map(_.getDouble(0)).toSeq
+    // floor(x*100+0.5)/100 on the actual binary doubles:
+    assert(got === Seq(
+      math.floor(4.725 * 100 + 0.5) / 100,
+      math.floor(4.7249 * 100 + 0.5) / 100,
+      math.floor(-1.005 * 100 + 0.5) / 100,
+      math.floor(2.675 * 100 + 0.5) / 100))
+  }
+
+  test("vocabHits counts only vocabulary words") {
+    import spark.implicits._
+    val got = Seq("the cat and the hat").toDF("text")
+      .select(vocabHits(wsTokens(col("text")), Seq("the", "and")))
+      .collect().head.getInt(0)
+    assert(got === 3)
+  }
+}

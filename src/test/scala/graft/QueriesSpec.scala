@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val Sf = "/root/testdata/sf0.001"
+}
+
+/** Every declared operator materializes at sf0.001, plus spot checks on
+  * values the synthetic data pins down. */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name materializes with a nonempty schema") {
+      val df = fn(spark, Sf)
+      assert(df.schema.fields.nonEmpty)
+      df.count() // forces full execution
+    }
+  }
+
+  test("rpt_summary counts match table sizes") {
+    val row = operators.Reports.summary(spark, Sf).collect().head
+    assert(row.getAs[Long]("total_orders") === 1500L)
+    assert(row.getAs[Long]("total_lineitems") === 6000L)
+    assert(row.getAs[Long]("total_events") === 1000L)
+  }
+
+  test("rpt_funnel stages sum to total") {
+    val row = operators.Timelines.funnel(spark, Sf).collect().head
+    val total = row.getAs[Long]("total_orders")
+    val parts = row.getAs[Long]("open_orders") +
+      row.getAs[Long]("partial_orders") + row.getAs[Long]("final_orders")
+    assert(total === parts) // statuses are exactly O/P/F
+  }
+
+  test("etl_dedup_latest keeps one row per customer") {
+    val df = operators.Etl.dedupLatest(spark, Sf)
+    assert(df.count() === df.select("o_custkey").distinct().count())
+  }
+
+  test("evt_sessionize session counts are positive and bounded by events") {
+    val rows = operators.Events.sessionize(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_sessions"); val e = r.getAs[Long]("n_events")
+      assert(s >= 1L && s <= e)
+    }
+  }
+
+  test("ann_topk returns exactly 10 ranked neighbors per query") {
+    val rows = similarity.Knn.topK(spark, Sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 5)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 10L))
+      val sims = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("dedup_exact_docs finds no duplicates in the synthetic corpus") {
+    val df = dedup.Dedup.exactDocs(spark, Sf)
+    assert(df.filter(org.apache.spark.sql.functions.col("n_copies") > 1).count() === 0)
+  }
+
+  test("multimodal_features is deterministic and aligned with payload size") {
+    val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
+    val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    a.foreach(r => assert(r.getAs[Long]("n_bytes") === r.getAs[Double]("f0").toLong))
+  }
+}
