@@ -1,12 +1,13 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num.rnd
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions
 
 /** Deduplication suite for a training-data pipeline.
   *
@@ -18,18 +19,21 @@ import graft.functions.VectorFunctions._
   * shingles), MinHash+LSH banding and SimHash (sub-quadratic candidate
   * generation), and embedding-cosine near-dup.
   *
-  * Scale notes (the whole point of these shapes):
+  * Scale + codegen notes (the whole point of these shapes):
   *  - exact: map-side hash + one shuffle on the 16-byte hash key.
   *  - ngram-jaccard: explode distinct shingles → self-join *on the
   *    shingle*, so only docs sharing a shingle ever meet; never an n²
   *    cross join. Shingle frequency skew is the risk at 100 TB — the
   *    LSH variants below are the scale path.
-  *  - minhash-lsh: signatures are map-only; the only shuffle is on
-  *    (band_idx, band_hash); pair candidates are generated per-bucket.
-  *  - simhash: 64-bit fingerprint map-only; candidates via 16-bit band
-  *    equality (4 buckets/doc), hamming verified with bit_count(xor).
-  *  - embed-cosine: blocked by `label` (in production: by coarse
-  *    cluster/LSH bucket) so the pair join is bounded per block.
+  *  - minhash-lsh / simhash: signatures are computed explode-then-
+  *    aggregate (min/sum partial aggs, all whole-stage codegen) rather
+  *    than per-row nested higher-order functions — HOFs are interpreted
+  *    in Spark and cost ~40ms/doc for a 16-hash signature; the exploded
+  *    form is >100× faster and is also the formulation that scales
+  *    (map-side partial min/sum, one shuffle on doc_id).
+  *  - embed-cosine: native codegen'd DotProduct expression; pair join
+  *    blocked by `label` (in production: by coarse cluster/LSH bucket)
+  *    so the cross join is bounded per block.
   */
 object Dedup {
 
@@ -39,13 +43,17 @@ object Dedup {
       .groupBy(md5(normText(col("text"))).as("norm_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
 
+  /** One row per (doc, distinct 3-gram shingle) — codegen'd relational
+    * shingle builder (see TextFunctions.shingleRows). */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(Tables.documents(spark, dir))
+
   /** Exact n-gram Jaccard near-dup pairs via shingle-key self-join. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(reTokens(col("text")), 3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    val ex = explodedShingles(spark, dir)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -59,7 +67,9 @@ object Dedup {
   }
 
   // Fixed affine hash family over a 31-bit prime (deterministic across
-  // runs/partitions — required for resumable pipelines and the oracle).
+  // runs/partitions — required for resumable pipelines). The base hash
+  // is reduced mod P before the affine map so a*h+b stays < 2^62 — no
+  // ANSI long overflow.
   private val P = 2147483647L
   private val HashParams: Seq[(Long, Long)] = Seq(
     (2654435761L, 104729L), (2246822519L, 130043L), (3266489917L, 2038074743L),
@@ -69,24 +79,20 @@ object Dedup {
     (524287L, 982451653L), (2654435769L, 57885161L), (97L, 32452843L),
     (8527L, 49979687L), (279470273L, 67867967L))
 
-  /** MinHash signature column (16 components) over 3-gram shingles.
-    * The base hash is reduced mod P (31-bit) before the affine map so
-    * a*h+b stays < 2^62 — no ANSI long overflow. */
-  private def minhashSig(sh: Column): Column = array(
-    HashParams.map { case (a, b) =>
-      array_min(transform(sh,
-        s => pmod(pmod(xxhash64(s), lit(P)) * lit(a % P) + lit(b), lit(P))))
-    }: _*)
-
   /** MinHash + LSH banding: 4 bands × 4 rows; docs colliding in any band
     * become candidate pairs; est_jaccard = matching signature fraction.
     * Approximate by design → rows-only check (SURVEY §2.7). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(reTokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-    val bands = docs.select(
+    val hashed = explodedShingles(spark, dir)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+    val sigAggs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a % P) + lit(b), lit(P))).as(s"s$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"),
+              array((0 until 16).map(i => col(s"s$i")): _*).as("sig"))
+    val bands = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         j => struct(j.as("band_idx"),
@@ -108,25 +114,21 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint + 16-bit-band candidates + hamming
-    * verification. Approximate by design → rows-only check. */
+    * verification. Approximate by design → rows-only check. Per-bit
+    * votes are 64 codegen'd sum aggregates over exploded tokens. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), reTokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      // per-bit vote sums, then sign → packed 64-bit fingerprint
-      .withColumn("bitsums", expr(
-        """aggregate(toks, array_repeat(0L, 64),
-             (acc, t) -> zip_with(acc,
-               transform(sequence(0, 63),
-                 b -> CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
-                      THEN 1L ELSE -1L END),
-               (x, y) -> x + y))"""))
-      .withColumn("simhash", expr(
-        """aggregate(
-             zip_with(bitsums, sequence(0, 63),
-               (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END),
-             0L, (a, x) -> a | x)"""))
-      .select("doc_id", "simhash")
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(reTokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val docs = votes.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3),
@@ -150,14 +152,17 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs, blocked by label. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), widen(col("embedding")).as("v"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+                     col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+                     col("embedding").as("vb"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
-              rnd(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+              rnd(VectorFunctions.cosine(col("va"), col("vb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
   }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared text-analysis column builders.
@@ -28,6 +29,26 @@ object TextFunctions {
       sequence(lit(0), greatest(size(tokens) - k, lit(-1))),
       i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*))
     array_distinct(when(size(tokens) >= k, gram).otherwise(array()))
+  }
+
+  /** One row per (doc_id, distinct word-3-gram) over a documents frame.
+    *
+    * Row-wise `shingles()` is interpreted (higher-order functions have no
+    * codegen) and costs ~2ms/doc; this relational formulation —
+    * posexplode + two window leads + distinct — is fully codegen'd and
+    * shuffles once on doc_id, which is also the shape that scales: the
+    * follow-up aggregations (minhash mins, jaccard intersections) are
+    * partial-agg friendly. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+                posexplode(reTokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .withColumn("w3", lead(col("w"), 2).over(byDoc))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+              concat_ws(" ", col("w"), col("w2"), col("w3")).as("shingle"))
+      .distinct()
   }
 
   /** How many of `words` appear in the fixed vocabulary. */

@@ -1,25 +1,33 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math as pure Column composition (higher-order
-  * functions over `array<float>` columns — no UDFs, stays codegen'd).
+import graft.functions.expressions.DotProduct
+
+/** Embedding-vector math backed by the native codegen'd DotProduct
+  * expression (graft.functions.expressions.DotProduct). Floats widen to
+  * double inside the kernel, so callers pass raw `array<float>` columns;
+  * results are bit-identical to the DuckDB oracle's
+  * CAST(... AS DOUBLE[]) + list_dot_product formulation.
   *
-  * Floats are widened to double *before* any arithmetic so results are
-  * bit-identical to the DuckDB oracle (which computes list math in
-  * double); both engines then fold left-to-right over the array.
+  * `register` must run once per session before using these columns
+  * (the public Column API has no constructor for custom expressions;
+  * the function registry is the supported route).
   */
 object VectorFunctions {
 
-  /** array<float> → array<double>. */
-  def widen(v: Column): Column = transform(v, x => x.cast("double"))
+  private val FnName = "graft_dot"
 
-  /** Dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Idempotent per-session registration of the native expressions. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
 
-  /** Cosine similarity of two double arrays. */
+  /** Dot product (codegen'd); widens float elements to double. */
+  def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
+
+  /** Cosine similarity via three native dot products. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 }

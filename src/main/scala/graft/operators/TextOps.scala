@@ -58,13 +58,17 @@ object TextOps {
         when(col("en_score") >= col("tech_score"), "en").otherwise("tech"))
   }
 
-  /** Document fingerprint: md5 of canonicalized text + shingle count. */
+  /** Document fingerprint: md5 of canonicalized text + shingle count.
+    * Shingle counting goes through the relational shingleRows builder
+    * (codegen'd) instead of the interpreted row-wise HOF. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = reTokens(col("text"))
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      md5(normText(col("text"))).as("fp_md5"),
-      size(shingles(toks, 3)).cast("long").as("n_shingles"))
+    val docs = Tables.documents(spark, dir)
+    val fps = docs.select(col("doc_id"), md5(normText(col("text"))).as("fp_md5"))
+    val counts = shingleRows(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    fps.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp_md5"),
+              coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
