@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Etl.queries ++
     operators.Reports.queries ++
+    operators.Filters.queries ++
     operators.Timelines.queries ++
     operators.Tpch.queries ++
     operators.Events.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Etl.oracles ++
     operators.Reports.oracles ++
+    operators.Filters.oracles ++
     operators.Timelines.oracles ++
     operators.Tpch.oracles ++
     operators.Events.oracles ++

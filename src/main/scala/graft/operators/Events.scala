@@ -54,6 +54,25 @@ object Events {
         rnd(col("n_events") * 1.0 / col("n_sessions"), 2))
   }
 
+  /** As-of enrichment: attach each event's most recent 'signup' event
+    * (at or before it) for the same user — the as-of-join shape,
+    * composed from built-ins per the preference order (a conditional
+    * last_value over the user partitioning; one shuffle, shared with any
+    * other per-user window in the stage). Emits the lag in seconds. */
+  def asofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("signup_us",
+        last(when(col("event_type") === "signup", col("us")),
+             ignoreNulls = true).over(byUser))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              ((col("us") - col("signup_us")) / lit(1000000L)).cast("long")
+                .as("secs_since_signup"))
+  }
+
   /** Semi-structured extraction: pull a JSON prop, aggregate per type. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -67,6 +86,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_window_hourly" -> (windowHourly _),
     "evt_sessionize"    -> (sessionize _),
+    "evt_asof_enrich"   -> (asofEnrich _),
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -97,6 +117,18 @@ object Events {
                 floor((count(*) * 1.0 / CAST(max(session_id) AS BIGINT)) * 100 + 0.5) / 100
                   AS avg_events_per_session
          FROM g GROUP BY user_id""",
+    "evt_asof_enrich" ->
+      """WITH t AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                  last_value(CASE WHEN event_type = 'signup'
+                                  THEN epoch_us(ts) END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS signup_us
+           FROM events)
+         SELECT event_id, user_id, event_type,
+                CAST((us - signup_us) // 1000000 AS BIGINT) AS secs_since_signup
+         FROM t""",
     "evt_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 100 + 0.5) / 100 AS avg_k,
