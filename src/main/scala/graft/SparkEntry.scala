@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Etl.queries ++
     operators.Reports.queries ++
     operators.Filters.queries ++
+    operators.TableOps.queries ++
     operators.Timelines.queries ++
     operators.Tpch.queries ++
     operators.Events.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     operators.Etl.oracles ++
     operators.Reports.oracles ++
     operators.Filters.oracles ++
+    operators.TableOps.oracles ++
     operators.Timelines.oracles ++
     operators.Tpch.oracles ++
     operators.Events.oracles ++

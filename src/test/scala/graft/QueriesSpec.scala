@@ -84,6 +84,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.filter(org.apache.spark.sql.functions.col("n_copies") > 1).count() === 0)
   }
 
+  test("sql_runner rejects non-SELECT statements") {
+    intercept[IllegalArgumentException] {
+      operators.TableOps.runSql(spark, Sf, "DROP TABLE v_orders")
+    }
+  }
+
+  test("rpt_approx_distinct stays within the requested error bound") {
+    operators.Filters.approxDistinct(spark, Sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1)
+    }
+  }
+
   test("multimodal_features is deterministic and aligned with payload size") {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
