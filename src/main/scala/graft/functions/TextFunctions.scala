@@ -39,16 +39,18 @@ object TextFunctions {
     * shuffles once on doc_id, which is also the shape that scales: the
     * follow-up aggregations (minhash mins, jaccard intersections) are
     * partial-agg friendly. */
-  def shingleRows(docs: DataFrame): DataFrame = {
+  def shingleRows(docs: DataFrame, distinct: Boolean = true): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"),
+    val rows = docs.select(col("doc_id"),
                 posexplode(reTokens(col("text"))).as(Seq("pos", "w")))
       .withColumn("w2", lead(col("w"), 1).over(byDoc))
       .withColumn("w3", lead(col("w"), 2).over(byDoc))
       .filter(col("w3").isNotNull)
       .select(col("doc_id"),
               concat_ws(" ", col("w"), col("w2"), col("w3")).as("shingle"))
-      .distinct()
+    // Min-style consumers (minhash) are multiset-insensitive and can
+    // skip the dedup aggregation.
+    if (distinct) rows.distinct() else rows
   }
 
   /** How many of `words` appear in the fixed vocabulary. */
