@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.expressions.{DotProduct, MinHashSignature}
+
+/** Per-session registration of graft's native Catalyst expressions.
+  * Idempotent; the function registry is the supported route to custom
+  * expressions (the public Column API has no expression constructor). */
+object Registry {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSignature(exprs.head), "built-in")
+  }
+}

@@ -20,9 +20,7 @@ object VectorFunctions {
   private val FnName = "graft_dot"
 
   /** Idempotent per-session registration of the native expressions. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = Registry.register(spark)
 
   /** Dot product (codegen'd); widens float elements to double. */
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)

@@ -1,0 +1,30 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned-lake writer — the layout a 100 TB deployment of the
+  * reference's load step lands on (the reference loads into SQLite
+  * tables, /root/reference/core/database.py; at scale the equivalent is
+  * hive-partitioned parquet so readers prune by partition key).
+  *
+  * Writes are `partitionBy` on a derived low-cardinality key (e.g.
+  * month); readers filtering that key scan only matching directories —
+  * LakeSinkSpec asserts the pruned plan. `maxRecordsPerFile` bounds
+  * file sizes so a skewed partition still splits.
+  */
+object LakeSink {
+
+  /** Write a frame hive-partitioned by a derived month column. */
+  def writeMonthlyPartitioned(df: DataFrame, tsCol: String,
+                              path: String): Unit =
+    df.withColumn("part_month", date_format(col(tsCol), "yyyy-MM"))
+      .write.mode("overwrite")
+      .partitionBy("part_month")
+      .option("maxRecordsPerFile", 5000000)
+      .parquet(path)
+
+  /** Read back with a partition filter (prunes directories, not rows). */
+  def readMonth(spark: SparkSession, path: String, month: String): DataFrame =
+    spark.read.parquet(path).filter(col("part_month") === month)
+}

@@ -51,6 +51,20 @@ class FunctionsSpec extends AnyFunSuite {
       math.floor(2.675 * 100 + 0.5) / 100))
   }
 
+  test("MinHashSignature aggregate equals explicit per-hash minima") {
+    import spark.implicits._
+    import graft.functions.expressions.MinHashFamily
+    functions.Registry.register(spark)
+    val hashes = Seq(5L, 99L, 1234567L, 42L, 2147483646L)
+    val df = hashes.toDF("h")
+    val got = df.agg(call_function("graft_minhash_sig", col("h")))
+      .collect().head.getSeq[Long](0)
+    val expected = (0 until MinHashFamily.NumHashes).map { i =>
+      hashes.map(h => MinHashFamily.hash(i, h)).min
+    }
+    assert(got === expected)
+  }
+
   test("vocabHits counts only vocabulary words") {
     import spark.implicits._
     val got = Seq("the cat and the hat").toDF("text")

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Skew
+import graft.sinks.LakeSink
+
+class LakeSinkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("monthly-partitioned write prunes partitions on read") {
+    val path = Files.createTempDirectory("graft_lake").toString + "/orders"
+    LakeSink.writeMonthlyPartitioned(
+      Tables.orders(spark, Sf), "o_orderdate", path)
+    val month = "1997-03"
+    val got = LakeSink.readMonth(spark, path, month)
+    val expected = Tables.orders(spark, Sf)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === month).count()
+    assert(got.count() === expected)
+    // The partition filter must prune directories, not scan-and-filter:
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.contains("part_month"), s"no partition pruning in:\n$plan")
+    // and the data filter list must NOT carry part_month as a row filter
+    assert(!plan.contains(s"PushedFilters: [IsNotNull(part_month)"))
+  }
+
+  test("salted aggregation matches plain aggregation") {
+    val plain = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total"))
+      .orderBy("key").collect().toSeq
+    val salted = Skew.saltedCountSum(
+        Tables.lineitem(spark, Sf), col("l_returnflag"), col("l_quantity"), 8)
+      .orderBy("key").collect().toSeq
+    assert(salted.map(r => (r.getString(0), r.getLong(1))) ===
+           plain.map(r => (r.getString(0), r.getLong(1))))
+    // double sums compared with tolerance (salting changes add order)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(math.abs(s.getDouble(2) - p.getDouble(2)) < 1e-6)
+    }
+  }
+}
