@@ -78,9 +78,44 @@ object Knn {
       .limit(100)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (deterministic subsample as the codebook), then search only within
+    * the query's cell. Approximate (cell-boundary misses) → rows-only.
+    * Scale: the codebook broadcasts; assignment is map-only; the search
+    * join touches one cell per query instead of the corpus. */
+  def ivf(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", VectorFunctions.cosine(col("embedding"), col("cv")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("cent_id").as("q_cent"))
+    val cand = assigned.select(col("cent_id"), col("vec_id").as("neighbor_id"),
+                               col("embedding").as("nv"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    cand.join(broadcast(q), col("cent_id") === col("q_cent") &&
+                            col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_raw", VectorFunctions.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (topK _),
-    "ann_lsh"  -> (lshBuckets _))
+    "ann_lsh"  -> (lshBuckets _),
+    "ann_ivf"  -> (ivf _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" ->
