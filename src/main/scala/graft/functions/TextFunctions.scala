@@ -23,6 +23,22 @@ object TextFunctions {
   /** Canonical text: regex tokens re-joined on single spaces. */
   def normText(text: Column): Column = array_join(reTokens(text), " ")
 
+  /** Repair CP1252-mojibake'd smart punctuation — the reference's
+    * encoding-fix pass (/root/reference/core/etl_service.py:704-718:
+    * smart apostrophe/quotes read through the wrong codec). Longer
+    * sequences replace first so the 2-char prefix fix can't clobber
+    * them. */
+  def fixMojibake(text: Column): Column = {
+    val fixes = Seq(
+      "\u00e2\u20ac\u2122" -> "'",   // smart apostrophe
+      "\u00e2\u20ac\u0153" -> "\"",  // left smart quote
+      "\u00e2\u20ac\u201c" -> "-",   // en dash
+      "\u00e2\u20ac" -> "\"")        // right-smart-quote remnant
+    fixes.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+  }
+
   /** Word-k-grams (shingles) over an already-tokenized array, distinct. */
   def shingles(tokens: Column, k: Int): Column = {
     val gram = transform(

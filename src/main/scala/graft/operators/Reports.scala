@@ -132,7 +132,20 @@ object Reports {
       .limit(15)
   }
 
+  /** Percentile metrics per group (exact interpolated percentiles —
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the linear
+    * interpolation formula, so results hash-match; at 100 TB swap in
+    * approx_percentile with a documented error bound). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_price"),
+           rnd(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_percentiles"       -> (percentiles _),
     "rpt_summary"           -> (summary _),
     "rpt_status_dist"       -> (statusDist _),
     "rpt_top_types"         -> (topTypes _),
@@ -142,6 +155,12 @@ object Reports {
     "rpt_conditional_rates" -> (conditionalRates _))
 
   val oracles: Map[String, String] = Map(
+    "rpt_percentiles" ->
+      """SELECT o_orderstatus,
+                floor((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS p50_price,
+                floor((quantile_cont(o_totalprice, 0.9)) * 100 + 0.5) / 100 AS p90_price,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "rpt_summary" ->
       """SELECT
            (SELECT count(*) FROM orders) AS total_orders,

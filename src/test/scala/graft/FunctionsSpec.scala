@@ -65,6 +65,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("fixMojibake repairs CP1252 smart punctuation") {
+    import spark.implicits._
+    val got = Seq("itâ€™s â€œquotedâ€ here")
+      .toDF("text")
+      .select(fixMojibake(org.apache.spark.sql.functions.col("text")))
+      .collect().head.getString(0)
+    assert(got === "it's \"quoted\" here")
+  }
+
   test("vocabHits counts only vocabulary words") {
     import spark.implicits._
     val got = Seq("the cat and the hat").toDF("text")
