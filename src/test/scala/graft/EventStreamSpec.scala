@@ -34,6 +34,31 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("append mode drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String) =
+      Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0)
+    val input = MemoryStream[Ev]
+    val q = EventStream.hourlyCounts(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("wm_test").start()
+    // batch 1 advances event time to 12:00; watermark becomes 10:00
+    input.addData(ev(1, "2024-01-01 08:30:00"), ev(2, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    // batch 2: 08:45 is before the 10:00 watermark -> dropped;
+    // 12:30 is live and stays pending (its window isn't closed)
+    input.addData(ev(3, "2024-01-01 08:45:00"), ev(4, "2024-01-01 12:30:00"))
+    q.processAllAvailable()
+    // advance event time far enough to close every window
+    input.addData(ev(5, "2024-01-02 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val hours = spark.table("wm_test")
+      .select("hour", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hours("2024-01-01 08:00") === 1L) // late event 3 was dropped
+    assert(hours("2024-01-01 12:00") === 2L) // events 2 and 4 both counted
+  }
+
   test("stateful sessionizer matches batch evt_sessionize") {
     import spark.implicits._
     // One micro-batch: per-user final state must equal the batch result.
