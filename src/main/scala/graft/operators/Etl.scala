@@ -94,7 +94,24 @@ object Etl {
         max(col("n_chars")).as("max_chars"))
   }
 
+  /** Quarantine split: rows failing any validation rule, one row per
+    * (record, violated rule) — the relational form of the reference's
+    * data_quality_issues log (schema_validator.log_schema_error). The
+    * rule column unpivots via a literal rules array + filter (map-only). */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rules = array(
+      when(col("l_quantity") <= 0, "bad_quantity"),
+      when(col("l_extendedprice") < 0, "bad_price"),
+      when(!col("l_discount").between(0.0, 1.0), "bad_discount"),
+      when(!col("l_returnflag").isin("A", "N", "R"), "bad_returnflag"),
+      when(col("l_shipdate").isNull, "null_shipdate"))
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
+              explode(filter(rules, r => r.isNotNull)).as("violation"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_quarantine"      -> (quarantine _),
     "etl_clean_normalize" -> (cleanNormalize _),
     "etl_dedup_latest"    -> (dedupLatest _),
     "etl_dedup_exact"     -> (dedupExact _),
@@ -103,6 +120,22 @@ object Etl {
     "etl_ingest_stats"    -> (ingestStats _))
 
   val oracles: Map[String, String] = Map(
+    "etl_quarantine" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+                'bad_quantity' AS violation
+         FROM lineitem WHERE l_quantity <= 0
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'bad_price'
+         FROM lineitem WHERE l_extendedprice < 0
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'bad_discount'
+         FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 1.0
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'bad_returnflag'
+         FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'null_shipdate'
+         FROM lineitem WHERE l_shipdate IS NULL""",
     "etl_clean_normalize" ->
       """SELECT doc_id,
          CAST(length(trim(text)) AS BIGINT) AS clean_len,

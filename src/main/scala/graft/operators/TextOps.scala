@@ -71,7 +71,24 @@ object TextOps {
               coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
   }
 
+  /** Corpus bigram frequencies (top 20) — posexplode + lead, then a
+    * plain count rollup; the shuffle carries only (bigram, partial
+    * count) thanks to map-side combine. */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(reTokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(concat_ws(" ", col("w"), col("w2")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq"  -> (ngramFreq _),
     "text_tokens"      -> (tokens _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langid _),
@@ -80,6 +97,15 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents),
+         b AS (SELECT unnest(list_transform(range(len(w) - 1),
+                       i -> w[i+1] || ' ' || w[i+2])) AS bigram
+               FROM t WHERE len(w) >= 2)
+         SELECT bigram, count(*) AS n FROM b
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "text_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -137,7 +138,37 @@ object Timelines {
              .as("avg_days_in_stage"))
       .orderBy(col("n").desc, col("o_orderstatus"))
 
+  /** Cumulative monthly volume (running-total window over the monthly
+    * rollup — the aggregation shrinks data to O(months) first, so the
+    * unpartitioned window sorts a tiny frame, not the fact table). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly.withColumn("cumulative_n", sum(col("n")).over(w))
+      .orderBy(col("period"))
+  }
+
+  /** Year-over-year growth per month (lag-12 over the monthly rollup;
+    * growth% via the cross-engine-stable rounding). */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("period"))
+    monthly
+      .withColumn("prev_year_n", lag(col("n"), 12).over(w))
+      .filter(col("prev_year_n").isNotNull)
+      .withColumn("yoy_pct",
+        rnd((col("n") - col("prev_year_n")) * 100.0 / col("prev_year_n"), 1))
+      .orderBy(col("period"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_running_total"    -> (runningTotal _),
+    "rpt_yoy_growth"       -> (yoyGrowth _),
     "rpt_timeline_month"   -> (timelineMonth _),
     "rpt_status_over_time" -> (statusOverTime _),
     "rpt_resolution_time"  -> (resolutionTime _),
@@ -148,6 +179,25 @@ object Timelines {
     "rpt_journey"          -> (journey _))
 
   val oracles: Map[String, String] = Map(
+    "rpt_running_total" ->
+      """WITH m AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n
+           FROM orders GROUP BY 1)
+         SELECT period, n,
+                CAST(SUM(n) OVER (ORDER BY period ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_n
+         FROM m ORDER BY period""",
+    "rpt_yoy_growth" ->
+      """WITH m AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n
+           FROM orders GROUP BY 1),
+         l AS (
+           SELECT period, n, lag(n, 12) OVER (ORDER BY period) AS prev_year_n
+           FROM m)
+         SELECT period, n, prev_year_n,
+                floor(((n - prev_year_n) * 100.0 / prev_year_n) * 10 + 0.5) / 10
+                  AS yoy_pct
+         FROM l WHERE prev_year_n IS NOT NULL ORDER BY period""",
     "rpt_timeline_month" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n
          FROM orders WHERE o_orderdate IS NOT NULL
