@@ -17,6 +17,8 @@ import graft.functions.expressions.{DotProduct, MinHashSignature}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => graft.plans.ResolveTopKPerKeyHint)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
