@@ -27,4 +27,19 @@ object LakeSink {
   /** Read back with a partition filter (prunes directories, not rows). */
   def readMonth(spark: SparkSession, path: String, month: String): DataFrame =
     spark.read.parquet(path).filter(col("part_month") === month)
+
+  /** Write a frame as a bucketed table: rows are hash-clustered and
+    * sorted by the join key at write time, so repeated joins/aggs on
+    * that key run with NO shuffle — the co-location layout recurring
+    * 100 TB joins should land on. (Bucketed tables require the catalog,
+    * hence saveAsTable; `path` keeps the data out of the default
+    * warehouse.) */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -28,6 +28,25 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(!plan.contains(s"PushedFilters: [IsNotNull(part_month)"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    LakeSink.writeBucketed(
+      Tables.orders(spark, Sf).select(col("o_orderkey"), col("o_custkey")),
+      "b_orders", s"$base/orders", "o_orderkey", 4)
+    LakeSink.writeBucketed(
+      Tables.lineitem(spark, Sf).select(col("l_orderkey"), col("l_quantity")),
+      "b_lineitem", s"$base/lineitem", "l_orderkey", 4)
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+      // disable broadcast so the join strategy depends on distribution
+      .hint("merge")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+           s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() === Tables.lineitem(spark, Sf).count())
+  }
+
   test("salted aggregation matches plain aggregation") {
     val plain = Tables.lineitem(spark, Sf)
       .groupBy(col("l_returnflag").as("key"))

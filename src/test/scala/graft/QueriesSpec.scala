@@ -79,6 +79,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf scores agree with brute force on shared pairs") {
+    val bf = similarity.Knn.topK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+                 r.getAs[Double]("cos_sim")).toMap
+    val ivf = similarity.Knn.ivf(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+                 r.getAs[Double]("cos_sim")).toMap
+    val shared = bf.keySet.intersect(ivf.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(bf(k) === ivf(k)))
+  }
+
   test("dedup_exact_docs finds no duplicates in the synthetic corpus") {
     val df = dedup.Dedup.exactDocs(spark, Sf)
     assert(df.filter(org.apache.spark.sql.functions.col("n_copies") > 1).count() === 0)
