@@ -70,7 +70,7 @@ object Filters {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+           approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
