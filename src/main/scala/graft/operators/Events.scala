@@ -35,11 +35,15 @@ object Events {
 
   /** Gap-based sessionization: a >30-min silence starts a new session.
     * lag + running-sum over one user_id partitioning (single shuffle). */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeFrame(Tables.events(spark, dir))
+
+  /** Frame-level core (events must have event_id/ts/user_id). */
+  def sessionizeFrame(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapUs = 1800L * 1000000L
-    Tables.events(spark, dir)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("is_new",

@@ -28,6 +28,20 @@ object LakeSink {
   def readMonth(spark: SparkSession, path: String, month: String): DataFrame =
     spark.read.parquet(path).filter(col("part_month") === month)
 
+  /** Compact a directory of many small files into ~`targetFileMB`-sized
+    * parquet files — the maintenance op every streaming/incremental lake
+    * ingestion needs (micro-batches produce small files; scans slow down
+    * with per-file overhead). Sizing derives from the input bytes, not a
+    * fixed partition count, so it holds at any scale. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileMB: Int = 128): Unit = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+  }
+
   /** Write a frame as a bucketed table: rows are hash-clustered and
     * sorted by the join key at write time, so repeated joins/aggs on
     * that key run with NO shuffle — the co-location layout recurring

@@ -44,6 +44,24 @@ object DelimitedSource {
     }: _*)
   }
 
+  /** Read with corrupt-record capture: malformed lines land in a
+    * `_corrupt_record` column instead of failing the job or silently
+    * dropping — the distributed form of the reference's per-row issue
+    * logging (data_quality_issues). Requires an explicit schema (the
+    * corrupt column must be declared). */
+  def readWithQuarantine(spark: SparkSession, path: String,
+                         schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .option("sep", "|")
+      .option("quote", "\"")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** Write a frame as a pipe-delimited extract (round-trip support). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")

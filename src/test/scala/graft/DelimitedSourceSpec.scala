@@ -36,6 +36,20 @@ class DelimitedSourceSpec extends AnyFunSuite {
     assert(got.filter(col("b") === "x").count() === 1)
   }
 
+  test("malformed rows are captured, not dropped or fatal") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv3").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "t.txt"),
+      "a|b\n1|x\nnot_a_number|y\n3|z\n")
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val got = DelimitedSource.readWithQuarantine(spark, dir, schema)
+    assert(got.count() === 3)
+    val bad = got.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1 && bad.head.getAs[String]("_corrupt_record")
+      .contains("not_a_number"))
+  }
+
   test("table name extraction follows reference rules") {
     assert(DelimitedSource.tableNameOf("SAMPLE_chhsca_people_20250828.txt") === "people")
     assert(DelimitedSource.tableNameOf("chhsca_people_20250828.txt") === "people")

@@ -47,6 +47,19 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(spark, Sf).count())
   }
 
+  test("compaction preserves data and reduces file count") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/fragmented"
+    Tables.orders(spark, Sf).repartition(40).write.parquet(frag)
+    LakeSink.compact(spark, frag, s"$base/compacted", targetFileMB = 128)
+    val before = Tables.orders(spark, Sf).count()
+    val after = spark.read.parquet(s"$base/compacted").count()
+    assert(before === after)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/compacted") < parquetFiles(frag))
+  }
+
   test("salted aggregation matches plain aggregation") {
     val plain = Tables.lineitem(spark, Sf)
       .groupBy(col("l_returnflag").as("key"))
