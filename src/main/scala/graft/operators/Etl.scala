@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Num.rnd
+import graft.functions.TextFunctions.fixMojibake
 
 /** ETL / ingestion-shape operators.
   *
@@ -32,7 +33,7 @@ object Etl {
     val docs = Tables.documents(spark, dir)
     docs.select(
       col("doc_id"),
-      length(trim(col("text"))).cast("long").as("clean_len"),
+      length(trim(fixMojibake(col("text")))).cast("long").as("clean_len"),
       coalesce(when(trim(col("source")) === "", null)
         .otherwise(trim(col("source"))), lit("unknown")).as("source_norm"),
       coalesce(when(trim(col("lang")) === "", null)
@@ -138,7 +139,7 @@ object Etl {
          FROM lineitem WHERE l_shipdate IS NULL""",
     "etl_clean_normalize" ->
       """SELECT doc_id,
-         CAST(length(trim(text)) AS BIGINT) AS clean_len,
+         CAST(length(trim(replace(replace(replace(replace(text, 'â€™', ''''), 'â€œ', '"'), 'â€“', '-'), 'â€', '"'))) AS BIGINT) AS clean_len,
          coalesce(nullif(trim(source), ''), 'unknown') AS source_norm,
          coalesce(nullif(trim(lang), ''), 'unknown') AS lang_norm
          FROM documents""",

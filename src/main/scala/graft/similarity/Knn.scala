@@ -54,7 +54,7 @@ object Knn {
   }
 
   private def planeLit(p: Array[Double]): Column =
-    array(p.map(lit(_)): _*)
+    array(p.toIndexedSeq.map(lit(_)): _*)
 
   /** Random-hyperplane LSH: 16-bit signatures, top intra-bucket pairs.
     * Approximate → rows-only check. */

@@ -38,7 +38,7 @@ object DelimitedSource {
       case None    => base.option("inferSchema", "false").csv(path)
     }
     // Normalize the full null vocabulary (csv option takes one token).
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       when(trim(col(c)).isin(NullValues: _*), lit(null))
         .otherwise(col(c)).as(c)
     }: _*)
