@@ -83,12 +83,34 @@ object Tpch {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q6 shape: forecast revenue — pure filter + sum, the
+    * predicate-pushdown showcase (all three filters reach the scan). */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+              to_date(col("l_shipdate")) < lit("1997-01-01") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(rnd(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast"      -> (q6Forecast _),
     "q1_pricing"       -> (q1Pricing _),
     "q3_shipping"      -> (q3Shipping _),
     "q5_region_volume" -> (q5RegionVolume _))
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100
+                  AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07
+           AND l_quantity < 24""",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
