@@ -77,6 +77,26 @@ object Events {
                 .as("secs_since_signup"))
   }
 
+  /** Sequential conversion funnel: of users who ever signed up, how
+    * many later purchased (strictly after their first signup)? One
+    * groupBy user with conditional min/max aggregates — no self-join,
+    * single shuffle on the high-cardinality key. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("us"))).as("first_signup"),
+        max(when(col("event_type") === "purchase", col("us"))).as("last_purchase"))
+      .filter(col("first_signup").isNotNull)
+    perUser.agg(
+      count(lit(1)).as("n_signed_up"),
+      sum(when(col("last_purchase") > col("first_signup"), 1L).otherwise(0L))
+        .as("n_converted"))
+      .withColumn("conv_pct",
+        rnd(col("n_converted") * 100.0 / col("n_signed_up"), 1))
+  }
+
   /** Semi-structured extraction: pull a JSON prop, aggregate per type. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -91,6 +111,7 @@ object Events {
     "evt_window_hourly" -> (windowHourly _),
     "evt_sessionize"    -> (sessionize _),
     "evt_asof_enrich"   -> (asofEnrich _),
+    "evt_funnel_conversion" -> (funnelConversion _),
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -133,6 +154,22 @@ object Events {
          SELECT event_id, user_id, event_type,
                 CAST((us - signup_us) // 1000000 AS BIGINT) AS secs_since_signup
          FROM t""",
+    "evt_funnel_conversion" ->
+      """WITH u AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup'
+                           THEN epoch_us(ts) END) AS first_signup,
+                  max(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS last_purchase
+           FROM events GROUP BY user_id),
+         s AS (SELECT * FROM u WHERE first_signup IS NOT NULL)
+         SELECT count(*) AS n_signed_up,
+                CAST(SUM(CASE WHEN last_purchase > first_signup
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                floor((CAST(SUM(CASE WHEN last_purchase > first_signup
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                       * 100.0 / count(*)) * 10 + 0.5) / 10 AS conv_pct
+         FROM s""",
     "evt_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 100 + 0.5) / 100 AS avg_k,

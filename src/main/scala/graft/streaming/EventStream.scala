@@ -55,6 +55,15 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-delivered events by id, keeping
+    * state only within the watermark (bounded memory — the property
+    * that lets exactly-once-ish ingestion run forever; the batch twin
+    * is the content-hash dedup in graft.dedup.Dedup). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience: run the hourly aggregation over a micro-batch stream
     * into an in-memory sink (complete mode — append would hold back
     * windows the watermark hasn't closed yet, losing the stream's tail). */

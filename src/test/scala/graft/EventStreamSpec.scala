@@ -59,6 +59,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(hours("2024-01-01 12:00") === 2L) // events 2 and 4 both counted
   }
 
+  test("streaming dedup drops re-delivered event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().take(50)
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupStream(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    input.addData(evs)
+    q.processAllAvailable()
+    input.addData(evs.take(20)) // re-delivery of the same batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() === 50)
+    assert(got.select("event_id").distinct().count() === 50)
+  }
+
   test("stateful sessionizer matches batch evt_sessionize") {
     import spark.implicits._
     // One micro-batch: per-user final state must equal the batch result.
