@@ -166,7 +166,46 @@ object Timelines {
       .orderBy(col("period"))
   }
 
+  /** Hierarchical subtotals: year × priority with ROLLUP (subtotal rows
+    * carry an explicit 'ALL' marker instead of NULL so the output is
+    * unambiguous and engine-portable). */
+  def rollupYearPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(date_format(col("o_orderdate"), "yyyy").as("year"),
+              col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("year"), lit("ALL")).as("year"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"))
+      .orderBy(col("year"), col("priority"))
+
+  /** Cohort retention: customers bucketed by first-order month, counted
+    * per months-since-cohort offset. Two aggregations — cohort
+    * assignment (one shuffle on custkey) then the (cohort, offset)
+    * rollup — no self-join. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+              (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                .as("ym"))
+    val w = Window.partitionBy(col("o_custkey"))
+    o.withColumn("cohort_ym", min(col("ym")).over(w))
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("offset_m"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .filter(col("offset_m") <= 6)
+      .withColumn("cohort",
+        concat_ws("-",
+          format_string("%04d", ((col("cohort_ym") - 1) / 12).cast("int")),
+          format_string("%02d",
+            (pmod(col("cohort_ym") - 1, lit(12)) + 1).cast("int"))))
+      .select(col("cohort"), col("offset_m").cast("long").as("offset_m"),
+              col("n_customers"))
+      .orderBy(col("cohort"), col("offset_m"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_rollup"           -> (rollupYearPriority _),
+    "rpt_cohort_retention" -> (cohortRetention _),
     "rpt_running_total"    -> (runningTotal _),
     "rpt_yoy_growth"       -> (yoyGrowth _),
     "rpt_timeline_month"   -> (timelineMonth _),
@@ -179,6 +218,29 @@ object Timelines {
     "rpt_journey"          -> (journey _))
 
   val oracles: Map[String, String] = Map(
+    "rpt_rollup" ->
+      """SELECT coalesce(y, 'ALL') AS year,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n
+         FROM (SELECT strftime(o_orderdate, '%Y') AS y, o_orderpriority
+               FROM orders)
+         GROUP BY ROLLUP(y, o_orderpriority)
+         ORDER BY year, priority""",
+    "rpt_cohort_retention" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  year(o_orderdate) * 12 + month(o_orderdate) AS ym
+           FROM orders),
+         c AS (
+           SELECT o_custkey, ym,
+                  min(ym) OVER (PARTITION BY o_custkey) AS cohort_ym
+           FROM o)
+         SELECT printf('%04d-%02d', (cohort_ym - 1) // 12,
+                       (cohort_ym - 1) % 12 + 1) AS cohort,
+                CAST(ym - cohort_ym AS BIGINT) AS offset_m,
+                count(DISTINCT o_custkey) AS n_customers
+         FROM c WHERE ym - cohort_ym <= 6
+         GROUP BY 1, 2 ORDER BY cohort, offset_m""",
     "rpt_running_total" ->
       """WITH m AS (
            SELECT strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n
