@@ -87,7 +87,33 @@ object TextOps {
       .limit(20)
   }
 
+  /** TF-IDF top terms per document: term frequencies and document
+    * frequencies from one exploded pass each, joined on the term —
+    * map-side-combined aggs, shuffle keyed on the term then the doc.
+    * Scores rounded with the cross-engine-stable formula. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // tiny action; at scale pass the known count
+    val terms = docs
+      .select(col("doc_id"), explode(reTokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_raw").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_raw", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), rnd(col("score_raw"), 4).as("tfidf"),
+              col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf"       -> (tfidf _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_tokens"      -> (tokens _),
     "text_quality"     -> (quality _),
@@ -97,6 +123,29 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score_raw
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, score_raw,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_raw DESC, term) AS rank
+           FROM scored)
+         SELECT doc_id, term,
+                floor((score_raw) * 10000 + 0.5) / 10000 AS tfidf,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 3
+         ORDER BY doc_id, rank""",
     "text_ngram_freq" ->
       """WITH t AS (SELECT doc_id,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w

@@ -55,6 +55,26 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attach to each purchase the clicks
+    * the same user made in the preceding 30 minutes. Both sides are
+    * watermarked so join state is bounded — the standard streaming
+    * attribution shape. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id, keeping
     * state only within the watermark (bounded memory — the property
     * that lets exactly-once-ish ingestion run forever; the batch twin

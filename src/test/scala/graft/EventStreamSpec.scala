@@ -59,6 +59,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(hours("2024-01-01 12:00") === 2L) // events 2 and 4 both counted
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents()
+    val input = MemoryStream[Ev]
+    val q = EventStream.purchaseAttribution(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("attr_out").start()
+    input.addData(evs)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStream.purchaseAttribution(
+        spark.createDataset(evs).toDF())
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
