@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Tpch.queries ++
     operators.Events.queries ++
     operators.TextOps.queries ++
+    operators.Sampling.queries ++
     dedup.Dedup.queries ++
     similarity.Knn.queries ++
     multimodal.BinaryPipeline.queries
@@ -36,6 +37,7 @@ object SparkEntry {
     operators.Tpch.oracles ++
     operators.Events.oracles ++
     operators.TextOps.oracles ++
+    operators.Sampling.oracles ++
     dedup.Dedup.oracles ++
     similarity.Knn.oracles ++
     multimodal.BinaryPipeline.oracles
