@@ -93,7 +93,9 @@ object TextOps {
     * Scores rounded with the cross-engine-stable formula. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count() // tiny action; at scale pass the known count
+    // n_docs as a lazy 1-row aggregate broadcast-cross-joined into the
+    // score — no eager driver-side count() job at plan-build time.
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs
       .select(col("doc_id"), explode(reTokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -104,7 +106,8 @@ object TextOps {
       .partitionBy(col("doc_id"))
       .orderBy(col("score_raw").desc, col("term"))
     tf.join(dfreq, Seq("term"))
-      .withColumn("score_raw", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_raw", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("term"), rnd(col("score_raw"), 4).as("tfidf"),

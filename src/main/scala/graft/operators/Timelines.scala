@@ -26,8 +26,9 @@ import graft.functions.Num.rnd
   * Scale notes: every query below is a single scan + partial agg on a
   * low-cardinality key (period, status, priority). The only join
   * (resolution/perf) shuffles both facts on the natural join key once;
-  * the 10×SF-row supplier side stays broadcastable far beyond 100 TB of
-  * lineitem. Periods are emitted as strings so plans stay
+  * supplier grows linearly with SF (10k×SF rows), so it carries no
+  * broadcast hint — AQE broadcasts it while it fits and shuffle-joins
+  * beyond that. Periods are emitted as strings so plans stay
   * whole-stage-codegen and outputs are engine-portable.
   */
 object Timelines {
@@ -79,21 +80,31 @@ object Timelines {
       stage("F").as("final_orders"))
   }
 
-  /** UNION ALL of per-stage timing metrics (timing-analysis shape). */
+  /** UNION ALL of per-stage timing metrics (timing-analysis shape).
+    *
+    * The reference runs one SELECT per stage over the same join; naively
+    * mirroring that (two agg branches unioned) makes Catalyst recompute
+    * the lineitem⋈orders join per branch — exchanges are not reused
+    * across aliased branches. Instead: one groupBy(l_linestatus) over a
+    * single join, filtered to the two stages and relabeled — the fact
+    * join runs exactly once. */
   def unionTiming(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
-    val joined = li.select("l_orderkey", "l_shipdate", "l_linestatus")
+    li.select("l_orderkey", "l_shipdate", "l_linestatus")
+      .filter(col("l_linestatus").isin("F", "O"))
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
-    def branch(status: String, label: String) =
-      joined.filter(col("l_linestatus") === status)
-        .agg(lit(label).as("stage"),
-             count(lit(1)).as("n"),
-             rnd(avg(lag), 1).as("avg_days"),
-             min(lag).cast("long").as("min_days"),
-             max(lag).cast("long").as("max_days"))
-    branch("F", "finished-lines").unionAll(branch("O", "open-lines"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           rnd(avg(lag), 1).as("avg_days"),
+           min(lag).cast("long").as("min_days"),
+           max(lag).cast("long").as("max_days"))
+      .select(
+        when(col("l_linestatus") === "F", "finished-lines")
+          .otherwise("open-lines").as("stage"),
+        col("n"), col("avg_days"), col("min_days"), col("max_days"))
+      .orderBy(col("stage"))
   }
 
   /** Per-supplier performance: conditional aggs + derived rates + floor +
@@ -102,7 +113,7 @@ object Timelines {
     val li = Tables.lineitem(spark, dir)
       .select("l_suppkey", "l_returnflag", "l_quantity")
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    li.join(s, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("total_lines"),
            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"),

@@ -19,8 +19,10 @@ import graft.functions.Num.rnd
   *  - q3: filters pushed below the joins (Catalyst), both fact joins on
   *    natural keys; AQE picks broadcast for the filtered customer side
   *    when it fits, else shuffle-hash.
-  *  - q5: dims (region→nation) broadcast; facts shuffle once each on the
-  *    join key.
+  *  - q5: fixed-size dims (region→nation) broadcast; supplier grows
+  *    linearly with SF (10k×SF rows — ~1B at 100 TB) so it is NOT force
+  *    broadcast: AQE picks broadcast while it fits and falls back to a
+  *    shuffle join beyond that. Facts shuffle once each on the join key.
   */
 object Tpch {
 
@@ -75,7 +77,7 @@ object Tpch {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
