@@ -111,7 +111,36 @@ object Etl {
               explode(filter(rules, r => r.isNotNull)).as("violation"))
   }
 
+  /** Incremental-load bookkeeping: the reference skips a discovered file
+    * when its (name, md5) is already in the etl_metadata ledger
+    * (etl_service.py:216-229 get_processed_files + file_key check,
+    * database_schema.py:22 etl_metadata). Relationally: incoming file
+    * hashes LEFT JOIN the processed-ledger on file name →
+    * load (never seen) / skip (name+hash match) / reload (name seen,
+    * content changed). The ledger here is synthesized deterministically
+    * from `documents` (ids ≡ 0 mod 3 unchanged, ≡ 1 stale hash, ≡ 2
+    * absent) so the oracle can rebuild it. One hash-partitioned join on
+    * the file name — both sides shuffle once; at 100 TB the ledger is
+    * tiny relative to the corpus and AQE broadcasts it. */
+  def loadLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def fileName = concat(lit("doc_"), col("doc_id").cast("string"), lit(".txt"))
+    val incoming = docs.select(fileName.as("file_name"),
+                               md5(col("text")).as("file_hash"))
+    val ledger = docs
+      .filter(pmod(col("doc_id"), lit(3)) < 2)
+      .select(fileName.as("file_name"),
+        when(pmod(col("doc_id"), lit(3)) === 0, md5(col("text")))
+          .otherwise(md5(concat(col("text"), lit(":v0")))).as("ledger_hash"))
+    incoming.join(ledger, Seq("file_name"), "left")
+      .select(col("file_name"), col("file_hash"),
+        when(col("ledger_hash").isNull, "load")
+          .when(col("ledger_hash") === col("file_hash"), "skip")
+          .otherwise("reload").as("decision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_load_ledger"     -> (loadLedger _),
     "etl_quarantine"      -> (quarantine _),
     "etl_clean_normalize" -> (cleanNormalize _),
     "etl_dedup_latest"    -> (dedupLatest _),
@@ -121,6 +150,21 @@ object Etl {
     "etl_ingest_stats"    -> (ingestStats _))
 
   val oracles: Map[String, String] = Map(
+    "etl_load_ledger" ->
+      """WITH incoming AS (
+           SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+                  md5(text) AS file_hash
+           FROM documents),
+         ledger AS (
+           SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+                  CASE WHEN doc_id % 3 = 0 THEN md5(text)
+                       ELSE md5(text || ':v0') END AS ledger_hash
+           FROM documents WHERE doc_id % 3 < 2)
+         SELECT i.file_name, i.file_hash,
+                CASE WHEN l.ledger_hash IS NULL THEN 'load'
+                     WHEN l.ledger_hash = i.file_hash THEN 'skip'
+                     ELSE 'reload' END AS decision
+         FROM incoming i LEFT JOIN ledger l USING (file_name)""",
     "etl_quarantine" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
                 'bad_quantity' AS violation

@@ -16,21 +16,31 @@ import graft.functions.Num.rnd
   */
 object Filters {
 
-  /** Optional-filter spec (None = no constraint), AND-composed. */
+  /** Optional-filter spec (None/empty = no constraint), AND-composed.
+    *
+    * `columnIn` is the general demographic-style composition of the
+    * reference (filters.py:134 apply_demographics_filter, :161
+    * build_query_with_filters): any column name → allowed-values set,
+    * each compiled to an IN predicate. Every piece is a plain
+    * column-vs-literal comparison, so the whole conjunction reaches the
+    * parquet scan as PushedFilters (asserted in FiltersSpec).
+    */
   case class ReportFilter(
       startDate: Option[String] = None,
       endDate: Option[String] = None,
       status: Option[String] = None,
-      priority: Option[String] = None) {
+      priority: Option[String] = None,
+      columnIn: Map[String, Seq[String]] = Map.empty) {
 
     def toPredicate(dateCol: Column, statusCol: Column,
                     priorityCol: Column): Column =
-      Seq(
+      (Seq(
         startDate.map(d => to_date(dateCol) >= lit(d)),
         endDate.map(d => to_date(dateCol) <= lit(d)),
         status.map(s => statusCol === lit(s)),
         priority.map(p => priorityCol === lit(p)))
-        .flatten
+        .flatten ++
+        columnIn.toSeq.sortBy(_._1).map { case (c, vs) => col(c).isin(vs: _*) })
         .foldLeft(lit(true))(_ && _)
   }
 
@@ -50,6 +60,18 @@ object Filters {
   def filteredRatesDefault(spark: SparkSession, dir: String): DataFrame =
     filteredRates(spark, dir,
       ReportFilter(startDate = Some("1997-01-01"), endDate = Some("1997-12-31")))
+
+  /** 3-way composition for the driver contract: date window AND status
+    * AND a column→values IN set — the reference's fully-composed report
+    * query (build_query_with_filters). All predicates push to the scan. */
+  def filteredRatesComposed(spark: SparkSession, dir: String): DataFrame =
+    filteredRates(spark, dir,
+      ReportFilter(
+        startDate = Some("1996-01-01"),
+        endDate   = Some("1998-12-31"),
+        status    = Some("F"),
+        columnIn  = Map("o_orderpriority" ->
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))))
 
   /** Wide period × status matrix via pivot (the reference renders the
     * same matrix client-side from long rows; pivot emits it relationally
@@ -75,6 +97,7 @@ object Filters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rpt_filtered_rates"    -> (filteredRatesDefault _),
+    "rpt_filtered_composed" -> (filteredRatesComposed _),
     "rpt_pivot_status_wide" -> (pivotStatusWide _),
     "rpt_approx_distinct"   -> (approxDistinct _))
 
@@ -85,6 +108,16 @@ object Filters {
          FROM orders
          WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
            AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31'
+         GROUP BY o_orderpriority
+         ORDER BY n DESC, o_orderpriority""",
+    "rpt_filtered_composed" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) <= DATE '1998-12-31'
+           AND o_orderstatus = 'F'
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
          GROUP BY o_orderpriority
          ORDER BY n DESC, o_orderpriority""",
     "rpt_pivot_status_wide" ->

@@ -82,11 +82,107 @@ object TableOps {
       .limit(25)
   }
 
+  /** Pinned "now" for view date windows (the reference uses date('now');
+    * we pin just past the data's max order date for determinism). */
+  private val RefDate = "2001-09-01"
+
+  /** v_active_cases shape (database_schema.py:394-413): open cases with
+    * client + org info — status filter and two left joins, wide
+    * projection. Customer is SF-proportional (no broadcast hint — AQE
+    * decides); nation is fixed-size (broadcast). */
+  def activeCases(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val v = o.join(c, col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(
+        col("o_orderkey").as("case_id"),
+        col("o_orderstatus").as("case_status"),
+        col("o_orderpriority").as("service_type"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("created_at"),
+        col("c_custkey").as("client_id"),
+        col("c_name").as("client_name"),
+        col("c_mktsegment").as("client_segment"),
+        col("n_name").as("client_office"))
+    v.createOrReplaceTempView("v_active_cases")
+    spark.table("v_active_cases")
+  }
+
+  /** v_referral_flow shape (database_schema.py:415-429): recent referral
+    * lines (30-day window before the pinned now) chained through their
+    * case to the client. */
+  def referralFlow(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("2001-08-02")) // RefDate - 30d
+      .select("l_orderkey", "l_linenumber", "l_linestatus", "l_returnflag",
+              "l_shipdate", "l_suppkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val v = li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+      .join(c, col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("l_orderkey").as("referral_case_id"),
+        col("l_linenumber").cast("long").as("referral_line"),
+        col("l_linestatus").as("referral_status"),
+        col("l_returnflag").as("flow_flag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("referred_at"),
+        col("l_suppkey").as("receiving_provider_id"),
+        col("c_name").as("client_name"))
+    v.createOrReplaceTempView("v_referral_flow")
+    spark.table("v_referral_flow")
+  }
+
+  /** v_employee_workload shape (database_schema.py:431-442): per-worker
+    * caseload — LEFT JOIN from the worker roster so zero-caseload workers
+    * appear with 0s, conditional active count, MAX last-activity date. */
+  def employeeWorkload(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_orderkey", "l_linestatus", "l_shipdate")
+    val v = s.join(li, col("s_suppkey") === col("l_suppkey"), "left")
+      .groupBy(col("s_suppkey").as("worker_id"), col("s_name").as("worker_name"))
+      .agg(
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L))
+          .as("active_cases"),
+        count(col("l_orderkey")).as("total_cases"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_case_date"))
+    v.createOrReplaceTempView("v_employee_workload")
+    spark.table("v_employee_workload")
+  }
+
+  /** v_service_demand shape (database_schema.py:444-455): request volume
+    * by service type × segment over the trailing 90 days, with active
+    * share and average age against the pinned now. */
+  def serviceDemand(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("2001-06-03")) // RefDate - 90d
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val v = o.join(c, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("o_orderpriority").as("service_type"),
+               col("c_mktsegment").as("service_subtype"))
+      .agg(
+        count(lit(1)).as("request_count"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+          .as("active_count"),
+        rnd(avg(datediff(to_date(lit(RefDate)), to_date(col("o_orderdate")))), 1)
+          .as("avg_age_days"))
+      .orderBy(col("request_count").desc, col("service_type"),
+               col("service_subtype"))
+    v.createOrReplaceTempView("v_service_demand")
+    spark.table("v_service_demand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tbl_browse"        -> (browse _),
-    "tbl_search"        -> (search _),
-    "sql_runner"        -> (sqlRunnerDefault _),
-    "vw_client_journey" -> (clientJourney _))
+    "tbl_browse"           -> (browse _),
+    "tbl_search"           -> (search _),
+    "sql_runner"           -> (sqlRunnerDefault _),
+    "vw_client_journey"    -> (clientJourney _),
+    "vw_active_cases"      -> (activeCases _),
+    "vw_referral_flow"     -> (referralFlow _),
+    "vw_employee_workload" -> (employeeWorkload _),
+    "vw_service_demand"    -> (serviceDemand _))
 
   val oracles: Map[String, String] = Map(
     "tbl_browse" ->
@@ -104,6 +200,52 @@ object TableOps {
          WHERE o_orderstatus = 'F'
          GROUP BY o_orderpriority
          ORDER BY n DESC, o_orderpriority""",
+    "vw_active_cases" ->
+      """SELECT o_orderkey AS case_id,
+                o_orderstatus AS case_status,
+                o_orderpriority AS service_type,
+                strftime(o_orderdate, '%Y-%m-%d') AS created_at,
+                c_custkey AS client_id,
+                c_name AS client_name,
+                c_mktsegment AS client_segment,
+                n_name AS client_office
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderstatus = 'O'""",
+    "vw_referral_flow" ->
+      """SELECT l_orderkey AS referral_case_id,
+                CAST(l_linenumber AS BIGINT) AS referral_line,
+                l_linestatus AS referral_status,
+                l_returnflag AS flow_flag,
+                strftime(l_shipdate, '%Y-%m-%d') AS referred_at,
+                l_suppkey AS receiving_provider_id,
+                c_name AS client_name
+         FROM lineitem
+         LEFT JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '2001-08-02'""",
+    "vw_employee_workload" ->
+      """SELECT s_suppkey AS worker_id, s_name AS worker_name,
+                CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS active_cases,
+                count(l_orderkey) AS total_cases,
+                strftime(max(l_shipdate), '%Y-%m-%d') AS last_case_date
+         FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
+         GROUP BY 1, 2""",
+    "vw_service_demand" ->
+      """SELECT o_orderpriority AS service_type,
+                c_mktsegment AS service_subtype,
+                count(*) AS request_count,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS active_count,
+                floor((avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                     DATE '2001-09-01'))) * 10 + 0.5) / 10
+                  AS avg_age_days
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE CAST(o_orderdate AS DATE) >= DATE '2001-06-03'
+         GROUP BY 1, 2
+         ORDER BY request_count DESC, service_type, service_subtype""",
     "vw_client_journey" ->
       """WITH v AS (
            SELECT o_custkey,

@@ -35,22 +35,43 @@ object Timelines {
 
   private val RefDate = "2001-09-01"
 
-  /** Orders per month (timeline shape). */
-  def timelineMonth(spark: SparkSession, dir: String): DataFrame =
+  /** Period bucket for a timestamp column, as a sortable string. The
+    * reference's timeline endpoints take grouping ∈ {day, week, month}
+    * (handlers.py:776-816 date_formats map); weeks are represented by
+    * their Monday start date (date_trunc), which is engine-portable —
+    * SQLite's %W week-number label is not. */
+  def periodOf(c: org.apache.spark.sql.Column, period: String)
+      : org.apache.spark.sql.Column = period match {
+    case "day"   => date_format(c, "yyyy-MM-dd")
+    case "week"  => date_format(date_trunc("week", c), "yyyy-MM-dd")
+    case "month" => date_format(c, "yyyy-MM")
+    case other   => throw new IllegalArgumentException(
+      s"period must be day|week|month, got $other")
+  }
+
+  /** Orders per period (timeline shape, parameterized granularity). */
+  def timeline(spark: SparkSession, dir: String, period: String): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_orderdate").isNotNull)
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"))
+      .groupBy(periodOf(col("o_orderdate"), period).as("period"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("period"))
 
-  /** Month × status counts (cases-over-time shape). */
-  def statusOverTime(spark: SparkSession, dir: String): DataFrame =
+  def timelineMonth(spark: SparkSession, dir: String): DataFrame =
+    timeline(spark, dir, "month")
+
+  /** Period × status counts (cases-over-time shape, parameterized). */
+  def statusOverTimeBy(spark: SparkSession, dir: String,
+                       period: String): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull)
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"),
+      .groupBy(periodOf(col("o_orderdate"), period).as("period"),
                col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("period"), col("o_orderstatus"))
+
+  def statusOverTime(spark: SparkSession, dir: String): DataFrame =
+    statusOverTimeBy(spark, dir, "month")
 
   /** Resolution time avg/min/max by group with HAVING floor. Days from
     * order date to line ship date, via the natural-key join. */
@@ -220,7 +241,10 @@ object Timelines {
     "rpt_running_total"    -> (runningTotal _),
     "rpt_yoy_growth"       -> (yoyGrowth _),
     "rpt_timeline_month"   -> (timelineMonth _),
+    "rpt_timeline_week"    -> ((s, d) => timeline(s, d, "week")),
+    "rpt_timeline_day"     -> ((s, d) => timeline(s, d, "day")),
     "rpt_status_over_time" -> (statusOverTime _),
+    "rpt_status_over_time_week" -> ((s, d) => statusOverTimeBy(s, d, "week")),
     "rpt_resolution_time"  -> (resolutionTime _),
     "rpt_funnel"           -> (funnel _),
     "rpt_union_timing"     -> (unionTiming _),
@@ -275,6 +299,23 @@ object Timelines {
       """SELECT strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n
          FROM orders WHERE o_orderdate IS NOT NULL
          GROUP BY 1 ORDER BY period""",
+    "rpt_timeline_week" ->
+      """SELECT strftime(date_trunc('week', CAST(o_orderdate AS DATE)),
+                         '%Y-%m-%d') AS period,
+                count(*) AS n
+         FROM orders WHERE o_orderdate IS NOT NULL
+         GROUP BY 1 ORDER BY period""",
+    "rpt_timeline_day" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS period, count(*) AS n
+         FROM orders WHERE o_orderdate IS NOT NULL
+         GROUP BY 1 ORDER BY period""",
+    "rpt_status_over_time_week" ->
+      """SELECT strftime(date_trunc('week', CAST(o_orderdate AS DATE)),
+                         '%Y-%m-%d') AS period,
+                o_orderstatus, count(*) AS n
+         FROM orders
+         WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+         GROUP BY 1, 2 ORDER BY period, o_orderstatus""",
     "rpt_status_over_time" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS period, o_orderstatus,
                 count(*) AS n

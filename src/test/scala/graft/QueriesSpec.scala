@@ -102,6 +102,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rpt_filtered_composed pushes all three filter kinds to the scan") {
+    // formatted mode prints the full (untruncated) PushedFilters list;
+    // Catalyst rewrites to_date(ts) <= d into ts < d+1day, hence LessThan
+    val plan = operators.Filters.filteredRatesComposed(spark, Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.nonEmpty, s"no pushed filters in:\n$plan")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
+    assert(pushed.contains("LessThan(o_orderdate"), pushed)
+    assert(pushed.contains("EqualTo(o_orderstatus,F)"), pushed)
+    assert(pushed.contains("In(o_orderpriority"), pushed)
+  }
+
   test("rpt_approx_distinct stays within the requested error bound") {
     operators.Filters.approxDistinct(spark, Sf).collect().foreach { r =>
       val exact = r.getAs[Long]("exact_orders").toDouble
