@@ -3,12 +3,14 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, Literal, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, UnresolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types.DoubleType
 
 /** Whole-operator Catalyst extension: exact top-k rows per key.
@@ -19,23 +21,52 @@ import org.apache.spark.sql.types.DoubleType
   * O(n log k) with no per-key sort and k·|keys| memory — the
   * formulation that survives a 100 TB fact table with hot keys.
   *
+  * Rows are kept by `order` descending; `tiebreak` (ascending, numeric)
+  * resolves equal order values deterministically — the same (v DESC,
+  * tb ASC) contract as the window formulation's orderBy, which is what
+  * makes the operator's output oracle-checkable.
+  *
   * Full (c)-tier stack per the extension preference order:
-  * a public-API entry point (`df.hint("topk_per_key", key, order, k)`),
-  * a resolution Rule rewriting the hint to a logical node, a planner
-  * Strategy, and a physical exec that declares ClusteredDistribution so
-  * the planner inserts the single required exchange. Registered through
-  * GraftExtensions.
+  * a public-API entry point (`df.hint("topk_per_key", key, order, k)`
+  * on an extensions-enabled session, or `TopKPerKey(df, ...)` on any
+  * session via experimental strategies), a resolution Rule rewriting
+  * the hint to a logical node, a planner Strategy, and a physical exec
+  * that declares ClusteredDistribution so the planner inserts the
+  * single required exchange. Registered through GraftExtensions.
   */
-case class TopKPerKeyNode(key: Expression, order: Expression, k: Int,
+case class TopKPerKeyNode(key: Expression, order: Expression,
+                          tiebreak: Expression, k: Int,
                           child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }
 
-/** Rewrites df.hint("topk_per_key", "<key>", "<order>", k). Hint
-  * parameters may arrive raw or as foldable Literals depending on the
-  * entry API, so both forms are accepted. */
+/** Library-facing entry that needs no session extensions: registers the
+  * planner strategy in `spark.experimental` (runtime-mutable) and builds
+  * the logical node directly on the analyzed child. */
+object TopKPerKey {
+  def apply(df: DataFrame, key: String, order: String, k: Int,
+            tiebreak: Option[String] = None): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val child = df.queryExecution.analyzed
+    def attr(n: String): Expression = child.output
+      .find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"topk_per_key: column '$n' not found in ${child.output.map(_.name)}"))
+    val tb = tiebreak.map(n => Cast(attr(n), DoubleType))
+      .getOrElse(Literal(0.0))
+    GraftShim.ofRows(spark,
+      TopKPerKeyNode(attr(key), Cast(attr(order), DoubleType), tb, k, child))
+  }
+}
+
+/** Rewrites df.hint("topk_per_key", "<key>", "<order>", k[, "<tiebreak>"]).
+  * Hint parameters may arrive raw or as foldable Literals depending on
+  * the entry API, so both forms are accepted. */
 object ResolveTopKPerKeyHint extends Rule[LogicalPlan] {
   private def asString(a: Any): Option[String] = a match {
     case s: String => Some(s)
@@ -49,31 +80,42 @@ object ResolveTopKPerKeyHint extends Rule[LogicalPlan] {
     case Literal(v: Long, _) => Some(v.toInt)
     case _ => None
   }
+  private def node(child: LogicalPlan, key: String, order: String,
+                   k: Int, tiebreak: Option[String]): TopKPerKeyNode = {
+    def attr(n: String): Expression = child.output
+      .find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"topk_per_key: column '$n' not found in ${child.output.map(_.name)}"))
+    TopKPerKeyNode(attr(key), Cast(attr(order), DoubleType),
+      tiebreak.map(n => Cast(attr(n), DoubleType)).getOrElse(Literal(0.0)),
+      k, child)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case UnresolvedHint(name, Seq(p1, p2, p3), child)
         if name.equalsIgnoreCase("topk_per_key") && child.resolved &&
            asString(p1).isDefined && asString(p2).isDefined &&
            asInt(p3).isDefined =>
-      def attr(n: String): Expression = child.output
-        .find(_.name.equalsIgnoreCase(n))
-        .getOrElse(throw new IllegalArgumentException(
-          s"topk_per_key: column '$n' not found in ${child.output.map(_.name)}"))
-      TopKPerKeyNode(attr(asString(p1).get),
-                     Cast(attr(asString(p2).get), DoubleType),
-                     asInt(p3).get, child)
+      node(child, asString(p1).get, asString(p2).get, asInt(p3).get, None)
+    case UnresolvedHint(name, Seq(p1, p2, p3, p4), child)
+        if name.equalsIgnoreCase("topk_per_key") && child.resolved &&
+           asString(p1).isDefined && asString(p2).isDefined &&
+           asInt(p3).isDefined && asString(p4).isDefined =>
+      node(child, asString(p1).get, asString(p2).get, asInt(p3).get,
+           asString(p4))
   }
 }
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(key, order, k, child) =>
-      TopKPerKeyExec(key, order, k, planLater(child)) :: Nil
+    case TopKPerKeyNode(key, order, tiebreak, k, child) =>
+      TopKPerKeyExec(key, order, tiebreak, k, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
-case class TopKPerKeyExec(key: Expression, order: Expression, k: Int,
+case class TopKPerKeyExec(key: Expression, order: Expression,
+                          tiebreak: Expression, k: Int,
                           child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
@@ -85,38 +127,51 @@ case class TopKPerKeyExec(key: Expression, order: Expression, k: Int,
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExpr = key
     val orderExpr = order
+    val tbExpr = tiebreak
     val childOutput = child.output
     val kk = k
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(Seq(keyExpr), childOutput)
       val orderBound = BindReferences.bindReference(orderExpr, childOutput)
-      // per key: bounded min-heap on the order value (evict smallest)
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, UnsafeRow)]]
-      implicit val minFirst: Ordering[(Double, UnsafeRow)] =
-        Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
+      val tbBound = BindReferences.bindReference(tbExpr, childOutput)
+      // per key: bounded heap with the WORST element (smallest order,
+      // then largest tiebreak) at the head, so eviction is O(log k)
+      type Entry = (Double, Double, UnsafeRow)
+      implicit val worstFirst: Ordering[Entry] = new Ordering[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          val c = java.lang.Double.compare(b._1, a._1) // smaller v = worse
+          if (c != 0) c else java.lang.Double.compare(a._2, b._2) // larger tb = worse
+        }
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       it.foreach { row =>
         val v = orderBound.eval(row)
         if (v != null) {
+          val d = v.asInstanceOf[Double]
+          val tbv = tbBound.eval(row)
+          val tb = if (tbv == null) 0.0 else tbv.asInstanceOf[Double]
           val kRow = keyProj(row)
           val heap = heaps.get(kRow) match {
             case Some(h) => h
             case None =>
-              val h = mutable.PriorityQueue.empty[(Double, UnsafeRow)]
+              val h = mutable.PriorityQueue.empty[Entry]
               heaps.put(kRow.copy(), h)
               h
           }
-          val d = v.asInstanceOf[Double]
           if (heap.size < kk) {
-            heap.enqueue((d, row.asInstanceOf[UnsafeRow].copy()))
-          } else if (heap.head._1 < d) {
-            heap.dequeue()
-            heap.enqueue((d, row.asInstanceOf[UnsafeRow].copy()))
+            heap.enqueue((d, tb, row.asInstanceOf[UnsafeRow].copy()))
+          } else {
+            val (hv, htb, _) = heap.head
+            if (d > hv || (d == hv && tb < htb)) {
+              heap.dequeue()
+              heap.enqueue((d, tb, row.asInstanceOf[UnsafeRow].copy()))
+            }
           }
         }
       }
       heaps.iterator.flatMap { case (_, heap) =>
-        val sorted: Seq[(Double, UnsafeRow)] = heap.dequeueAll
-        sorted.reverseIterator.map(p => p._2: InternalRow)
+        val sorted: Seq[Entry] = heap.dequeueAll
+        sorted.reverseIterator.map(p => p._3: InternalRow)
       }
     }
   }

@@ -42,9 +42,36 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Brute-force top-10 routed through the custom TopKPerKey operator
+    * (graft.plans) instead of the window formulation: per-key bounded
+    * heaps, no per-key sort — the shape that survives hot keys at
+    * 100 TB. Output contract (and oracle) identical to ann_topk; the
+    * rank column is computed afterwards over the k×|queries| survivors,
+    * a bounded frame regardless of corpus size. */
+  def topKOperator(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosine(col("qv"), col("nv")).as("cos_raw"))
+    val top = graft.plans.TopKPerKey(scored, "query_id", "cos_raw", 10,
+      tiebreak = Some("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** 16 deterministic ±1 hyperplanes over 64 dims (fixed LCG — stable
-    * across runs/sessions, the property a resumable pipeline needs). */
-  private val Planes: Seq[Array[Double]] = {
+    * across runs/sessions, the property a resumable pipeline needs).
+    * Shared with dedup.Dedup.embedCosineLsh so both blockers agree. */
+  private[graft] val Planes: Seq[Array[Double]] = {
     var state = 0x9E3779B97F4A7C15L
     def next(): Long = {
       state = state * 6364136223846793005L + 1442695040888963407L
@@ -53,7 +80,7 @@ object Knn {
     Seq.fill(16)(Array.fill(64)(if ((next() >>> 32) % 2 == 0) 1.0 else -1.0))
   }
 
-  private def planeLit(p: Array[Double]): Column =
+  private[graft] def planeLit(p: Array[Double]): Column =
     array(p.toIndexedSeq.map(lit(_)): _*)
 
   /** Random-hyperplane LSH: 16-bit signatures, top intra-bucket pairs.
@@ -113,12 +140,12 @@ object Knn {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_topk" -> (topK _),
-    "ann_lsh"  -> (lshBuckets _),
-    "ann_ivf"  -> (ivf _))
+    "ann_topk"          -> (topK _),
+    "ann_topk_operator" -> (topKOperator _),
+    "ann_lsh"           -> (lshBuckets _),
+    "ann_ivf"           -> (ivf _))
 
-  val oracles: Map[String, String] = Map(
-    "ann_topk" ->
+  private val topkOracle: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
@@ -137,5 +164,10 @@ object Knn {
                 floor((cos_raw) * 10000 + 0.5) / 10000 AS cos_sim,
                 CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10
-         ORDER BY query_id, rank""")
+         ORDER BY query_id, rank"""
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk"          -> topkOracle,
+    // identical semantics, custom-operator execution path
+    "ann_topk_operator" -> topkOracle)
 }

@@ -52,6 +52,32 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally restore(prior)
   }
 
+  test("plain-session entry point with tiebreak matches window rows exactly") {
+    // no extensions: TopKPerKey() registers its strategy via
+    // spark.experimental and builds the node directly — and with a
+    // tiebreak the kept ROWS (not just value multisets) must match the
+    // (v DESC, tb ASC) window formulation
+    val spark = TestSpark.spark
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber"))
+    val custom = plans.TopKPerKey(li, "l_returnflag", "l_extendedprice", 7,
+      tiebreak = Some("l_orderkey"))
+    assert(custom.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+    val expected = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).drop("rn")
+    // compare (flag, price, orderkey) multisets: exact ties on both the
+    // order value and the tiebreak are interchangeable rows in both
+    // formulations, and identical triples compare equal anyway
+    val got = custom.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted.toSeq
+    val exp = expected.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted.toSeq
+    assert(got === exp)
+  }
+
   test("unknown columns in the hint fail analysis with a clear message") {
     val prior = SparkSession.getDefaultSession
     val spark = extendedSession()
