@@ -2,10 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark protocol (defensible by construction):
+  *  - queries run in sorted-name order, so rounds are order-comparable
+  *    even as entries are added;
+  *  - each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
+  *    MEDIAN is reported, so one noisy-neighbor run can't poison a
+  *    round-over-round comparison;
+  *  - timing materializes `queryExecution.toRdd.count()` — every output
+  *    row of the real physical plan; `df.count()` would let Catalyst
+  *    prune the projections being measured.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,19 +30,21 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
     Tables.events(spark, sfDir).limit(1).collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output row of the real physical
-      // plan; df.count() would let Catalyst prune the projections being
-      // measured.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -144,8 +144,27 @@ object Reports {
            count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Approximate percentiles — the 100 TB swap-in for rpt_percentiles
+    * that SURVEY §2 promises: exact `percentile` buffers every value per
+    * group, while `approx_percentile` (Greenwald–Khanna sketch) is a
+    * single-pass mergeable summary — map-side partial sketches, one
+    * shuffle of sketch buffers, bounded memory per group. Sketch results
+    * are engine-specific by design → rows-only; QueriesSpec asserts the
+    * approx values stay within the configured rank-error bound of the
+    * exact interpolated percentiles (the rpt_approx_distinct pattern). */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(rnd(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2)
+             .as("p50_approx"),
+           rnd(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 2)
+             .as("p90_approx"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rpt_percentiles"       -> (percentiles _),
+    "rpt_approx_percentiles" -> (approxPercentiles _),
     "rpt_summary"           -> (summary _),
     "rpt_status_dist"       -> (statusDist _),
     "rpt_top_types"         -> (topTypes _),

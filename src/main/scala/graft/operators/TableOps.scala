@@ -37,6 +37,35 @@ object TableOps {
       .orderBy(col("c_custkey"))
       .limit(25)
 
+  /** Arbitrary-sort-column table page (app.py:2224: `ORDER BY {col}
+    * {dir} LIMIT ? OFFSET ?`). The sort column is validated against the
+    * schema — the reference whitelists its column names the same way —
+    * and a unique-key tiebreak makes the page deterministic. A global
+    * sort+limit executes as TakeOrderedAndProject: per-partition
+    * top-(offset+limit) heaps + a single-partition merge, never a full
+    * sort at 100 TB. */
+  def sortedPage(df: DataFrame, sortCol: String, descending: Boolean,
+                 tiebreak: String, limit: Int, offset: Int): DataFrame = {
+    def resolve(n: String): String = df.columns
+      .find(_.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"sortedPage: column '$n' not in ${df.columns.mkString(", ")}"))
+    val sc = col(resolve(sortCol))
+    df.orderBy(if (descending) sc.desc else sc.asc, col(resolve(tiebreak)))
+      .offset(offset)
+      .limit(limit)
+  }
+
+  /** Fixed instantiation of the sorted page for the driver contract:
+    * orders by totalprice descending, page 2. */
+  def sortedDefault(spark: SparkSession, dir: String): DataFrame =
+    sortedPage(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                col("o_orderpriority")),
+      sortCol = "o_totalprice", descending = true,
+      tiebreak = "o_orderkey", limit = 50, offset = 20)
+
   /** Guarded raw-SQL runner: registers the star schema as temp views and
     * executes a SELECT-only statement (the reference's admin SQL runner
     * rejects anything else the same way). */
@@ -136,18 +165,30 @@ object TableOps {
 
   /** v_employee_workload shape (database_schema.py:431-442): per-worker
     * caseload — LEFT JOIN from the worker roster so zero-caseload workers
-    * appear with 0s, conditional active count, MAX last-activity date. */
+    * appear with 0s, conditional active count, MAX last-activity date.
+    *
+    * The fact side is pre-aggregated by `l_suppkey` BEFORE the roster
+    * join: the shuffle carries map-side partial aggregates (one row per
+    * supplier per input partition) instead of full lineitem rows, and
+    * the LEFT-JOIN-from-roster semantics survive joining the per-key
+    * aggregate — workers with no lines coalesce to 0/NULL exactly as
+    * the row-level LEFT JOIN + CASE aggregation would produce. */
   def employeeWorkload(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    val li = Tables.lineitem(spark, dir)
+    val liAgg = Tables.lineitem(spark, dir)
       .select("l_suppkey", "l_orderkey", "l_linestatus", "l_shipdate")
-    val v = s.join(li, col("s_suppkey") === col("l_suppkey"), "left")
-      .groupBy(col("s_suppkey").as("worker_id"), col("s_name").as("worker_name"))
+      .groupBy(col("l_suppkey"))
       .agg(
-        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L))
-          .as("active_cases"),
-        count(col("l_orderkey")).as("total_cases"),
-        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_case_date"))
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("active_agg"),
+        count(col("l_orderkey")).as("total_agg"),
+        max(col("l_shipdate")).as("max_ship"))
+    val v = s.join(liAgg, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(
+        col("s_suppkey").as("worker_id"),
+        col("s_name").as("worker_name"),
+        coalesce(col("active_agg"), lit(0L)).as("active_cases"),
+        coalesce(col("total_agg"), lit(0L)).as("total_cases"),
+        date_format(col("max_ship"), "yyyy-MM-dd").as("last_case_date"))
     v.createOrReplaceTempView("v_employee_workload")
     spark.table("v_employee_workload")
   }
@@ -176,6 +217,7 @@ object TableOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tbl_browse"           -> (browse _),
+    "tbl_sorted"           -> (sortedDefault _),
     "tbl_search"           -> (search _),
     "sql_runner"           -> (sqlRunnerDefault _),
     "vw_client_journey"    -> (clientJourney _),
@@ -189,6 +231,10 @@ object TableOps {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 strftime(o_orderdate, '%Y-%m-%d') AS orderdate
          FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "tbl_sorted" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 50 OFFSET 20""",
     "tbl_search" ->
       """SELECT c_custkey, c_name, c_mktsegment
          FROM customer WHERE c_name LIKE '%1%'

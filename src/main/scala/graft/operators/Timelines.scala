@@ -108,10 +108,19 @@ object Timelines {
     * the lineitem⋈orders join per branch — exchanges are not reused
     * across aliased branches. Instead: one groupBy(l_linestatus) over a
     * single join, filtered to the two stages and relabeled — the fact
-    * join runs exactly once. */
+    * join runs exactly once.
+    *
+    * The grouped form emits no row for a stage with zero lines, but the
+    * reference's per-stage SELECTs (and the UNION ALL oracle) always
+    * emit both stages (n=0, NULL aggs) — so the aggregate right-joins a
+    * 2-row literal stage frame and empty stages coalesce to the
+    * ungrouped-aggregate defaults. */
   def unionTiming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val li = Tables.lineitem(spark, dir)
     val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val stages = Seq(("F", "finished-lines"), ("O", "open-lines"))
+      .toDF("ls", "stage")
     li.select("l_orderkey", "l_shipdate", "l_linestatus")
       .filter(col("l_linestatus").isin("F", "O"))
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
@@ -121,10 +130,9 @@ object Timelines {
            rnd(avg(lag), 1).as("avg_days"),
            min(lag).cast("long").as("min_days"),
            max(lag).cast("long").as("max_days"))
-      .select(
-        when(col("l_linestatus") === "F", "finished-lines")
-          .otherwise("open-lines").as("stage"),
-        col("n"), col("avg_days"), col("min_days"), col("max_days"))
+      .join(stages, col("l_linestatus") === col("ls"), "right")
+      .select(col("stage"), coalesce(col("n"), lit(0L)).as("n"),
+              col("avg_days"), col("min_days"), col("max_days"))
       .orderBy(col("stage"))
   }
 

@@ -105,23 +105,40 @@ object Knn {
       .limit(100)
   }
 
+  /** Nearest-centroid assignment for every corpus vector. The expanded
+    * corpus × codebook product is reduced by `max_by` over a
+    * `groupBy(vec_id)` — a hash aggregate with MAP-SIDE PARTIAL
+    * COMBINE, so the shuffle carries one (best-so-far) row per vector
+    * per partition, never the expanded product; a rank-1
+    * `row_number().over(partitionBy(vec_id))` window would shuffle and
+    * sort the full product. Ties on cent_sim break to the lowest
+    * cent_id (max_by on a (sim, -cent_id) struct — lexicographic). */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", VectorFunctions.cosine(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"),
+               struct(col("cent_sim"), -col("cent_id"))).as("cent_id"),
+        first(col("embedding")).as("embedding"))
+
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (deterministic subsample as the codebook), then search only within
-    * the query's cell. Approximate (cell-boundary misses) → rows-only.
-    * Scale: the codebook broadcasts; assignment is map-only; the search
-    * join touches one cell per query instead of the corpus. */
+    * the query's cell. Approximate (cell-boundary misses) → rows-only;
+    * IvfAssignmentSpec proves the max_by assignment ≡ the rank-1-window
+    * formulation. Scale: the codebook broadcasts; assignment is
+    * map-side-combined (see assignToCentroids) and — because both the
+    * query side and the candidate side consume it — materialized ONCE
+    * via localCheckpoint (Catalyst doesn't reuse exchanges across
+    * aliased branches; without the checkpoint the whole corpus×codebook
+    * pipeline would run twice). The search join then touches one cell
+    * per query instead of the corpus. */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", VectorFunctions.cosine(col("embedding"), col("cv")))
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val assigned = assignToCentroids(e, cents).localCheckpoint()
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               col("cent_id").as("q_cent"))
@@ -137,6 +154,31 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"),
               rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Rank-1-window formulation of the centroid assignment — kept only
+    * as the parity reference for IvfAssignmentSpec (it shuffles the
+    * expanded corpus×codebook product; assignToCentroids is the
+    * production shape). */
+  private[graft] def assignToCentroidsViaWindow(e: DataFrame,
+                                                cents: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", VectorFunctions.cosine(col("embedding"), col("cv")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"))
+  }
+
+  private[graft] def assignmentPair(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    (assignToCentroids(e, cents).select(col("vec_id"), col("cent_id")),
+     assignToCentroidsViaWindow(e, cents))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

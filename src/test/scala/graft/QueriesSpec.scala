@@ -68,6 +68,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rpt_approx_percentiles stays within 2% of the exact percentiles") {
+    val exact = operators.Reports.percentiles(spark, Sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Double]("p50_price"), r.getAs[Double]("p90_price"))).toMap
+    val approx = operators.Reports.approxPercentiles(spark, Sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p50e, p90e) = exact(r.getAs[String]("o_orderstatus"))
+      // accuracy=10000 → rank error ≤ n/10000; 2% value tolerance is
+      // generous headroom over that on this distribution
+      assert(math.abs(r.getAs[Double]("p50_approx") - p50e) <= 0.02 * p50e)
+      assert(math.abs(r.getAs[Double]("p90_approx") - p90e) <= 0.02 * p90e)
+    }
+  }
+
   test("ann_topk returns exactly 10 ranked neighbors per query") {
     val rows = similarity.Knn.topK(spark, Sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

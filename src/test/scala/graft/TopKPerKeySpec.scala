@@ -78,6 +78,50 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("map-side partial pass bounds pre-exchange rows to k·|keys|·|input partitions|") {
+    val spark = TestSpark.spark
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = Tables.lineitem(spark, TestSpark.Sf)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val k = 5
+      val custom = plans.TopKPerKey(li, "l_returnflag", "l_extendedprice", k)
+      val plan = custom.queryExecution.executedPlan
+      // both heap passes present, exchange between them
+      val s = plan.toString
+      assert(s.contains("TopKPerKeyPartial"), s)
+      assert(s.indexOf("TopKPerKey") < s.indexOf("Exchange") &&
+             s.indexOf("Exchange") < s.indexOf("TopKPerKeyPartial"), s)
+      val partial = plan.collectFirst {
+        case p: plans.TopKPerKeyPartialExec => p
+      }.getOrElse(fail("partial exec not found in plan"))
+      val nKeys = li.select(col("l_returnflag")).distinct().count()
+      val inputParts = partial.child.execute().getNumPartitions
+      val postPartial = partial.execute().count()
+      assert(postPartial <= k * nKeys * inputParts,
+        s"$postPartial rows survived the partial pass " +
+        s"(bound ${k * nKeys * inputParts})")
+      // and the final output still matches the window formulation
+      assert(custom.count() === k * nKeys)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("non-numeric order or tiebreak columns are rejected at entry") {
+    val spark = TestSpark.spark
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_shipdate"))
+    val e1 = intercept[IllegalArgumentException] {
+      plans.TopKPerKey(li, "l_returnflag", "l_returnflag", 5)
+    }
+    assert(e1.getMessage.contains("must be numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      plans.TopKPerKey(li, "l_returnflag", "l_extendedprice", 5,
+        tiebreak = Some("l_shipdate"))
+    }
+    assert(e2.getMessage.contains("must be numeric"))
+  }
+
   test("unknown columns in the hint fail analysis with a clear message") {
     val prior = SparkSession.getDefaultSession
     val spark = extendedSession()
