@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.expressions.{DotProduct, MinHashSignature}
+import graft.functions.expressions.{DotProduct, HyperplaneBands, MinHashSignature}
 
 /** Per-session registration of graft's native Catalyst expressions.
   * Idempotent; the function registry is the supported route to custom
@@ -14,5 +14,9 @@ object Registry {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSignature(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hplane_bands", exprs => HyperplaneBands(exprs(0),
+        exprs(1).eval().toString.toInt, exprs(2).eval().toString.toInt),
+      "built-in")
   }
 }

@@ -28,4 +28,9 @@ object VectorFunctions {
   /** Cosine similarity via three native dot products. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** LSH band signatures (codegen'd): array<long> of `bands` hashes,
+    * `planesPerBand` sign bits each, over the shared HyperplaneFamily. */
+  def hyperplaneBands(v: Column, bands: Int, planesPerBand: Int): Column =
+    call_function("graft_hplane_bands", v, lit(bands), lit(planesPerBand))
 }

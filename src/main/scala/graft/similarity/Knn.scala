@@ -68,31 +68,17 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** 16 deterministic ±1 hyperplanes over 64 dims (fixed LCG — stable
-    * across runs/sessions, the property a resumable pipeline needs).
-    * Shared with dedup.Dedup.embedCosineLsh so both blockers agree. */
-  private[graft] val Planes: Seq[Array[Double]] = {
-    var state = 0x9E3779B97F4A7C15L
-    def next(): Long = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      state
-    }
-    Seq.fill(16)(Array.fill(64)(if ((next() >>> 32) % 2 == 0) 1.0 else -1.0))
-  }
-
-  private[graft] def planeLit(p: Array[Double]): Column =
-    array(p.toIndexedSeq.map(lit(_)): _*)
-
-  /** Random-hyperplane LSH: 16-bit signatures, top intra-bucket pairs.
-    * Approximate → rows-only check. */
+  /** Random-hyperplane LSH: 16-bit signatures (one band of 16 planes
+    * from the shared graft.functions.expressions.HyperplaneFamily —
+    * deterministic across runs/sessions and shared with
+    * dedup.Dedup.embedCosineLsh so blockers agree), top intra-bucket
+    * pairs. The signature is one codegen'd HyperplaneBands kernel, not
+    * 16 plane-literal dot columns. Approximate → rows-only check. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val sigBits = Planes.zipWithIndex.map { case (p, j) =>
-      when(VectorFunctions.dot(col("embedding"), planeLit(p)) >= 0,
-           lit(1L << j)).otherwise(lit(0L))
-    }
-    val bucketed = e.withColumn("bucket", sigBits.reduce(_ + _))
+    val bucketed = e.withColumn("bucket",
+      element_at(VectorFunctions.hyperplaneBands(col("embedding"), 1, 16), 1))
     val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
                             col("embedding").as("va"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
