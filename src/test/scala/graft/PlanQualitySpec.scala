@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale-critical rewrites: these
+  * lock in WHERE the work happens (partial aggs below joins, single
+  * materialization of shared subplans), not just what the query
+  * returns — the properties that decide whether a plan survives a
+  * 100 TB input. */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ann_ivf materializes the centroid assignment once (no parquet re-scan)") {
+    // the assignment (corpus × codebook) is localCheckpoint'ed; both the
+    // query side and the candidate side must read the checkpoint, so the
+    // final plan contains NO parquet scan at all — if the embeddings
+    // scan reappears, the assignment pipeline is running twice again
+    val plan = similarity.Knn.ivf(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan.take(2000))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
+  }
+
+  test("vw_employee_workload pre-aggregates the fact side below the roster join") {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = operators.TableOps.employeeWorkload(spark, Sf)
+        .queryExecution.executedPlan
+      val join = p.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.getOrElse(fail("no join in plan"))
+      // an aggregate must sit BELOW the join: the shuffle then carries
+      // per-supplier partial aggregates, not full fact rows
+      val aggBelowJoin = join.children.exists(_.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined)
+      assert(aggBelowJoin, p.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("tbl_sorted plans as TakeOrderedAndProject (no full global sort)") {
+    val plan = operators.TableOps.sortedDefault(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("dedup_embed_lsh band width scales with the corpus size") {
+    // 500 vectors at sf0.001×10 ⇒ ⌈log₂ 50⌉ = 6 planes per band at the
+    // test SF; the banded explode must therefore produce 16 hashes per
+    // vector with values in [0, 2^6) — i.e. granularity follows N
+    val df = dedup.Dedup.embedCosineLsh(spark, Sf)
+    assert(df.columns.toSeq === Seq("id_a", "id_b", "cos_sim"))
+    df.count() // materializes with the scaled width (no exception)
+  }
+}
