@@ -58,6 +58,44 @@ object Events {
         rnd(col("n_events") * 1.0 / col("n_sessions"), 2))
   }
 
+  /** Native session-window twin of sessionize: `session_window(ts,
+    * gap)` merges events whose gaps stay under 30 min — the SAME
+    * semantics as the lag+cumsum formulation, executed as a gap-merge
+    * aggregate instead of two window passes, and the formulation that
+    * carries over verbatim to Structured Streaming. Hash-checked
+    * against the sessionize oracle, which pins the two formulations to
+    * each other. */
+  def sessionizeSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("n_ev")).as("n_events"))
+      .withColumn("avg_events_per_session",
+        rnd(col("n_events") * 1.0 / col("n_sessions"), 2))
+
+  /** As-of join of two event streams through the general operator
+    * (graft.operators.Joins.asOf): each purchase is enriched with the
+    * user's most recent click at-or-before it. Oracle is DuckDB's
+    * native ASOF LEFT JOIN — an independent implementation of the same
+    * semantics. (The single-table marker variant below composes a
+    * conditional window instead, which scans the table once.) */
+  def asofJoinPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+    Joins.asOf(purchases, clicks, key = "user_id",
+               leftTs = "us", rightTs = "click_us",
+               rightVals = Seq("click_us"))
+      .select(col("event_id"), col("user_id"),
+              ((col("us") - col("click_us")) / lit(1000000L)).cast("long")
+                .as("secs_since_click"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of enrichment: attach each event's most recent 'signup' event
     * (at or before it) for the same user — the as-of-join shape,
     * composed from built-ins per the preference order (a conditional
@@ -110,7 +148,9 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_window_hourly" -> (windowHourly _),
     "evt_sessionize"    -> (sessionize _),
+    "evt_sessionize_sw" -> (sessionizeSessionWindow _),
     "evt_asof_enrich"   -> (asofEnrich _),
+    "evt_asof_join"     -> (asofJoinPurchases _),
     "evt_funnel_conversion" -> (funnelConversion _),
     "evt_json_extract"  -> (jsonExtract _))
 
@@ -142,6 +182,47 @@ object Events {
                 floor((count(*) * 1.0 / CAST(max(session_id) AS BIGINT)) * 100 + 0.5) / 100
                   AS avg_events_per_session
          FROM g GROUP BY user_id""",
+    // identical semantics to evt_sessionize through the native
+    // session_window aggregate — same oracle pins both formulations
+    "evt_sessionize_sw" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, us, event_id,
+                  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM t),
+         g AS (
+           SELECT user_id,
+                  SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM s)
+         SELECT user_id,
+                CAST(max(session_id) AS BIGINT) AS n_sessions,
+                count(*) AS n_events,
+                floor((count(*) * 1.0 / CAST(max(session_id) AS BIGINT)) * 100 + 0.5) / 100
+                  AS avg_events_per_session
+         FROM g GROUP BY user_id""",
+    // oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    // implementation of the as-of semantics the union+window operator
+    // computes
+    "evt_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+                CAST((p.us - c.click_us) // 1000000 AS BIGINT)
+                  AS secs_since_click
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.us >= c.click_us
+         ORDER BY p.event_id""",
     "evt_asof_enrich" ->
       """WITH t AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS us,

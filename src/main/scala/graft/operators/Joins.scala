@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable temporal-join operators Spark lacks as built-ins: keyed
+  * as-of join and binned range join. Both are composed from built-in
+  * operators per the extension preference order — the compositions ARE
+  * the scalable formulations, so no custom physical operator is needed.
+  *
+  * The reference has no as-of machinery (SQLite); these generalize the
+  * shape its activity-report SQL approximates with correlated
+  * subqueries (one most-recent-marker lookup per row).
+  */
+object Joins {
+
+  /** Keyed as-of join: for every left row, attach `rightVals` from the
+    * LATEST right row of the same `key` with rightTs ≤ leftTs
+    * (strict=true: < leftTs); nulls when no such row.
+    *
+    * Formulation: tag and union both sides, then one
+    * `last(ignoreNulls)` window per value column over a single
+    * partitionBy(key) ordering — ONE shuffle on the key, no per-row
+    * subquery, no range-condition join that would force a
+    * BroadcastNestedLoopJoin. This is the as-of shape that survives
+    * 100 TB: both inputs stream through the same exchange, and all
+    * windows share one Sort. Ties on (ts) between right rows resolve
+    * to the last in (ts, tag) order — give the right side a unique ts
+    * per key (or pre-aggregate) for fully pinned semantics.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, rightVals: Seq[String],
+           strict: Boolean = false): DataFrame = {
+    require(rightVals.nonEmpty, "asOf: rightVals must be non-empty")
+    val clash = rightVals.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"asOf: right value columns clash with left: $clash")
+    // at equal ts the right row must sort BEFORE the left row to be
+    // visible (inclusive), AFTER it to be invisible (strict)
+    val rTag = if (strict) 1 else 0
+    val lTag = 1 - rTag
+    val rvTypes = rightVals.map(n => n -> right.schema(n).dataType)
+    val lNorm = left.select(
+      left.columns.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(lTag).as("__tag")) ++
+        rvTypes.map { case (n, t) => lit(null).cast(t).as(n) }: _*)
+    val rNorm = right.select(
+      left.columns.map(n =>
+        if (n == key) col(key)
+        else lit(null).cast(left.schema(n).dataType).as(n)) ++
+        Seq(col(rightTs).as("__ts"), lit(rTag).as("__tag")) ++
+        rightVals.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lNorm.union(rNorm)
+      .select(
+        left.columns.map(col) ++ Seq(col("__tag")) ++
+          rightVals.map(n => last(col(n), ignoreNulls = true).over(w).as(n)): _*)
+      .filter(col("__tag") === lTag)
+      .drop("__tag")
+  }
+
+  /** Key-less point-in-interval range join: rows of `points` matched to
+    * every `intervals` row with start ≤ point ≤ end (inclusive).
+    *
+    * The naive formulation (join on the range predicate alone) has no
+    * equi key, so Spark plans a BroadcastNestedLoopJoin — O(|P|·|I|)
+    * and a broadcast of a whole side. Binning restores an equi key:
+    * each interval replicates to its ⌈len/binWidth⌉+1 covering bins,
+    * each point hashes to exactly one bin, and the equi-join on the bin
+    * shuffle-partitions like any other join (each point meets an
+    * interval in exactly one bin — the point's own — so no dedup pass
+    * is needed). Pick binWidth near the typical interval length:
+    * replication stays O(1) per interval while bucket selectivity does
+    * the pruning.
+    */
+  def pointInRange(points: DataFrame, pointCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, "pointInRange: binWidth must be positive")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth),
+                       floor(col(endCol) / binWidth))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) &&
+              col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+}
