@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * the scalable formulations, so no custom physical operator is needed.
   *
   * The reference has no as-of machinery (SQLite); these generalize the
-  * shape its activity-report SQL approximates with correlated
-  * subqueries (one most-recent-marker lookup per row).
+  * latest-activity-per-key shape its views compute with MAX()
+  * aggregates (/root/reference/core/database_schema.py:438,465) to the
+  * row-level "state as of this event" lookup a pipeline needs.
   */
 object Joins {
 

@@ -55,6 +55,21 @@ object EventStream {
       }
   }
 
+  /** Watermarked native session windows — the streaming form of
+    * operators.Events.sessionizeSessionWindow (the SAME session_window
+    * gap-merge aggregate; that's the point of using it in batch).
+    * Sessions emit on append once the watermark passes their close, so
+    * state is bounded by the watermark horizon. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("session_start"),
+              col("n_events"))
+
   /** Stream-stream interval join: attach to each purchase the clicks
     * the same user made in the preceding 30 minutes. Both sides are
     * watermarked so join state is bounded — the standard streaming

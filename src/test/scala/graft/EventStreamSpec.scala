@@ -97,6 +97,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() === 50)
   }
 
+  test("streaming session windows match the batch session_window sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionWindows(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sw_out").start()
+    input.addData(loadEvents())
+    q.processAllAvailable()
+    // flush event far in the future: advances the watermark past every
+    // real session's close so append mode emits them all
+    input.addData(Ev(999999L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+                     999999L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sw_out")
+      .filter(col("user_id") =!= 999999L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = operators.Events.sessionizeSessionWindow(spark, Sf)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful sessionizer matches batch evt_sessionize") {
     import spark.implicits._
     // One micro-batch: per-user final state must equal the batch result.
