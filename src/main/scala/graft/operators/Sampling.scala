@@ -41,11 +41,95 @@ object Sampling {
            countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
 
+  /** Stratified class balancing: deterministically downsample every
+    * language to the smallest class's size (rank within stratum by the
+    * md5 coin, keep rank ≤ min class count). The min count is a lazy
+    * 1-row aggregate broadcast into the filter — no driver-side count.
+    * One shuffle on the stratum key; the per-stratum window sort is the
+    * standard price of exact balancing (approximate balancing would
+    * sampleBy instead). */
+  def stratifiedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val minCnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("min_c"))
+    docs.withColumn("rk", row_number().over(byLang))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("rk") <= col("min_c"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget shard packing (sequence-packing lite): assign docs to
+    * shards so each shard holds ≈`Budget` chars, in deterministic md5
+    * order. Two-phase-scan formulation so it scales: the only GLOBAL
+    * running sum is over 256 bucket subtotals (first two md5 nibbles);
+    * per-doc cumulative sums run inside each bucket's partition. A
+    * single global-order window would funnel the corpus through one
+    * task. The offsets branch re-scans two pruned columns — cheaper
+    * than caching the corpus at 100 TB. */
+  def shardByBudget(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 10000.0
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+              md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val inBucket = w.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withCum = docs.withColumn("cum_in", sum(col("n_chars")).over(inBucket))
+    val offsets = docs.groupBy(col("bucket")).agg(sum(col("n_chars")).as("btot"))
+      .withColumn("offset",
+        coalesce(sum(col("btot")).over(
+          w.orderBy(col("bucket"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                         -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    withCum.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("shard",
+        floor((col("offset") + col("cum_in") - col("n_chars")) / Budget)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_deterministic" -> (sampleDocs _),
+    "sample_stratified"    -> (stratifiedBalance _),
+    "shard_by_budget"      -> (shardByBudget _),
     "split_train_test"     -> (splitDocs _))
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents),
+         m AS (SELECT min(c) AS min_c
+               FROM (SELECT count(*) AS c FROM documents GROUP BY lang))
+         SELECT doc_id, lang FROM r, m WHERE rk <= min_c
+         ORDER BY doc_id""",
+    // the two-phase (bucket offsets + in-bucket cumsum) Spark plan sums
+    // in exactly (h, doc_id) order because the bucket IS h's prefix, so
+    // the oracle's single global window is the same running sum
+    "shard_by_budget" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_chars,
+                  SUM(n_chars) OVER (ORDER BY h, doc_id ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
+           FROM d)
+         SELECT CAST(floor((gcum - n_chars) / 10000.0) AS BIGINT) AS shard,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM c GROUP BY 1 ORDER BY shard""",
     "sample_deterministic" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))

@@ -115,7 +115,30 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** C4-style corpus quality gate: keep documents whose word count,
+    * average word length and stopword ratio all sit in the "looks like
+    * prose" band — the cleanup filter every LLM corpus pass runs before
+    * dedup/tokenization. Pure map-side predicate over the same
+    * oracle-checked metrics as text_quality (thresholds compare the
+    * ROUNDED scores so both engines gate identically at the boundary);
+    * at 100 TB this is a scan with zero shuffles. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val words = reTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+              size(words).cast("long").as("n_words"),
+              rnd(totalChars(words).cast("double") / size(words), 2)
+                .as("avg_word_len"),
+              rnd(vocabHits(words, EnStop).cast("double") / size(words), 4)
+                .as("stopword_ratio"))
+      .filter(col("n_words") >= 30 &&
+              col("avg_word_len").between(3.0, 8.0) &&
+              col("stopword_ratio") >= 0.02)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_corpus_filter" -> (corpusFilter _),
     "text_tfidf"       -> (tfidf _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_tokens"      -> (tokens _),
@@ -126,6 +149,24 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_corpus_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents),
+         q AS (SELECT doc_id, lang,
+                      CAST(len(w) AS BIGINT) AS n_words,
+                      floor((CAST(list_sum(list_transform(w, x -> length(x)))
+                                 AS DOUBLE) / len(w)) * 100 + 0.5) / 100
+                        AS avg_word_len,
+                      floor((CAST(len(list_filter(w,
+                                 x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                             / len(w)) * 10000 + 0.5) / 10000 AS stopword_ratio
+               FROM t)
+         SELECT * FROM q
+         WHERE n_words >= 30
+           AND avg_word_len BETWEEN 3.0 AND 8.0
+           AND stopword_ratio >= 0.02
+         ORDER BY doc_id""",
     "text_tfidf" ->
       """WITH terms AS (
            SELECT doc_id,
