@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, MinHashSignature}
+import graft.functions.expressions.{DotProduct, HyperplaneBands, MinHashSignature, SimHashSignature}
 
 /** Session-wide registration of graft's native expressions via the
   * SparkSessionExtensions SPI, so a SQL-only deployment gets them too:
@@ -27,5 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_hplane_bands"),
+      (exprs: Seq[Expression]) => HyperplaneBands(exprs(0),
+        exprs(1).eval().toString.toInt, exprs(2).eval().toString.toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHashSignature(exprs.head)))
   }
 }

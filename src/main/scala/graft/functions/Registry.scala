@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.expressions.{DotProduct, HyperplaneBands, MinHashSignature}
+import graft.functions.expressions.{DotProduct, HyperplaneBands, MinHashSignature, SimHashSignature}
 
 /** Per-session registration of graft's native Catalyst expressions.
   * Idempotent; the function registry is the supported route to custom
@@ -18,5 +18,7 @@ object Registry {
       "graft_hplane_bands", exprs => HyperplaneBands(exprs(0),
         exprs(1).eval().toString.toInt, exprs(2).eval().toString.toInt),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashSignature(exprs.head), "built-in")
   }
 }

@@ -11,6 +11,29 @@ import graft.functions.Num.rnd
 class FunctionsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("SimHashSignature aggregate matches the 64-sum-agg formulation") {
+    import spark.implicits._
+    graft.functions.Registry.register(spark)
+    val tok = Tables.documents(spark, Sf).limit(100)
+      .select(col("doc_id"), explode(reTokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val viaAgg = tok.groupBy(col("doc_id"))
+      .agg(call_function("graft_simhash", col("h")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    val viaSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg === viaSums)
+  }
+
   test("shingles builds distinct word 3-grams") {
     import spark.implicits._
     val df = Seq("a b c d", "x y", "a b c a b c a b c").toDF("text")

@@ -31,6 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_minhash_sig(h) FROM VALUES (5L), (99L) AS t(h)")
         .collect().head.getSeq[Long](0)
       assert(sig.length === functions.expressions.MinHashFamily.NumHashes)
+      val bands = spark.sql(
+        "SELECT graft_hplane_bands(array_repeat(1.0D, 64), 4, 8)")
+        .collect().head.getSeq[Long](0)
+      assert(bands.length === 4)
+      assert(bands.forall(b => b >= 0 && b < 256))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
