@@ -115,16 +115,19 @@ object Knn {
     * formulation. Scale: the codebook broadcasts; assignment is
     * map-side-combined (see assignToCentroids) and — because both the
     * query side and the candidate side consume it — materialized ONCE
-    * via localCheckpoint (Catalyst doesn't reuse exchanges across
-    * aliased branches; without the checkpoint the whole corpus×codebook
-    * pipeline would run twice). The search join then touches one cell
-    * per query instead of the corpus. */
+    * via cache() (Catalyst doesn't reuse exchanges across aliased
+    * branches; without the shared InMemoryRelation the whole
+    * corpus×codebook pipeline would run twice). cache() is LAZY, so
+    * building the DataFrame runs no job — materialization happens on
+    * first action, then both branches read the cached blocks. The
+    * search join then touches one cell per query instead of the
+    * corpus. */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val assigned = assignToCentroids(e, cents).localCheckpoint()
+    val assigned = assignToCentroids(e, cents).cache()
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               col("cent_id").as("q_cent"))

@@ -110,6 +110,38 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOf matches a naive per-row lookup on random data (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val lRows = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+    val rRows = (0 until 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val left = lRows.toDF("id", "k", "ts")
+    val right = rRows.toDF("k", "rts", "rid")
+    for (strict <- Seq(false, true)) {
+      val got = operators.Joins
+        .asOf(left, right, "k", "ts", "rts", Seq("rid"), strict = strict)
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          (if (r.isNullAt(r.fieldIndex("rid"))) None
+           else Some(r.getAs[Long]("rid")))).toMap
+      lRows.foreach { case (id, k, ts) =>
+        val cands = rRows.filter { case (rk, rts, _) =>
+          rk == k && (if (strict) rts < ts else rts <= ts) }
+        got(id) match {
+          case None => assert(cands.isEmpty, s"id=$id strict=$strict")
+          case Some(rid) =>
+            // asOf keeps A matching rid at the max eligible rts (ties on
+            // rts are interchangeable for the property)
+            val maxRts = cands.map(_._2).max
+            val atMax = cands.filter(_._2 == maxRts).map(_._3).toSet
+            assert(atMax.contains(rid), s"id=$id strict=$strict rid=$rid")
+        }
+      }
+    }
+  }
+
   test("saltedJoin is row-identical to the plain inner join on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + a uniform tail

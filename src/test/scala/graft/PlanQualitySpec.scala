@@ -11,15 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanQualitySpec extends AnyFunSuite {
   import TestSpark._
 
-  test("ann_ivf materializes the centroid assignment once (no parquet re-scan)") {
-    // the assignment (corpus × codebook) is localCheckpoint'ed; both the
-    // query side and the candidate side must read the checkpoint, so the
-    // final plan contains NO parquet scan at all — if the embeddings
-    // scan reappears, the assignment pipeline is running twice again
-    val plan = similarity.Knn.ivf(spark, Sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Scan parquet"), plan.take(2000))
-    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
+  test("ann_ivf materializes the centroid assignment once (shared cache)") {
+    // the assignment (corpus × codebook) is cache()'d; both the query
+    // side and the candidate side must read the SAME InMemoryRelation —
+    // if either branch re-derives the assignment from the parquet scan,
+    // the expensive pipeline is running twice again
+    val df = similarity.Knn.ivf(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val memScans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(memScans >= 2, plan.take(3000))
+    df.count() // materializes through the cache without error
   }
 
   test("vw_employee_workload pre-aggregates the fact side below the roster join") {
