@@ -137,7 +137,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus cleanup as ONE composed plan — the shape a
+    * training-data user actually runs: quality gate (map-only
+    * predicate) → exact-dedup to canonical keepers (one shuffle on the
+    * content hash) → deterministic split assignment (md5 coin, no
+    * rand()) → split × lang audit counts. Composing the oracle-checked
+    * pieces into a single DataFrame keeps everything in one Catalyst
+    * plan: the gate's predicate sits below the dedup exchange, and the
+    * final rollup is map-side combined. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val words = reTokens(col("text"))
+    val gated = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+              size(words).cast("long").as("n_words"),
+              rnd(totalChars(words).cast("double") / size(words), 2)
+                .as("avg_word_len"),
+              rnd(vocabHits(words, EnStop).cast("double") / size(words), 4)
+                .as("stopword_ratio"))
+      .filter(col("n_words") >= 30 &&
+              col("avg_word_len").between(3.0, 8.0) &&
+              col("stopword_ratio") >= 0.02)
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(normText(col("text")))).orderBy(col("doc_id"))
+    val keepers = gated
+      .withColumn("rk", row_number().over(byContent))
+      .filter(col("rk") === 1)
+    keepers
+      .withColumn("b",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("int"))
+      .withColumn("split",
+        when(col("b") < 13, "train").when(col("b") < 14, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_corpus_pipeline" -> (corpusPipeline _),
     "text_corpus_filter" -> (corpusFilter _),
     "text_tfidf"       -> (tfidf _),
     "text_ngram_freq"  -> (ngramFreq _),
@@ -149,6 +187,37 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_corpus_pipeline" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents),
+         q AS (SELECT doc_id, lang, w,
+                      CAST(len(w) AS BIGINT) AS n_words,
+                      floor((CAST(list_sum(list_transform(w, x -> length(x)))
+                                 AS DOUBLE) / len(w)) * 100 + 0.5) / 100
+                        AS avg_word_len,
+                      floor((CAST(len(list_filter(w,
+                                 x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                             / len(w)) * 10000 + 0.5) / 10000 AS stopword_ratio
+               FROM t),
+         g AS (SELECT doc_id, lang, w FROM q
+               WHERE n_words >= 30
+                 AND avg_word_len BETWEEN 3.0 AND 8.0
+                 AND stopword_ratio >= 0.02),
+         k AS (SELECT doc_id, lang,
+                      row_number() OVER (
+                        PARTITION BY md5(array_to_string(w, ' '))
+                        ORDER BY doc_id) AS rk
+               FROM g),
+         s AS (SELECT lang,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                           AS INTEGER) AS b
+               FROM k WHERE rk = 1)
+         SELECT CASE WHEN b < 13 THEN 'train'
+                     WHEN b < 14 THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n_docs
+         FROM s GROUP BY 1, 2 ORDER BY split, lang""",
     "text_corpus_filter" ->
       """WITH t AS (SELECT doc_id, lang,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
