@@ -18,7 +18,9 @@ object Joins {
 
   /** Keyed as-of join: for every left row, attach `rightVals` from the
     * LATEST right row of the same `key` with rightTs ≤ leftTs
-    * (strict=true: < leftTs); nulls when no such row.
+    * (strict=true: < leftTs); nulls when no such row. With
+    * direction="forward", the EARLIEST right row with rightTs ≥ leftTs
+    * instead (the next-event lookup) — same plan, reversed ordering.
     *
     * Formulation: tag and union both sides, then one
     * `last(ignoreNulls)` window per value column over a single
@@ -32,8 +34,11 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, rightVals: Seq[String],
-           strict: Boolean = false): DataFrame = {
+           strict: Boolean = false,
+           direction: String = "backward"): DataFrame = {
     require(rightVals.nonEmpty, "asOf: rightVals must be non-empty")
+    require(Set("backward", "forward").contains(direction),
+      s"asOf: direction must be backward|forward, got $direction")
     val clash = rightVals.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"asOf: right value columns clash with left: $clash")
     // at equal ts the right row must sort BEFORE the left row to be
@@ -51,8 +56,9 @@ object Joins {
         else lit(null).cast(left.schema(n).dataType).as(n)) ++
         Seq(col(rightTs).as("__ts"), lit(rTag).as("__tag")) ++
         rightVals.map(col): _*)
+    val tsOrder = if (direction == "forward") col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(tsOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lNorm.union(rNorm)
       .select(

@@ -145,6 +145,42 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF with multi-cell probing: each query searches its `nprobe`
+    * nearest cells instead of one, the standard recall knob (cell
+    * boundaries are where nprobe=1 misses live). The query-side cell
+    * selection routes through the custom TopKPerKey operator — bounded
+    * per-key heaps over the query×codebook scores — and the corpus
+    * assignment is the same shared-cache max_by pass as `ivf`.
+    * Approximate → rows-only; IvfAssignmentSpec asserts probing
+    * monotonicity (recall vs exact top-k never drops when nprobe
+    * grows, because the candidate set only widens). */
+  def ivfProbes(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val assigned = assignToCentroids(e, cents).cache()
+    val qScores = e.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("cent_id").as("q_cent"),
+              VectorFunctions.cosine(col("embedding"), col("cv")).as("cent_sim"))
+    val probes = graft.plans.TopKPerKey(qScores, "query_id", "cent_sim",
+      nprobe, tiebreak = Some("q_cent"))
+    val cand = assigned.select(col("cent_id"), col("vec_id").as("neighbor_id"),
+                               col("embedding").as("nv"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), col("cent_id") === col("q_cent") &&
+                                 col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_raw", VectorFunctions.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Rank-1-window formulation of the centroid assignment — kept only
     * as the parity reference for IvfAssignmentSpec (it shuffles the
     * expanded corpus×codebook product; assignToCentroids is the
@@ -174,7 +210,8 @@ object Knn {
     "ann_topk"          -> (topK _),
     "ann_topk_operator" -> (topKOperator _),
     "ann_lsh"           -> (lshBuckets _),
-    "ann_ivf"           -> (ivf _))
+    "ann_ivf"           -> (ivf _),
+    "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)))
 
   private val topkOracle: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

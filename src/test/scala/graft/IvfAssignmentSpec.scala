@@ -9,6 +9,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class IvfAssignmentSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("IVF probing monotonicity: nprobe=2 never loses recall vs nprobe=1") {
+    import org.apache.spark.sql.functions.col
+    val exact = similarity.Knn.topK(spark, Sf)
+      .filter(col("rank") <= 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) =>
+          exact(q).intersect(rows.map(_.getAs[Long]("neighbor_id")).toSet).size }
+        .sum
+    val r1 = recall(similarity.Knn.ivf(spark, Sf))
+    val r2 = recall(similarity.Knn.ivfProbes(spark, Sf, nprobe = 2))
+    // the nprobe=2 candidate set is a superset and selection is by true
+    // cosine, so overlap with the exact top-5 is monotone in nprobe
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+  }
+
   test("max_by centroid assignment matches the rank-1 window formulation") {
     val (fast, ref) = similarity.Knn.assignmentPair(spark, Sf)
     val a = fast.collect()

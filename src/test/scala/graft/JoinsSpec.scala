@@ -53,6 +53,21 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(1) === (2L -> Some("b")))
   }
 
+  test("asOf direction=forward attaches the earliest right row at-or-after") {
+    val got = operators.Joins
+      .asOf(leftDf(), rightDf(), "k", "ts", "rts", Seq("v"),
+            direction = "forward")
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("v"))))
+    assert(got.toSeq === Seq(
+      1L -> Some("a"),  // rts 100 == ts 100 still visible (inclusive)
+      2L -> Some("c"),  // next at-or-after 200 is 400
+      3L -> Some("c"),
+      4L -> None,       // key 20 has nothing at-or-after 500
+      5L -> None))
+  }
+
   test("asOf plans ONE exchange (union + shared window, no range join)") {
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
