@@ -30,8 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_hplane_bands"),
-      (exprs: Seq[Expression]) => HyperplaneBands(exprs(0),
-        exprs(1).eval().toString.toInt, exprs(2).eval().toString.toInt)))
+      (exprs: Seq[Expression]) => HyperplaneBands.build(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),

@@ -15,9 +15,7 @@ object Registry {
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSignature(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "graft_hplane_bands", exprs => HyperplaneBands(exprs(0),
-        exprs(1).eval().toString.toInt, exprs(2).eval().toString.toInt),
-      "built-in")
+      "graft_hplane_bands", HyperplaneBands.build, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashSignature(exprs.head), "built-in")
   }

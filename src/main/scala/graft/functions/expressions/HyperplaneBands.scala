@@ -37,6 +37,23 @@ object HyperplaneFamily {
   * compilation. Here the family sits in `ctx.references` once and the
   * generated kernel is three tight loops.
   */
+object HyperplaneBands {
+  /** Shared SQL-registration builder (Registry + GraftExtensions):
+    * validates that the band/plane arguments are integer literals and
+    * raises a typed, named error instead of an opaque NPE/cast
+    * failure. */
+  def build(exprs: Seq[Expression]): HyperplaneBands = {
+    def intArg(e: Expression, role: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_hplane_bands: $role must be an integer literal, got $other")
+    }
+    HyperplaneBands(exprs(0), intArg(exprs(1), "numBands"),
+                    intArg(exprs(2), "planesPerBand"))
+  }
+}
+
 case class HyperplaneBands(child: Expression, numBands: Int,
                            planesPerBand: Int) extends UnaryExpression {
 

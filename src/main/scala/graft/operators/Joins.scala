@@ -45,27 +45,33 @@ object Joins {
     // visible (inclusive), AFTER it to be invisible (strict)
     val rTag = if (strict) 1 else 0
     val lTag = 1 - rTag
-    val rvTypes = rightVals.map(n => n -> right.schema(n).dataType)
+    // the matched right row travels as ONE struct, so the output never
+    // stitches values from different right rows and a matched row whose
+    // value column is NULL stays NULL (per-column last(ignoreNulls)
+    // would resurrect an older row's value)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(n => right.schema(right.schema.fieldIndex(n))))
     val lNorm = left.select(
       left.columns.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(lTag).as("__tag")) ++
-        rvTypes.map { case (n, t) => lit(null).cast(t).as(n) }: _*)
+        Seq(col(leftTs).as("__ts"), lit(lTag).as("__tag"),
+            lit(null).cast(rvType).as("__rv")): _*)
     val rNorm = right.select(
       left.columns.map(n =>
         if (n == key) col(key)
         else lit(null).cast(left.schema(n).dataType).as(n)) ++
-        Seq(col(rightTs).as("__ts"), lit(rTag).as("__tag")) ++
-        rightVals.map(col): _*)
+        Seq(col(rightTs).as("__ts"), lit(rTag).as("__tag"),
+            struct(rightVals.map(col): _*).as("__rv")): _*)
     val tsOrder = if (direction == "forward") col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col(key))
       .orderBy(tsOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lNorm.union(rNorm)
       .select(
-        left.columns.map(col) ++ Seq(col("__tag")) ++
-          rightVals.map(n => last(col(n), ignoreNulls = true).over(w).as(n)): _*)
+        left.columns.map(col) :+ col("__tag") :+
+          last(col("__rv"), ignoreNulls = true).over(w).as("__rv"): _*)
       .filter(col("__tag") === lTag)
-      .drop("__tag")
+      .select(left.columns.map(col) ++
+        rightVals.map(n => col("__rv").getField(n).as(n)): _*)
   }
 
   /** Key-less point-in-interval range join: rows of `points` matched to

@@ -115,17 +115,18 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  /** C4-style corpus quality gate: keep documents whose word count,
+  /** The shared C4-style quality gate: documents whose word count,
     * average word length and stopword ratio all sit in the "looks like
-    * prose" band — the cleanup filter every LLM corpus pass runs before
-    * dedup/tokenization. Pure map-side predicate over the same
-    * oracle-checked metrics as text_quality (thresholds compare the
-    * ROUNDED scores so both engines gate identically at the boundary);
-    * at 100 TB this is a scan with zero shuffles. */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    * prose" band. One definition serves both text_corpus_filter and
+    * text_corpus_pipeline, so the thresholds and their two DuckDB
+    * oracles cannot silently diverge. Thresholds compare the ROUNDED
+    * scores (the same oracle-checked metrics as text_quality) so both
+    * engines gate identically at the boundary; pure map-side predicate
+    * — at 100 TB this is a scan with zero shuffles. */
+  private def gatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val words = reTokens(col("text"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("text"),
               size(words).cast("long").as("n_words"),
               rnd(totalChars(words).cast("double") / size(words), 2)
                 .as("avg_word_len"),
@@ -134,8 +135,14 @@ object TextOps {
       .filter(col("n_words") >= 30 &&
               col("avg_word_len").between(3.0, 8.0) &&
               col("stopword_ratio") >= 0.02)
-      .orderBy(col("doc_id"))
   }
+
+  /** The gate as a standalone report: kept documents with their
+    * scores. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    gatedDocs(spark, dir)
+      .drop("text")
+      .orderBy(col("doc_id"))
 
   /** End-to-end corpus cleanup as ONE composed plan — the shape a
     * training-data user actually runs: quality gate (map-only
@@ -146,17 +153,7 @@ object TextOps {
     * plan: the gate's predicate sits below the dedup exchange, and the
     * final rollup is map-side combined. */
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val words = reTokens(col("text"))
-    val gated = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"),
-              size(words).cast("long").as("n_words"),
-              rnd(totalChars(words).cast("double") / size(words), 2)
-                .as("avg_word_len"),
-              rnd(vocabHits(words, EnStop).cast("double") / size(words), 4)
-                .as("stopword_ratio"))
-      .filter(col("n_words") >= 30 &&
-              col("avg_word_len").between(3.0, 8.0) &&
-              col("stopword_ratio") >= 0.02)
+    val gated = gatedDocs(spark, dir)
     val byContent = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(normText(col("text")))).orderBy(col("doc_id"))
     val keepers = gated

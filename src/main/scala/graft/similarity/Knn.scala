@@ -115,19 +115,22 @@ object Knn {
     * formulation. Scale: the codebook broadcasts; assignment is
     * map-side-combined (see assignToCentroids) and — because both the
     * query side and the candidate side consume it — materialized ONCE
-    * via cache() (Catalyst doesn't reuse exchanges across aliased
-    * branches; without the shared InMemoryRelation the whole
-    * corpus×codebook pipeline would run twice). cache() is LAZY, so
-    * building the DataFrame runs no job — materialization happens on
-    * first action, then both branches read the cached blocks. The
-    * search join then touches one cell per query instead of the
-    * corpus. */
+    * via a LAZY localCheckpoint (Catalyst doesn't reuse exchanges
+    * across aliased branches; without the shared materialization the
+    * whole corpus×codebook pipeline would run twice). Not cache():
+    * cache registers the plan in the session CacheManager, where a
+    * later identical query — e.g. a bench re-run — would silently
+    * measure cached scans instead of the pipeline. The lazy checkpoint
+    * runs no job at plan build, materializes on first action, is
+    * shared by both branches of THIS query, and is private to this
+    * DataFrame. The search join then touches one cell per query
+    * instead of the corpus. */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val assigned = assignToCentroids(e, cents).cache()
+    val assigned = assignToCentroids(e, cents).localCheckpoint(false)
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               col("cent_id").as("q_cent"))
@@ -150,7 +153,7 @@ object Knn {
     * boundaries are where nprobe=1 misses live). The query-side cell
     * selection routes through the custom TopKPerKey operator — bounded
     * per-key heaps over the query×codebook scores — and the corpus
-    * assignment is the same shared-cache max_by pass as `ivf`.
+    * assignment is the same lazily-checkpointed max_by pass as `ivf`.
     * Approximate → rows-only; IvfAssignmentSpec asserts probing
     * monotonicity (recall vs exact top-k never drops when nprobe
     * grows, because the candidate set only widens). */
@@ -159,7 +162,7 @@ object Knn {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val assigned = assignToCentroids(e, cents).cache()
+    val assigned = assignToCentroids(e, cents).localCheckpoint(false)
     val qScores = e.filter(col("vec_id") < 5)
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),

@@ -39,7 +39,10 @@ object JsonLinesSource {
     * `_corrupt_record` from a raw JSON scan
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and
     * caching also means the ingest parses each line once for both the
-    * load branch and the quarantine branch. */
+    * load branch and the quarantine branch. After materializing both
+    * sides, call `parsed.unpersist()` (on the SAME frame passed in) to
+    * release the storage memory — a long-lived ingest session that
+    * skips this pins every batch's parse in the cache. */
   def splitQuarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
     val cached = parsed.cache()
     val good = cached.filter(col("_corrupt_record").isNull)

@@ -53,6 +53,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(1) === (2L -> Some("b")))
   }
 
+  test("asOf takes ALL values from the matched row, even when they are null") {
+    import spark.implicits._
+    // latest right row for k=10 at ts<=300 is (rts=200, v=null, v2=9):
+    // v must come back NULL (not resurrect "x" from the older row), and
+    // (v, v2) must never stitch across rows
+    val l = Seq((1L, 10L, 300L)).toDF("id", "k", "ts")
+    val r = Seq((10L, 100L, Some("x"), Some(7L)),
+                (10L, 200L, None, Some(9L)))
+      .toDF("k", "rts", "v", "v2")
+    val row = operators.Joins
+      .asOf(l, r, "k", "ts", "rts", Seq("v", "v2"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("v")))
+    assert(row.getAs[Long]("v2") === 9L)
+  }
+
   test("asOf direction=forward attaches the earliest right row at-or-after") {
     val got = operators.Joins
       .asOf(leftDf(), rightDf(), "k", "ts", "rts", Seq("v"),

@@ -11,16 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanQualitySpec extends AnyFunSuite {
   import TestSpark._
 
-  test("ann_ivf materializes the centroid assignment once (shared cache)") {
-    // the assignment (corpus × codebook) is cache()'d; both the query
-    // side and the candidate side must read the SAME InMemoryRelation —
-    // if either branch re-derives the assignment from the parquet scan,
-    // the expensive pipeline is running twice again
+  test("ann_ivf materializes the centroid assignment once (lazy checkpoint)") {
+    // the assignment (corpus × codebook) is lazily checkpointed; both
+    // the query side and the candidate side must read the SAME
+    // checkpoint RDD — if either branch re-derives the assignment from
+    // the parquet scan, the expensive pipeline is running twice again.
+    // (Not cache(): that would register in the CacheManager and leak
+    // reuse into later identical queries, e.g. bench re-runs.)
     val df = similarity.Knn.ivf(spark, Sf)
     val plan = df.queryExecution.executedPlan.toString
-    val memScans = "InMemoryTableScan".r.findAllIn(plan).length
-    assert(memScans >= 2, plan.take(3000))
-    df.count() // materializes through the cache without error
+    assert(!plan.contains("Scan parquet"), plan.take(3000))
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans >= 2, plan.take(3000))
+    df.count() // materializes through the checkpoint without error
   }
 
   test("vw_employee_workload pre-aggregates the fact side below the roster join") {
