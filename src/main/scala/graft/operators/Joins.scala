@@ -21,6 +21,9 @@ object Joins {
     * (strict=true: < leftTs); nulls when no such row. With
     * direction="forward", the EARLIEST right row with rightTs ≥ leftTs
     * instead (the next-event lookup) — same plan, reversed ordering.
+    * `tolerance` bounds the staleness: a match further than that many
+    * ts-units away resolves to null (requires numeric ts columns —
+    * this library's convention is integer microseconds).
     *
     * Formulation: tag and union both sides, then one
     * `last(ignoreNulls)` window per value column over a single
@@ -35,10 +38,16 @@ object Joins {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, rightVals: Seq[String],
            strict: Boolean = false,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     require(rightVals.nonEmpty, "asOf: rightVals must be non-empty")
     require(Set("backward", "forward").contains(direction),
       s"asOf: direction must be backward|forward, got $direction")
+    tolerance.foreach { _ =>
+      require(left.schema(leftTs).dataType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        "asOf: tolerance requires a numeric ts column (integer micros)")
+    }
     val clash = rightVals.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"asOf: right value columns clash with left: $clash")
     // at equal ts the right row must sort BEFORE the left row to be
@@ -49,8 +58,12 @@ object Joins {
     // stitches values from different right rows and a matched row whose
     // value column is NULL stays NULL (per-column last(ignoreNulls)
     // would resurrect an older row's value)
+    // the matched right ts rides inside the struct so the tolerance
+    // check compares against the ACTUAL matched row, atomically
     val rvType = org.apache.spark.sql.types.StructType(
-      rightVals.map(n => right.schema(right.schema.fieldIndex(n))))
+      rightVals.map(n => right.schema(right.schema.fieldIndex(n))) :+
+        org.apache.spark.sql.types.StructField("__rts",
+          right.schema(right.schema.fieldIndex(rightTs)).dataType))
     val lNorm = left.select(
       left.columns.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(lTag).as("__tag"),
@@ -60,18 +73,27 @@ object Joins {
         if (n == key) col(key)
         else lit(null).cast(left.schema(n).dataType).as(n)) ++
         Seq(col(rightTs).as("__ts"), lit(rTag).as("__tag"),
-            struct(rightVals.map(col): _*).as("__rv")): _*)
+            struct(rightVals.map(col) :+ col(rightTs).as("__rts"): _*)
+              .as("__rv")): _*)
     val tsOrder = if (direction == "forward") col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col(key))
       .orderBy(tsOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    lNorm.union(rNorm)
+    val matched = lNorm.union(rNorm)
       .select(
         left.columns.map(col) :+ col("__tag") :+
           last(col("__rv"), ignoreNulls = true).over(w).as("__rv"): _*)
       .filter(col("__tag") === lTag)
-      .select(left.columns.map(col) ++
-        rightVals.map(n => col("__rv").getField(n).as(n)): _*)
+    val rv = tolerance match {
+      case None => col("__rv")
+      case Some(tol) =>
+        val dist =
+          if (direction == "forward") col("__rv").getField("__rts") - col(leftTs)
+          else col(leftTs) - col("__rv").getField("__rts")
+        when(dist <= tol, col("__rv")) // null __rv stays null
+    }
+    matched.select(left.columns.map(col) ++
+      rightVals.map(n => rv.getField(n).as(n)): _*)
   }
 
   /** Key-less point-in-interval range join: rows of `points` matched to

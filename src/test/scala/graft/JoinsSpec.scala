@@ -53,6 +53,21 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(1) === (2L -> Some("b")))
   }
 
+  test("asOf tolerance nulls out matches staler than the bound") {
+    // key-10 left rows at ts 100/200/250 match right rows at 100/150;
+    // with tolerance=60: id1 (dist 0) and id2 (dist 50) keep their
+    // match, id3 (dist 100 to rts=150) exceeds the bound -> null
+    val got = operators.Joins
+      .asOf(leftDf(), rightDf(), "k", "ts", "rts", Seq("v"),
+            tolerance = Some(60L))
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("v"))))
+    assert(got.toSeq === Seq(
+      1L -> Some("a"), 2L -> Some("b"), 3L -> None,
+      4L -> Some("d"), 5L -> None))
+  }
+
   test("asOf takes ALL values from the matched row, even when they are null") {
     import spark.implicits._
     // latest right row for k=10 at ts<=300 is (rts=200, v=null, v2=9):
