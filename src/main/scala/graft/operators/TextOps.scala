@@ -171,7 +171,33 @@ object TextOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Fixed-size token chunking (pretraining/RAG shard prep): each
+    * document splits into consecutive 64-token chunks, last chunk
+    * ragged. Entirely MAP-SIDE: the token array is built once per row,
+    * the chunk count comes from sequence(), and each chunk is a
+    * slice+join of that array — no explode-to-token-rows, no shuffle,
+    * no window. At 100 TB this is a scan. */
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    val ChunkTokens = 64
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), reTokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+              explode(sequence(lit(0),
+                  ((size(col("w")) - 1) / ChunkTokens).cast("int")))
+                .as("chunk_id"),
+              col("w"))
+      .select(col("doc_id"),
+              col("chunk_id").cast("long").as("chunk_id"),
+              array_join(slice(col("w"), col("chunk_id") * ChunkTokens + 1,
+                               lit(ChunkTokens)), " ").as("chunk_text"),
+              least(size(col("w")) - col("chunk_id") * ChunkTokens,
+                    lit(ChunkTokens)).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (chunks _),
     "text_corpus_pipeline" -> (corpusPipeline _),
     "text_corpus_filter" -> (corpusFilter _),
     "text_tfidf"       -> (tfidf _),
@@ -184,6 +210,19 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents),
+         c AS (SELECT doc_id, w,
+                      unnest(range(((len(w) - 1) // 64) + 1)) AS chunk_id
+               FROM t WHERE len(w) > 0)
+         SELECT doc_id,
+                CAST(chunk_id AS BIGINT) AS chunk_id,
+                array_to_string(w[chunk_id*64+1 : least((chunk_id+1)*64, len(w))],
+                                ' ') AS chunk_text,
+                CAST(least(len(w) - chunk_id*64, 64) AS BIGINT) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_id""",
     "text_corpus_pipeline" ->
       """WITH t AS (SELECT doc_id, lang, text,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
