@@ -196,7 +196,58 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Gopher-style repetition metrics — the quality filter that catches
+    * boilerplate and degenerate generations: per document, the mass
+    * fraction of the single most frequent bigram and the fraction of
+    * trigram occurrences that are duplicates (1 − distinct/total).
+    * A doc is `repetitive` past the paper-ish thresholds (0.18 / 0.30).
+    *
+    * Shape: one posexplode + one doc-partitioned window builds both
+    * gram widths in a single pass (no second pipeline, no self-join
+    * recompute), then both metrics aggregate from ONE exploded
+    * (doc, width, gram) stream: count per gram, then per-doc max/sum —
+    * every aggregate is hash-based with map-side partial combine, never
+    * a per-doc sort. At 100 TB this is the same two-shuffle profile as
+    * word count. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(reTokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .withColumn("w3", lead(col("w"), 2).over(byDoc))
+      .select(col("doc_id"), explode(array(
+        struct(lit(2).as("width"), concat_ws(" ", col("w"), col("w2")).as("gram"),
+               col("w2").isNotNull.as("ok")),
+        struct(lit(3).as("width"),
+               concat_ws(" ", col("w"), col("w2"), col("w3")).as("gram"),
+               col("w3").isNotNull.as("ok")))).as("g"))
+      .filter(col("g.ok"))
+      .select(col("doc_id"), col("g.width").as("width"), col("g.gram").as("gram"))
+    val perWidth = grams
+      .groupBy(col("doc_id"), col("width"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("width"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n"),
+           count(lit(1)).as("n_distinct"))
+    perWidth.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("width") === 2, col("n"))).as("n_bigrams"),
+        rnd(max(when(col("width") === 2, col("top_c") / col("n").cast("double"))), 4)
+          .as("top_bigram_frac"),
+        rnd(max(when(col("width") === 3,
+              lit(1.0) - col("n_distinct") / col("n").cast("double"))), 4)
+          .as("dup_trigram_frac"))
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              col("top_bigram_frac"), col("dup_trigram_frac"),
+              (coalesce(col("top_bigram_frac"), lit(0.0)) > 0.18 ||
+               coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.30)
+                .as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
     "text_corpus_pipeline" -> (corpusPipeline _),
     "text_corpus_filter" -> (corpusFilter _),
@@ -210,6 +261,36 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents),
+         bg AS (SELECT doc_id, 2 AS width, w[i+1] || ' ' || w[i+2] AS gram
+                FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+                      FROM t WHERE len(w) >= 2)),
+         tg AS (SELECT doc_id, 3 AS width,
+                       w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+                FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+                      FROM t WHERE len(w) >= 3)),
+         g AS (SELECT * FROM bg UNION ALL SELECT * FROM tg),
+         c AS (SELECT doc_id, width, gram, count(*) AS c
+               FROM g GROUP BY 1, 2, 3),
+         pw AS (SELECT doc_id, width, max(c) AS top_c,
+                       CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct
+                FROM c GROUP BY 1, 2),
+         f AS (SELECT doc_id,
+                 CAST(coalesce(sum(CASE WHEN width = 2 THEN n END), 0)
+                      AS BIGINT) AS n_bigrams,
+                 floor(max(CASE WHEN width = 2 THEN top_c * 1.0 / n END)
+                       * 10000 + 0.5) / 10000 AS top_bigram_frac,
+                 floor(max(CASE WHEN width = 3
+                           THEN 1.0 - n_distinct * 1.0 / n END)
+                       * 10000 + 0.5) / 10000 AS dup_trigram_frac
+               FROM pw GROUP BY 1)
+         SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+                (coalesce(top_bigram_frac, 0) > 0.18 OR
+                 coalesce(dup_trigram_frac, 0) > 0.30) AS repetitive
+         FROM f ORDER BY doc_id""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
