@@ -184,6 +184,76 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization ANN (PQ-lite with asymmetric distance
+    * computation) — the memory-compression scale path: each 64-dim
+    * float vector (256 bytes) is encoded as M=4 one-byte codes, so at
+    * 100 TB the search structure is ~64× smaller than the raw
+    * embeddings and candidates are scored WITHOUT ever touching their
+    * vectors again.
+    *
+    * Codebook: per subspace (16 dims), K=16 codewords taken as slices
+    * of a deterministic id-sampled subset (honest PQ-lite — k-means
+    * training is out of scope and documented as such; the operator
+    * contract is the encode/ADC plumbing). Encoding: corpus rows
+    * explode to M subvector rows (slice() with a column offset — a
+    * codegen'd builtin, not an interpreted HOF), join the broadcast
+    * M×K codebook, and `max_by` over groupBy(vec_id, m) picks each
+    * subspace's best codeword — map-side partial combine, one shuffled
+    * row per (vector, subspace).
+    *
+    * Query time (ADC): each query precomputes its M×K lookup table of
+    * subspace dot products (tiny, broadcast); a candidate's approximate
+    * score is the sum of M LUT entries selected by its codes — a join
+    * on (m, code) + a map-side-combined sum, then the custom TopKPerKey
+    * bounded-heap operator. Approximates dot(q, x̂) where x̂ is the
+    * reconstruction; a planted exact duplicate of q attains the maximum
+    * possible ADC score (per-subspace argmax == per-subspace max), which
+    * PqSpec asserts. Approximate by design → rows-only. */
+  def pqTopK(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val M = 4; val subDim = 16; val K = 16
+    val codeIdx = Window.orderBy(col("vec_id"))
+    val codewords = e.filter(col("vec_id") % 29 === 0)
+      .orderBy(col("vec_id")).limit(K)
+      .select(row_number().over(codeIdx).cast("int").as("cw"), col("embedding"))
+      .select(col("cw"), explode(sequence(lit(0), lit(M - 1))).as("m"),
+              col("embedding"))
+      .select(col("m"), col("cw"),
+              slice(col("embedding"), col("m") * subDim + 1, lit(subDim)).as("cv"))
+    val subs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
+              col("embedding"))
+      .select(col("vec_id"), col("m"),
+              slice(col("embedding"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val codes = subs.join(broadcast(codewords), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cw"),
+              VectorFunctions.dot(col("sv"), col("cv")).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("cw"), struct(col("d"), -col("cw"))).as("code"))
+    val lut = subs.filter(col("vec_id") < 5)
+      .join(broadcast(codewords), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cw"),
+              VectorFunctions.dot(col("sv"), col("cv")).as("contrib"))
+    val scored = codes.join(broadcast(lut),
+        codes("m") === lut("m") && col("code") === col("cw") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("contrib")).as("adc_raw"))
+    val top = graft.plans.TopKPerKey(scored, "query_id", "adc_raw", k,
+      tiebreak = Some("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("adc_raw"), 4).as("adc_score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ/ADC top-10 over the embeddings table (see pqTopK). */
+  def pq(spark: SparkSession, dir: String): DataFrame =
+    pqTopK(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
+
   /** Rank-1-window formulation of the centroid assignment — kept only
     * as the parity reference for IvfAssignmentSpec (it shuffles the
     * expanded corpus×codebook product; assignToCentroids is the
@@ -214,6 +284,7 @@ object Knn {
     "ann_topk_operator" -> (topKOperator _),
     "ann_lsh"           -> (lshBuckets _),
     "ann_ivf"           -> (ivf _),
+    "ann_pq"            -> (pq _),
     "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)))
 
   private val topkOracle: String =
