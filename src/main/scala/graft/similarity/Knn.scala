@@ -194,46 +194,71 @@ object Knn {
     * Codebook: per subspace (16 dims), K=16 codewords taken as slices
     * of a deterministic id-sampled subset (honest PQ-lite — k-means
     * training is out of scope and documented as such; the operator
-    * contract is the encode/ADC plumbing). Encoding: corpus rows
-    * explode to M subvector rows (slice() with a column offset — a
-    * codegen'd builtin, not an interpreted HOF), join the broadcast
-    * M×K codebook, and `max_by` over groupBy(vec_id, m) picks each
-    * subspace's best codeword — map-side partial combine, one shuffled
-    * row per (vector, subspace).
+    * contract is the encode/ADC plumbing). The trained codebook is a
+    * BOUNDED MODEL PARAMETER (M×K subvectors, ~1 KB independent of
+    * corpus size), so it is collected once and inlined as literals —
+    * which makes the encode a pure map: each (vector, subspace) row
+    * picks its codeword via a codegen'd argmax (array_max over K
+    * (score, -cw) structs). No join, no aggregate, no shuffle — at
+    * 100 TB the encode is a scan. The groupBy+max_by alternative plans
+    * a SortAggregate over the N×M×K expanded product.
     *
     * Query time (ADC): each query precomputes its M×K lookup table of
     * subspace dot products (tiny, broadcast); a candidate's approximate
     * score is the sum of M LUT entries selected by its codes — a join
-    * on (m, code) + a map-side-combined sum, then the custom TopKPerKey
-    * bounded-heap operator. Approximates dot(q, x̂) where x̂ is the
-    * reconstruction; a planted exact duplicate of q attains the maximum
-    * possible ADC score (per-subspace argmax == per-subspace max), which
-    * PqSpec asserts. Approximate by design → rows-only. */
+    * on (m, code) + a map-side-combined hash sum, then the custom
+    * TopKPerKey bounded-heap operator. Approximates dot(q, x̂) where x̂
+    * is the reconstruction; a planted exact duplicate of q attains the
+    * maximum possible ADC score (per-subspace argmax == per-subspace
+    * max), which PqSpec asserts. Approximate by design → rows-only. */
   def pqTopK(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
     VectorFunctions.register(spark)
     val M = 4; val subDim = 16; val K = 16
-    val codeIdx = Window.orderBy(col("vec_id"))
-    val codewords = e.filter(col("vec_id") % 29 === 0)
+    // "Training": the codebook is a bounded model parameter — M×K
+    // subvectors, ~1 KB regardless of corpus size — so it is fit once
+    // and collected to the driver like any trained model, then inlined
+    // as literals. This is NOT a driver-side data loop: the collect is
+    // O(K) on an id-sampled sort-limit, and everything downstream is a
+    // pure map over the corpus.
+    val sampled: Array[Seq[Float]] = e.filter(col("vec_id") % 29 === 0)
       .orderBy(col("vec_id")).limit(K)
-      .select(row_number().over(codeIdx).cast("int").as("cw"), col("embedding"))
-      .select(col("cw"), explode(sequence(lit(0), lit(M - 1))).as("m"),
-              col("embedding"))
-      .select(col("m"), col("cw"),
-              slice(col("embedding"), col("m") * subDim + 1, lit(subDim)).as("cv"))
-    val subs = e
-      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
-              col("embedding"))
-      .select(col("vec_id"), col("m"),
-              slice(col("embedding"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-    val codes = subs.join(broadcast(codewords), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cw"),
-              VectorFunctions.dot(col("sv"), col("cv")).as("d"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("cw"), struct(col("d"), -col("cw"))).as("code"))
-    val lut = subs.filter(col("vec_id") < 5)
-      .join(broadcast(codewords), Seq("m"))
-      .select(col("vec_id").as("query_id"), col("m"), col("cw"),
-              VectorFunctions.dot(col("sv"), col("cv")).as("contrib"))
+      .select(col("embedding")).as[Seq[Float]].collect()
+    require(sampled.nonEmpty, "PQ codebook sample is empty")
+    // codebook(m)(cw) = the cw-th codeword of subspace m
+    val codebook: IndexedSeq[IndexedSeq[Column]] =
+      (0 until M).map { m =>
+        sampled.toIndexedSeq.map { v =>
+          typedlit(v.slice(m * subDim, (m + 1) * subDim))
+        }
+      }
+    // Encode: one row per (vector, subspace); the best codeword is a
+    // codegen'd argmax — array_max over K (score, -cw) structs built
+    // from literal codewords. No join, no aggregate, NO SHUFFLE: at
+    // 100 TB the encode is a scan (contrast: a groupBy(vec_id, m)
+    // max_by plans a SortAggregate over the N×M×K expanded product).
+    def sub(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
+    def bestCode(sv: Column, m: Int): Column =
+      -array_max(array(codebook(m).zipWithIndex.map { case (cv, i) =>
+        struct(VectorFunctions.dot(sv, cv).as("d"),
+               lit(-(i + 1)).as("negcw"))
+      }: _*)).getField("negcw")
+    val codes = e
+      .select(col("vec_id"), explode(array((0 until M).map { m =>
+        struct(lit(m).as("m"),
+               bestCode(sub(col("embedding"), m), m).as("code"))
+      }: _*)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // Query LUT: every (subspace, codeword) dot product per query —
+    // M×K tiny rows per query, broadcast.
+    val lut = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        explode(array((for { m <- 0 until M; i <- sampled.indices } yield
+          struct(lit(m).as("m"), lit(i + 1).as("cw"),
+                 VectorFunctions.dot(sub(col("embedding"), m), codebook(m)(i))
+                   .as("contrib"))): _*)).as("x"))
+      .select(col("query_id"), col("x.m").as("m"), col("x.cw").as("cw"),
+              col("x.contrib").as("contrib"))
     val scored = codes.join(broadcast(lut),
         codes("m") === lut("m") && col("code") === col("cw") &&
         col("vec_id") =!= col("query_id"))
