@@ -66,6 +66,31 @@ object TableOps {
       sortCol = "o_totalprice", descending = true,
       tiebreak = "o_orderkey", limit = 50, offset = 20)
 
+  /** Keyset (cursor) pagination — the offset-free paging that stays
+    * O(page) at any depth. Offset paging (sortedPage, the reference's
+    * shape) scans and discards `offset` rows on every page; the cursor
+    * form turns the page boundary into a scan predicate
+    * ((sort, tiebreak) > cursor), so page 10⁶ costs the same as page 1
+    * — the only paging that survives a 100 TB table. Plans as a pushed
+    * disjunctive filter + TakeOrderedAndProject. */
+  def keysetPage(df: DataFrame, sortCol: String, tiebreak: String,
+                 afterSort: Any, afterTie: Any, limit: Int): DataFrame = {
+    val s = col(sortCol); val t = col(tiebreak)
+    df.filter(s > lit(afterSort) ||
+              (s === lit(afterSort) && t > lit(afterTie)))
+      .orderBy(s.asc, t.asc)
+      .limit(limit)
+  }
+
+  /** Fixed instantiation for the driver contract: orders past the
+    * cursor (o_totalprice 50000.0, o_orderkey 0). */
+  def keysetDefault(spark: SparkSession, dir: String): DataFrame =
+    keysetPage(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      sortCol = "o_totalprice", tiebreak = "o_orderkey",
+      afterSort = 50000.0, afterTie = 0L, limit = 25)
+
   /** Guarded raw-SQL runner: registers the star schema as temp views and
     * executes a SELECT-only statement (the reference's admin SQL runner
     * rejects anything else the same way). */
@@ -218,6 +243,7 @@ object TableOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tbl_browse"           -> (browse _),
     "tbl_sorted"           -> (sortedDefault _),
+    "tbl_keyset"           -> (keysetDefault _),
     "tbl_search"           -> (search _),
     "sql_runner"           -> (sqlRunnerDefault _),
     "vw_client_journey"    -> (clientJourney _),
@@ -235,6 +261,12 @@ object TableOps {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
          FROM orders ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 50 OFFSET 20""",
+    "tbl_keyset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_totalprice > 50000.0
+            OR (o_totalprice = 50000.0 AND o_orderkey > 0)
+         ORDER BY o_totalprice, o_orderkey LIMIT 25""",
     "tbl_search" ->
       """SELECT c_custkey, c_name, c_mktsegment
          FROM customer WHERE c_name LIKE '%1%'
