@@ -30,6 +30,10 @@ object DelimitedSource {
     val base = spark.read
       .option("sep", "|")
       .option("quote", "\"")
+      // RFC-4180 doubled-quote escaping ("" -> ") — the reference's
+      // pandas reader doubles quotes (doublequote=True default); Spark's
+      // default escape is backslash, which would pass `""` through raw.
+      .option("escape", "\"")
       .option("header", "true")
       .option("nullValue", "NULL")
       .option("mode", "PERMISSIVE")
@@ -55,6 +59,7 @@ object DelimitedSource {
     spark.read
       .option("sep", "|")
       .option("quote", "\"")
+      .option("escape", "\"")
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -67,6 +72,7 @@ object DelimitedSource {
     df.write.mode("overwrite")
       .option("sep", "|")
       .option("quote", "\"")
+      .option("escape", "\"")
       .option("header", "true")
       .csv(path)
 

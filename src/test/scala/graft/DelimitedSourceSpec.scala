@@ -64,4 +64,52 @@ class DelimitedSourceSpec extends AnyFunSuite {
     assert(DelimitedSource.fileDateOf("people_20251499.txt") === None)
     assert(DelimitedSource.fileDateOf("people.txt") === None)
   }
+
+  // Quoting parity matrix vs the reference's pandas reader
+  // (doublequote=True default): embedded delimiters, RFC-4180 doubled
+  // quotes, and the null vocabulary must parse identically.
+  test("quoting matrix: embedded delimiter, doubled quote, null vocab") {
+    val dir = Files.createTempDirectory("graft_csv4").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "m.txt"),
+      "id|name|note\n" +
+        "1|\"pi|pe\"|plain\n" +          // delimiter inside quotes
+        "2|\"say \"\"hi\"\" now\"|x\n" + // RFC doubled quote
+        "3|\"\"|None\n" +                // explicitly-quoted empty + None
+        "4|null|\"NULL\"\n")             // null vocab, quoted variant
+    val got = DelimitedSource.read(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("name"), r.getAs[String]("note"))).toMap
+    assert(got("1") === (("pi|pe", "plain")))
+    assert(got("2") === (("say \"hi\" now", "x")))     // pandas parse
+    assert(got("3") === ((null, null)))                // "" and None are null
+    assert(got("4") === ((null, null)))                // null and "NULL"
+  }
+
+  test("doubled quotes survive a write -> read round trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv5").toString + "/rt"
+    val df = Seq(("1", "say \"hi\"|ok"), ("2", "plain")).toDF("id", "v")
+    DelimitedSource.write(df, dir)
+    val back = DelimitedSource.read(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("v")).toMap
+    assert(back("1") === "say \"hi\"|ok")
+    assert(back("2") === "plain")
+  }
+
+  test("typed schema read parses numerics and dates once, not per query") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv6").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "t.txt"),
+      "k|amt|d\n1|12.50|2024-01-02\n2|None|2024-02-03\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("amt", DoubleType),
+      StructField("d", DateType)))
+    val got = DelimitedSource.read(spark, dir, Some(schema))
+    assert(got.schema.map(_.dataType) ===
+      Seq(LongType, DoubleType, DateType))
+    val rows = got.orderBy(col("k")).collect()
+    assert(rows(0).getAs[Double]("amt") === 12.50)
+    assert(rows(0).getAs[java.sql.Date]("d").toString === "2024-01-02")
+  }
 }
