@@ -50,6 +50,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("ann_pq encodes map-only: no sort/object aggregate, one shuffled agg") {
+    // the literal-codebook rewrite keeps the encode inside codegen: a
+    // groupBy+max_by formulation would plan a SortAggregate over the
+    // N×M×K expanded product. Only the ADC sum (HashAggregate) and the
+    // top-k machinery may shuffle.
+    val plan = similarity.Knn.pq(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
+  }
+
+  test("text_repetition reuses the gram window's partitioning for all aggs") {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // window shuffle on doc_id + final presentation sort = the only
+      // two exchanges; all three aggregation levels must reuse the
+      // doc_id hash partitioning (doc_id ⊆ every grouping key)
+      val plan = operators.TextOps.repetition(spark, Sf)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length <= 2, plan.toString.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("dedup_embed_lsh band width scales with the corpus size") {
     // 500 vectors at sf0.001×10 ⇒ ⌈log₂ 50⌉ = 6 planes per band at the
     // test SF; the banded explode must therefore produce 16 hashes per
