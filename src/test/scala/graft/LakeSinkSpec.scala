@@ -60,6 +60,32 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(parquetFiles(s"$base/compacted") < parquetFiles(frag))
   }
 
+  test("clustered write produces pairwise-disjoint per-file key ranges") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_cl").toString
+    val out = s"$base/clustered"
+    LakeSink.writeClustered(
+      Tables.orders(spark, Sf).select(col("o_orderkey"), col("o_totalprice")),
+      out, nFiles = 4, col("o_totalprice"))
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2, s"expected multiple files, got ${files.length}")
+    // per-file (min, max) of the cluster key — these are exactly the
+    // stats parquet row-group skipping consults
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping file ranges: $hi > $lo")
+      case _ =>
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(out).count() ===
+           Tables.orders(spark, Sf).count())
+  }
+
   test("salted aggregation matches plain aggregation") {
     val plain = Tables.lineitem(spark, Sf)
       .groupBy(col("l_returnflag").as("key"))
