@@ -171,6 +171,45 @@ object TextOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** The WHOLE pretraining prep chain as one composed plan — the
+    * flagship LLM-data query: C4-style quality gate (map-only) →
+    * Gopher repetition gate (shared repetitionMetrics core) →
+    * exact-dedup keepers (one content-hash shuffle) → benchmark
+    * decontamination (anti-join against dedup.Dedup.contamination's
+    * flagged training docs; the eval md5-bucket itself never trains) →
+    * per-language corpus accounting (docs, tokens, 64-token chunks).
+    *
+    * Every stage reuses the operator that is independently
+    * oracle-checked, and the composition gets its own oracle — so the
+    * end-to-end answer is pinned, not just the pieces. Scale: gates are
+    * scans; the dedup window and the contamination skeleton are the
+    * same sub-quadratic shapes as their standalone operators; the final
+    * rollup is map-side combined on a low-cardinality key. */
+  def pretrainPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val gated = gatedDocs(spark, dir)
+    val rep = repetitionMetrics(gated.select(col("doc_id"), col("text")))
+    val clean = gated.join(rep, Seq("doc_id"), "left")
+      .filter(!(coalesce(col("top_bigram_frac"), lit(0.0)) > 0.18 ||
+                coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.30))
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(normText(col("text")))).orderBy(col("doc_id"))
+    val keepers = clean
+      .withColumn("rk", row_number().over(byContent))
+      .filter(col("rk") === 1)
+    val contaminated = graft.dedup.Dedup.contamination(spark, dir)
+      .select(col("train_doc_id")).distinct()
+    keepers
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+                .cast("int") =!= 15)
+      .join(contaminated, col("doc_id") === col("train_doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).as("n_tokens"),
+           sum((floor((col("n_words") - 1) / 64) + 1).cast("long"))
+             .as("n_chunks"))
+      .orderBy(col("lang"))
+  }
+
   /** Fixed-size token chunking (pretraining/RAG shard prep): each
     * document splits into consecutive 64-token chunks, last chunk
     * ragged. Entirely MAP-SIDE: the token array is built once per row,
@@ -209,10 +248,22 @@ object TextOps {
     * every aggregate is hash-based with map-side partial combine, never
     * a per-doc sort. At 100 TB this is the same two-shuffle profile as
     * word count. */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_bigrams"),
+              col("top_bigram_frac"), col("dup_trigram_frac"),
+              (coalesce(col("top_bigram_frac"), lit(0.0)) > 0.18 ||
+               coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.30)
+                .as("repetitive"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-level core (docs must have doc_id + text): per-doc repetition
+    * metrics, unsorted/unflagged — shared by text_repetition and the
+    * pretrain pipeline so thresholds can't silently diverge. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = Tables.documents(spark, dir)
+    val grams = docs
       .select(col("doc_id"), posexplode(reTokens(col("text"))).as(Seq("pos", "w")))
       .withColumn("w2", lead(col("w"), 1).over(byDoc))
       .withColumn("w3", lead(col("w"), 2).over(byDoc))
@@ -247,6 +298,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pretrain_pipeline" -> (pretrainPipeline _),
     "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
     "text_corpus_pipeline" -> (corpusPipeline _),
@@ -261,6 +313,74 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_pretrain_pipeline" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents),
+         q AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_words,
+                 floor((CAST(list_sum(list_transform(w, x -> length(x)))
+                            AS DOUBLE) / len(w)) * 100 + 0.5) / 100 AS awl,
+                 floor((CAST(len(list_filter(w,
+                            x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                        / len(w)) * 10000 + 0.5) / 10000 AS swr
+               FROM t),
+         g0 AS (SELECT * FROM q
+                WHERE n_words >= 30 AND awl BETWEEN 3.0 AND 8.0
+                  AND swr >= 0.02),
+         bg AS (SELECT doc_id, 2 AS width, w[i+1] || ' ' || w[i+2] AS gram
+                FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+                      FROM g0 WHERE len(w) >= 2)),
+         tg AS (SELECT doc_id, 3 AS width,
+                       w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+                FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+                      FROM g0 WHERE len(w) >= 3)),
+         ga AS (SELECT * FROM bg UNION ALL SELECT * FROM tg),
+         c AS (SELECT doc_id, width, gram, count(*) AS c
+               FROM ga GROUP BY 1, 2, 3),
+         pw AS (SELECT doc_id, width, max(c) AS top_c,
+                       CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct
+                FROM c GROUP BY 1, 2),
+         f AS (SELECT doc_id,
+                 floor(max(CASE WHEN width = 2 THEN top_c * 1.0 / n END)
+                       * 10000 + 0.5) / 10000 AS tbf,
+                 floor(max(CASE WHEN width = 3
+                           THEN 1.0 - n_distinct * 1.0 / n END)
+                       * 10000 + 0.5) / 10000 AS dtf
+               FROM pw GROUP BY 1),
+         clean AS (SELECT g0.* FROM g0 LEFT JOIN f USING (doc_id)
+                   WHERE NOT (coalesce(f.tbf, 0) > 0.18 OR
+                              coalesce(f.dtf, 0) > 0.30)),
+         k AS (SELECT *, row_number() OVER (
+                 PARTITION BY md5(array_to_string(w, ' '))
+                 ORDER BY doc_id) AS rk FROM clean),
+         keep AS (SELECT * FROM k WHERE rk = 1),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(len(w) - 2),
+                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                  ELSE [] END) AS s
+                FROM t),
+         ex AS (SELECT doc_id, len(s) AS n_sh,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                            AS INTEGER) = 15 AS is_eval,
+                       unnest(s) AS shingle
+                FROM sh),
+         pairs AS (
+           SELECT tt.doc_id AS train_doc_id, ee.doc_id AS eval_doc_id,
+                  count(*) AS inter, any_value(ee.n_sh) AS n_sh_eval
+           FROM ex tt JOIN ex ee ON tt.shingle = ee.shingle
+           WHERE NOT tt.is_eval AND ee.is_eval
+           GROUP BY 1, 2),
+         contam AS (SELECT DISTINCT train_doc_id FROM pairs
+                    WHERE floor((inter * 1.0 / n_sh_eval) * 10000 + 0.5)
+                          / 10000 >= 0.1)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS n_tokens,
+                CAST(sum((n_words - 1) // 64 + 1) AS BIGINT) AS n_chunks
+         FROM keep
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                    AS INTEGER) <> 15
+           AND doc_id NOT IN (SELECT train_doc_id FROM contam)
+         GROUP BY lang ORDER BY lang""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
