@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The pretraining prep chain exercises the library end-to-end: quality
+    * + repetition gates, exact dedup, decontamination, corpus accounting
+    * — one composed Catalyst plan (TextOps.pretrainPipeline). */
   def entry(spark: SparkSession): DataFrame =
-    operators.Reports.conditionalRates(spark, "/root/testdata/sf0.001")
+    operators.TextOps.pretrainPipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Etl.queries ++
