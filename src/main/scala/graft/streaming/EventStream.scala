@@ -99,6 +99,21 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup — the stream-native twin of
+    * dedup.Dedup.incremental: documents arriving on a stream are
+    * dropped when their canonicalized content hash was already seen
+    * inside the watermark horizon. The hash is computed in-stream
+    * (map-side), state holds one 16-byte hash per distinct doc within
+    * the horizon, and the first arrival wins — so a re-crawled or
+    * re-delivered document never lands twice. Needs `ts` + `text`
+    * columns. */
+  def dedupContentStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm_hash",
+        md5(graft.functions.TextFunctions.normText(col("text"))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("norm_hash")
+
   /** Convenience: run the hourly aggregation over a micro-batch stream
     * into an in-memory sink (complete mode — append would hold back
     * windows the watermark hasn't closed yet, losing the stream's tail). */

@@ -125,6 +125,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming content dedup drops re-crawled duplicate documents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    def doc(id: Long, t: String, body: String) =
+      (id, java.sql.Timestamp.valueOf(t), body)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStream.dedupContentStream(
+        input.toDF().toDF("doc_id", "ts", "text")).writeStream
+      .outputMode("append").format("memory").queryName("content_dedup").start()
+    input.addData(
+      doc(1, "2024-01-01 10:00:00", "the quick brown fox"),
+      doc(2, "2024-01-01 10:01:00", "The  quick BROWN fox"), // same canon
+      doc(3, "2024-01-01 10:02:00", "something else"))
+    q.processAllAvailable()
+    // second batch re-delivers doc 1's content under a new id
+    input.addData(doc(9, "2024-01-01 10:30:00", "the quick brown fox!"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("content_dedup")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // 2 and 9 canonicalize to doc 1's hash
+  }
+
   test("stateful sessionizer matches batch evt_sessionize") {
     import spark.implicits._
     // One micro-batch: per-user final state must equal the batch result.
