@@ -210,6 +210,29 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Unigram-LM quality score — the KenLM-perplexity stand-in every
+    * corpus filter stack carries: the corpus's own unigram frequencies
+    * are the language model, and each document scores the average
+    * negative log-probability of its tokens (high = out-of-distribution
+    * / junk; low = fluent for this corpus).
+    *
+    * Two passes over one exploded token stream: global term counts
+    * (map-side-combined), then a term-keyed join back and a per-doc
+    * average — the same shuffle profile as TF-IDF. The corpus total is
+    * a lazy 1-row aggregate (broadcast cross join, no driver count). */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(reTokens(col("text"))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("t"))
+    terms.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           rnd(avg(-log(col("c") * 1.0 / col("t"))), 4).as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-size token chunking (pretraining/RAG shard prep): each
     * document splits into consecutive 64-token chunks, last chunk
     * ragged. Entirely MAP-SIDE: the token array is built once per row,
@@ -299,6 +322,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pretrain_pipeline" -> (pretrainPipeline _),
+    "text_unigram_logprob" -> (unigramLogprob _),
     "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
     "text_corpus_pipeline" -> (corpusPipeline _),
@@ -381,6 +405,18 @@ object TextOps {
                     AS INTEGER) <> 15
            AND doc_id NOT IN (SELECT train_doc_id FROM contam)
          GROUP BY lang ORDER BY lang""",
+    "text_unigram_logprob" ->
+      """WITH terms AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         counts AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+         total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                floor(avg(-ln(c * 1.0 / t)) * 10000 + 0.5) / 10000
+                  AS avg_neg_logprob
+         FROM terms JOIN counts USING (term) CROSS JOIN total
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w

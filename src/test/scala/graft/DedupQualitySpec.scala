@@ -98,4 +98,17 @@ class DedupQualitySpec extends AnyFunSuite {
       .map(_._3)
     assert(plantedHamming.forall(_ <= 8))
   }
+
+  test("minhash-verified pairs are a precision-1.0 subset of exact jaccard") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val verified = toMap(dedup.Dedup.minhashVerified(spark, Sf))
+    val exact = toMap(dedup.Dedup.ngramJaccard(spark, Sf))
+    assert(verified.nonEmpty)
+    verified.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j),
+        s"pair $pair verified=$j exact=${exact.get(pair)}")
+    }
+  }
 }
