@@ -135,6 +135,29 @@ object Events {
         rnd(col("n_converted") * 100.0 / col("n_signed_up"), 1))
   }
 
+  /** Batch click→purchase attribution: for each purchase, the clicks
+    * the same user made in the preceding 30 minutes — the batch twin of
+    * streaming.EventStream.purchaseAttribution (same join predicate).
+    * User-keyed equi-join with the time window as a riding range
+    * predicate: shuffles once on user_id; time math in integer micros
+    * per the cross-engine parity rule. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+              col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"),
+              col("event_id").as("click_id"))
+    p.join(c, col("p_user") === col("c_user") &&
+              col("c_us") >= col("p_us") - lit(1800000000L) &&
+              col("c_us") <= col("p_us"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+           min(col("click_id")).as("first_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Semi-structured extraction: pull a JSON prop, aggregate per type. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -152,6 +175,7 @@ object Events {
     "evt_asof_enrich"   -> (asofEnrich _),
     "evt_asof_join"     -> (asofJoinPurchases _),
     "evt_funnel_conversion" -> (funnelConversion _),
+    "evt_attribution"   -> (attribution _),
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -235,6 +259,18 @@ object Events {
          SELECT event_id, user_id, event_type,
                 CAST((us - signup_us) // 1000000 AS BIGINT) AS secs_since_signup
          FROM t""",
+    "evt_attribution" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS p_us,
+                           event_id AS purchase_id
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+               FROM events WHERE event_type = 'click')
+         SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_clicks,
+                min(click_id) AS first_click_id
+         FROM p JOIN c ON p.user_id = c.user_id
+                      AND c.c_us >= p.p_us - 1800000000
+                      AND c.c_us <= p.p_us
+         GROUP BY purchase_id ORDER BY purchase_id""",
     "evt_funnel_conversion" ->
       """WITH u AS (
            SELECT user_id,
