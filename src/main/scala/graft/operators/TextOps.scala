@@ -258,6 +258,39 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Sequence packing (training-batch prep): assign each document a
+    * (shard, seq_id, seq_offset) slot in a stream of fixed-budget
+    * (256-token) training sequences — GPT-style document concatenation,
+    * where a document may straddle a sequence boundary and continue in
+    * the next sequence.
+    *
+    * Packing is inherently sequential, so the scalable formulation
+    * SHARDS FIRST: documents hash into 16 deterministic md5-nibble
+    * shards and the running token total is windowed per shard
+    * (`Window.partitionBy(shard)`), never globally — 16-way parallel
+    * here, O(cluster)-way with more nibbles at 100 TB, and each window
+    * task streams its shard without a global sort. seq_id =
+    * exclusive-running-total div budget is pure arithmetic on the
+    * window output, still inside codegen. */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 256L
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(reTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", shard)
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+              expr(s"start_tok div $Budget").as("seq_id"),
+              (col("start_tok") % lit(Budget)).as("seq_offset"),
+              col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition metrics — the quality filter that catches
     * boilerplate and degenerate generations: per document, the mass
     * fraction of the single most frequent bigram and the fraction of
@@ -324,6 +357,7 @@ object TextOps {
     "text_pretrain_pipeline" -> (pretrainPipeline _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_repetition" -> (repetition _),
+    "text_pack" -> (pack _),
     "text_chunks" -> (chunks _),
     "text_corpus_pipeline" -> (corpusPipeline _),
     "text_corpus_filter" -> (corpusFilter _),
@@ -447,6 +481,23 @@ object TextOps {
                 (coalesce(top_bigram_frac, 0) > 0.18 OR
                  coalesce(dup_trigram_frac, 0) > 0.30) AS repetitive
          FROM f ORDER BY doc_id""",
+    "text_pack" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                                AS BIGINT) AS n_tokens,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                                AS INTEGER) AS shard
+                    FROM documents),
+         s AS (SELECT doc_id, shard, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS start_tok
+               FROM t)
+         SELECT doc_id, shard,
+                CAST(start_tok // 256 AS BIGINT) AS seq_id,
+                CAST(start_tok % 256 AS BIGINT) AS seq_offset,
+                n_tokens
+         FROM s ORDER BY doc_id""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w

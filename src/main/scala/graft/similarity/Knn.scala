@@ -279,6 +279,141 @@ object Knn {
     pqTopK(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
 
+  /** Residual (two-level / multi-codebook) quantization — the
+    * refinement ladder over PQ: level 1 picks the nearest full-dim
+    * codeword, level 2 encodes the RESIDUAL x − c1 with a second
+    * codebook, so the reconstruction is c1 + c2 and the error is
+    * monotonically ≤ the one-level error (codebook 2 contains the zero
+    * vector, so "refine by nothing" is always available — RqSpec
+    * asserts the monotone-improvement contract on real embeddings).
+    *
+    * Both codebooks are BOUNDED MODEL PARAMETERS (K=16 vectors each,
+    * ~4 KB total independent of corpus size): fit on a deterministic
+    * id-strided sample, collected once, inlined as literals. The
+    * level-2 assignment never materializes the residual array —
+    * argmin‖(x−c1)−c2‖² expands to argmax(dot(x,c2) − dot(c1,c2) −
+    * ‖c2‖²/2) where dot(c1,c2) is a LITERAL K1×K2 table looked up by
+    * code1 — so the whole encode is a pure map (two codegen'd argmax
+    * chains per row, no join/agg/shuffle; at 100 TB it is a scan).
+    *
+    * Query time mirrors PQ's ADC: score(q, x̂) = dot(q,c1) + dot(q,c2)
+    * = two LUT entries, joined on (level, code) and hash-summed, then
+    * the TopKPerKey bounded heap. Approximate by design → rows-only. */
+  private[graft] def fitRq(e: DataFrame)
+      : (IndexedSeq[Array[Float]], IndexedSeq[Array[Float]]) = {
+    import e.sparkSession.implicits._
+    val K1 = 16; val K2 = 16
+    def sub(a: Array[Float], b: Array[Float]): Array[Float] =
+      a.zip(b).map { case (x, y) => x - y }
+    def dotA(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val c1 = e.filter(col("vec_id") % 29 === 0).orderBy(col("vec_id"))
+      .limit(K1).select(col("embedding")).as[Seq[Float]].collect()
+      .map(_.toArray)
+    require(c1.nonEmpty, "RQ level-1 codebook sample is empty")
+    // Level-2 training sample on a different stride; its residuals
+    // against the nearest level-1 codeword become the codewords of
+    // codebook 2. O(K1·K2·dim) driver flops on ~4 KB of model data —
+    // model fitting, not a data loop.
+    val resids = e.filter(col("vec_id") % 31 === 0)
+      .orderBy(col("vec_id").desc).limit(K2 - 1)
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+      .map(x => sub(x, c1.minBy(c => dotA(sub(x, c), sub(x, c)))))
+    val zero = Array.fill(c1.head.length)(0.0f)
+    (c1.toIndexedSeq, (zero +: resids).toIndexedSeq)
+  }
+
+  /** Map-only two-level encode: (vec_id, code1, code2, err1, err2) with
+    * codes 1-based into the literal codebooks and errN = ‖x − x̂N‖²
+    * after N levels (the errs exist for the spec's monotonicity check;
+    * ADC consumers drop them). */
+  private[graft] def rqEncode(e: DataFrame, c1: IndexedSeq[Array[Float]],
+                              c2: IndexedSeq[Array[Float]]): DataFrame = {
+    def sqn(v: Array[Float]): Double = v.map(x => x.toDouble * x).sum
+    def cwLit(cb: IndexedSeq[Array[Float]]): IndexedSeq[Column] =
+      cb.map(v => typedlit(v.toSeq))
+    val cross: Seq[Seq[Double]] =
+      c1.map(a => c2.map(b => a.zip(b).map { case (x, y) =>
+        x.toDouble * y }.sum).toSeq).toSeq
+    val crossLit = typedlit(cross)
+    val v = col("embedding")
+    def argmax(scores: IndexedSeq[Column]): Column =
+      -array_max(array(scores.zipWithIndex.map { case (s, i) =>
+        struct(s.as("s"), lit(-(i + 1)).as("negi"))
+      }: _*)).getField("negi")
+    val code1 = argmax(c1.indices.map { j =>
+      VectorFunctions.dot(v, cwLit(c1)(j)) - lit(sqn(c1(j)) / 2)
+    })
+    // argmin‖(x−c1)−c2_i‖² without materializing the residual: the
+    // dot(c1, c2_i) correction is a literal table lookup by code1.
+    def code2(code1Col: Column): Column = argmax(c2.indices.map { i =>
+      VectorFunctions.dot(v, cwLit(c2)(i)) -
+        element_at(element_at(crossLit, code1Col), i + 1) -
+        lit(sqn(c2(i)) / 2)
+    })
+    val sq1Lit = typedlit(c1.map(sqn).toSeq)
+    val sq2Lit = typedlit(c2.map(sqn).toSeq)
+    val xx = VectorFunctions.dot(v, v)
+    e.select(col("vec_id"), v, xx.as("xx"), code1.as("code1"))
+      .select(col("vec_id"), v, col("xx"), col("code1"),
+              code2(col("code1")).as("code2"))
+      .select(col("vec_id"), col("code1"), col("code2"),
+        (col("xx") -
+          lit(2.0) * VectorFunctions.dot(v, element_at(
+            typedlit(c1.map(_.toSeq)), col("code1"))) +
+          element_at(sq1Lit, col("code1"))).as("err1"),
+        col("xx"), v)
+      .select(col("vec_id"), col("code1"), col("code2"), col("err1"),
+        (col("err1") -
+          lit(2.0) * VectorFunctions.dot(v, element_at(
+            typedlit(c2.map(_.toSeq)), col("code2"))) +
+          lit(2.0) * element_at(element_at(crossLit, col("code1")),
+                                col("code2")) +
+          element_at(sq2Lit, col("code2"))).as("err2"))
+  }
+
+  /** RQ/ADC top-k: candidates carry only their two byte codes; a
+    * query's score against a candidate is two broadcast-LUT lookups
+    * hash-summed, then the TopKPerKey bounded heap. */
+  def rqTopK(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val (c1, c2) = fitRq(e)
+    val candCodes = rqEncode(e, c1, c2)
+      .select(col("vec_id"), explode(array(
+        struct(lit(1).as("level"), col("code1").as("code")),
+        struct(lit(2).as("level"), col("code2").as("code")))).as("lc"))
+      .select(col("vec_id"), col("lc.level").as("level"),
+              col("lc.code").as("code"))
+    val lut = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        explode(array((for {
+          (cb, level) <- Seq((c1, 1), (c2, 2))
+          i <- cb.indices
+        } yield struct(lit(level).as("level"), lit(i + 1).as("cw"),
+          VectorFunctions.dot(col("embedding"), typedlit(cb(i).toSeq))
+            .as("contrib"))): _*)).as("x"))
+      .select(col("query_id"), col("x.level").as("l_level"),
+              col("x.cw").as("cw"), col("x.contrib").as("contrib"))
+    val scored = candCodes.join(broadcast(lut),
+        col("level") === col("l_level") && col("code") === col("cw") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("contrib")).as("rq_raw"))
+    val top = graft.plans.TopKPerKey(scored, "query_id", "rq_raw", k,
+      tiebreak = Some("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rq_raw").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("rq_raw"), 4).as("rq_score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** RQ/ADC top-10 over the embeddings table (see rqTopK). */
+  def rq(spark: SparkSession, dir: String): DataFrame =
+    rqTopK(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
+
   /** Rank-1-window formulation of the centroid assignment — kept only
     * as the parity reference for IvfAssignmentSpec (it shuffles the
     * expanded corpus×codebook product; assignToCentroids is the
@@ -310,6 +445,7 @@ object Knn {
     "ann_lsh"           -> (lshBuckets _),
     "ann_ivf"           -> (ivf _),
     "ann_pq"            -> (pq _),
+    "ann_rq"            -> (rq _),
     "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)))
 
   private val topkOracle: String =
