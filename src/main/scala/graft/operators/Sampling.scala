@@ -97,13 +97,71 @@ object Sampling {
       .orderBy(col("shard"))
   }
 
+  /** Per-domain cap (the RefinedWeb/C4-style guard against one crawl
+    * domain dominating the corpus): keep at most `Cap` docs per source,
+    * selected in deterministic md5 order. Routed through the custom
+    * TopKPerKey operator (graft.plans) — per-key bounded heaps with a
+    * map-side partial pass, so a 100 TB corpus with a million-doc hot
+    * domain shuffles ≤ Cap rows per source per input partition instead
+    * of sorting whole domains under a window. The md5 "score" makes the
+    * cap a reproducible uniform sample of each domain, not a
+    * first-k-seen bias. Oracle = the equivalent window formulation. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val Cap = 15
+    // first 13 md5 nibbles as a number: 52 bits, exact in double
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("double").as("coin"))
+    graft.plans.TopKPerKey(docs, "source", "coin", Cap,
+        tiebreak = Some("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Mixture reweighting: deterministic per-language keep rates
+    * (downsample the dominant language to 4/16, keep low-resource
+    * languages at 12/16) — the source-mixture step that turns a raw
+    * crawl into a training mix. Pure map-side predicate (the rate
+    * threshold is a row-local CASE on the stratum), one partial-agg
+    * shuffle for the accounting. */
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("b", bucket16(col("doc_id")))
+      .filter(col("b") < when(col("lang") === "en", 4).otherwise(12))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_domain_cap"    -> (domainCap _),
+    "sample_mixture"       -> (mixture _),
     "sample_deterministic" -> (sampleDocs _),
     "sample_stratified"    -> (stratifiedBalance _),
     "shard_by_budget"      -> (shardByBudget _),
     "split_train_test"     -> (splitDocs _))
 
   val oracles: Map[String, String] = Map(
+    "sample_domain_cap" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 13)) AS BIGINT) DESC,
+                             doc_id) AS rk
+           FROM documents)
+         SELECT source, doc_id, n_chars FROM r WHERE rk <= 15
+         ORDER BY source, doc_id""",
+    "sample_mixture" ->
+      """WITH b AS (
+           SELECT lang, n_chars,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                       AS INTEGER) AS bk
+           FROM documents)
+         SELECT lang, count(*) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM b WHERE bk < CASE WHEN lang = 'en' THEN 4 ELSE 12 END
+         GROUP BY lang ORDER BY lang""",
     "sample_stratified" ->
       """WITH r AS (
            SELECT doc_id, lang,

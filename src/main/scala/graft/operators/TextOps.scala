@@ -353,7 +353,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction — the scrub stage every pretraining pipeline runs
+    * before anything leaves the ingest zone (emails/IPs/phones →
+    * typed placeholder tokens; cf. the reference's PHI masking,
+    * /root/reference/core/etl_service.py hash_phi — same intent, regex
+    * surface instead of column-level hashing).
+    *
+    * The synthetic corpus contains no PII, so the entry seeds a
+    * DETERMINISTIC FIXTURE first (doc_id-keyed emails/IPs/phones
+    * appended in-plan; mirrored exactly in the oracle SQL) — what's
+    * verified end-to-end is the real thing: per-class match counts and
+    * the md5 of the scrubbed text, hash-checked against DuckDB's RE2
+    * engine on every doc. Map-only, whole-stage codegen, no shuffle;
+    * at 100 TB this is a pure scan→scan stage. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val seeded = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+                 col("doc_id") % 100)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit(""))).as("txt"))
+    seeded.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("txt"), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("txt"), lit(ip), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("txt"), lit(phone), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("txt"), email, "<EMAIL>"),
+              ip, "<IP>"),
+            phone, "<PHONE>")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (piiScrub _),
     "text_pretrain_pipeline" -> (pretrainPipeline _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_repetition" -> (repetition _),
@@ -371,6 +417,35 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    // identical fixture seeding + RE2-safe patterns; DuckDB
+    // regexp_replace needs the 'g' flag (Spark replaces all by default)
+    "text_pii_scrub" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                       ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-867-5309' ELSE '' END AS txt
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(txt,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(txt,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                  AS n_ips,
+                CAST(len(regexp_extract_all(txt,
+                  '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(regexp_replace(regexp_replace(txt,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_hash
+         FROM seeded ORDER BY doc_id""",
     "text_pretrain_pipeline" ->
       """WITH t AS (SELECT doc_id, lang,
                            regexp_extract_all(lower(text), '[a-z0-9]+') AS w

@@ -78,6 +78,16 @@ class EventStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+
+    // ...and aggregated, the streamed pairs reproduce the DuckDB-oracle-
+    // checked batch operator exactly (streaming -> batch -> oracle chain)
+    val aggStreamed = spark.table("attr_out")
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"), min("click_id").as("first_click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oracleOp = operators.Events.attribution(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(aggStreamed === oracleOp)
   }
 
   test("streaming dedup drops re-delivered event ids") {

@@ -78,6 +78,32 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("text_pii_scrub is a pure scan→scan map (no join/agg, only the presentation sort)") {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = operators.TextOps.piiScrub(spark, Sf).queryExecution.executedPlan
+      assert(plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, plan.toString.take(2000))
+      assert(plan.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isEmpty, plan.toString.take(2000))
+      // the only exchange allowed is the deterministic output ordering
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length <= 1, plan.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("sample_domain_cap runs through TopKPerKey with a map-side partial pass") {
+    val plan = operators.Sampling.domainCap(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
   test("dedup_embed_lsh band width scales with the corpus size") {
     // 500 vectors at sf0.001×10 ⇒ ⌈log₂ 50⌉ = 6 planes per band at the
     // test SF; the banded explode must therefore produce 16 hashes per
