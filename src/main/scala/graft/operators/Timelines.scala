@@ -191,6 +191,27 @@ object Timelines {
       .orderBy(col("period"))
   }
 
+  /** 7-day rolling order volume — a RANGE-frame window (value-based:
+    * calendar gaps shrink the frame to the days actually present in
+    * the last week, unlike a ROWS frame which would always grab 7
+    * physical rows). Same scale shape as runningTotal: the rollup
+    * shrinks the fact table to O(days) rows first, so the
+    * unpartitioned window sorts thousands of rows, never the facts. */
+  def rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_num",
+        datediff(to_date(col("day")), to_date(lit("1970-01-01"))))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("roll7_n", sum(col("n")).over(w))
+      .withColumn("roll7_avg", rnd(avg(col("n")).over(w), 2))
+      .select(col("day"), col("n"), col("roll7_n"), col("roll7_avg"))
+      .orderBy(col("day"))
+  }
+
   /** Year-over-year growth per month (lag-12 over the monthly rollup;
     * growth% via the cross-engine-stable rounding). */
   def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
@@ -247,6 +268,7 @@ object Timelines {
     "rpt_rollup"           -> (rollupYearPriority _),
     "rpt_cohort_retention" -> (cohortRetention _),
     "rpt_running_total"    -> (runningTotal _),
+    "rpt_rolling_7d"       -> (rolling7d _),
     "rpt_yoy_growth"       -> (yoyGrowth _),
     "rpt_timeline_month"   -> (timelineMonth _),
     "rpt_timeline_week"    -> ((s, d) => timeline(s, d, "week")),
@@ -317,6 +339,19 @@ object Timelines {
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS period, count(*) AS n
          FROM orders WHERE o_orderdate IS NOT NULL
          GROUP BY 1 ORDER BY period""",
+    "rpt_rolling_7d" ->
+      """WITH d AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+                  count(*) AS n
+           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2)
+         SELECT day, n,
+                CAST(sum(n) OVER w AS BIGINT) AS roll7_n,
+                floor(avg(n) OVER w * 100 + 0.5) / 100 AS roll7_avg
+         FROM d
+         WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING
+                      AND CURRENT ROW)
+         ORDER BY day""",
     "rpt_status_over_time_week" ->
       """SELECT strftime(date_trunc('week', CAST(o_orderdate AS DATE)),
                          '%Y-%m-%d') AS period,
