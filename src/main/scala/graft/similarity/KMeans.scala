@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Distributed Lloyd's k-means over an embedding column — the codebook
+  * trainer for the IVF/PQ/RQ family (which previously used id-strided
+  * samples as honest stand-ins) and the cluster step of semantic dedup
+  * (dedup.Dedup.semantic).
+  *
+  * The centroid set is a BOUNDED MODEL PARAMETER (k×dim doubles, a few
+  * KB independent of corpus size), so each Lloyd round collects it to
+  * the driver and inlines it as literals — which makes the ASSIGNMENT
+  * step a PURE MAP: one codegen'd argmax chain per row (k native dot
+  * products), no join, no broadcast, no shuffle. The UPDATE step is one
+  * map-side-combined `groupBy(cluster, pos)` aggregation over the
+  * posexploded components: the explode is map-local and the partial
+  * combine collapses it in-partition, so each Lloyd round shuffles at
+  * most k×dim partial rows per input partition — at 100 TB a round is
+  * a scan plus a k×dim-sized exchange.
+  *
+  * The literal-argmax formulation bounds k (codegen method size); it is
+  * the right shape for codebook-scale k (≤ ~64). Beyond that (e.g.
+  * SemDeDup's 100k clusters) assignment switches to the broadcast
+  * codebook + max_by groupBy shape already in Knn.assignToCentroids —
+  * same per-round shuffle profile, one extra exchange.
+  *
+  * Driver-side work per round is O(k×dim) model arithmetic on the
+  * collected stats — model fitting, not a data loop (same contract as
+  * the CC convergence check and the PQ/RQ codebook collects).
+  */
+object KMeans {
+
+  /** Assignment against literal centroids: appends `cluster` (1-based)
+    * and `sqdist` (‖x − c_cluster‖², clamped at 0 against FP drift).
+    * argmax(2·x·cᵢ − ‖cᵢ‖²) ⇔ argmin‖x − cᵢ‖² (x·x is constant per
+    * row); ties break to the lowest cluster id via the (score, −i)
+    * struct ordering. Pure map — at 100 TB this is a scan. */
+  private[graft] def assign(e: DataFrame,
+                            cents: IndexedSeq[Array[Double]]): DataFrame = {
+    def sqn(v: Array[Double]): Double = v.map(x => x * x).sum
+    val v = col("embedding")
+    val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(2.0) * VectorFunctions.dot(v, typedlit(c.toSeq)) - lit(sqn(c)))
+          .as("s"),
+        lit(-(i + 1)).as("negi"))
+    }: _*))
+    e.withColumn("b", best)
+      .withColumn("cluster", -col("b.negi"))
+      .withColumn("sqdist",
+        greatest(VectorFunctions.dot(v, v) - col("b.s"), lit(0.0)))
+      .drop("b")
+  }
+
+  /** Lloyd iterations from a deterministic id-strided init. Returns the
+    * final centroids and the inertia (Σ min-sqdist) measured at the
+    * START of each round — non-increasing by the Lloyd argument, which
+    * KMeansSpec asserts. Stops early when the update is a fixed point.
+    * Empty clusters keep their previous centroid. */
+  def fit(e: DataFrame, k: Int, maxIter: Int)
+      : (IndexedSeq[Array[Double]], Seq[Double]) = {
+    import e.sparkSession.implicits._
+    require(k >= 1 && maxIter >= 1, s"need k>=1, maxIter>=1; got $k, $maxIter")
+    val init = e.filter(col("vec_id") % 17 === 0).orderBy(col("vec_id"))
+      .limit(k).select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    require(init.nonEmpty, "k-means init sample is empty")
+    val dim = init.head.length
+    var cents: IndexedSeq[Array[Double]] = init.toIndexedSeq
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var iter = 0
+    var fixedPoint = false
+    while (iter < maxIter && !fixedPoint) {
+      // One job per round: cluster/sqdist are row-local, the explode is
+      // map-side, and the (cluster, pos) hash agg partial-combines, so
+      // the shuffle carries ≤ k×dim rows per input partition. sqdist is
+      // replicated across a row's dim exploded components, so
+      // Σ sd / dim recovers the true inertia from the same pass.
+      val stats = assign(e, cents)
+        .select(col("cluster"), col("sqdist"),
+                posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"),
+             sum(col("sqdist")).as("sd"))
+        .collect()
+      inertias += stats.iterator.map(_.getAs[Double]("sd")).sum / dim
+      val next = Array.tabulate(cents.length)(i => cents(i))
+      stats.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rows) =>
+        val arr = new Array[Double](dim)
+        rows.foreach { r =>
+          arr(r.getAs[Int]("pos")) =
+            r.getAs[Double]("s") / r.getAs[Long]("n")
+        }
+        next(c - 1) = arr
+      }
+      fixedPoint = cents.indices.forall(i => cents(i).sameElements(next(i)))
+      cents = next.toIndexedSeq
+      iter += 1
+    }
+    (cents, inertias.toSeq)
+  }
+}

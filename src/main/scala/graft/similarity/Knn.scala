@@ -414,6 +414,56 @@ object Knn {
     rqTopK(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
 
+  /** k-means cluster profile: fit k=8 centroids with ≤5 Lloyd rounds
+    * (KMeans.fit — trained, closing the "codebooks are honest samples"
+    * gap of ivf/pq/rq), then one map-only assignment pass and a
+    * partial-combined rollup. Floating-point convergence is
+    * engine-specific → rows-only; KMeansSpec pins the Lloyd contract
+    * (inertia monotone non-increasing, assignment = exact argmin,
+    * map-only assignment plan, planted-duplicate co-clustering). */
+  def kmeansProfile(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (cents, _) = KMeans.fit(e, 8, 5)
+    KMeans.assign(e, cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+           rnd(avg(col("sqdist")), 3).as("avg_sqdist"))
+      .orderBy(col("cluster"))
+  }
+
+  /** IVF search over a TRAINED codebook (k-means, 3 Lloyd rounds)
+    * instead of ivf's id-strided sample. Because the trained codebook
+    * is literal, the corpus-side cell assignment is a PURE MAP (no
+    * broadcast join, no max_by shuffle — compare assignToCentroids),
+    * so the branch consumed by both the query and candidate sides
+    * recomputes only a scan+map and needs no checkpoint. Approximate
+    * (cell-boundary misses) → rows-only; KMeansSpec asserts the
+    * trained codebook's inertia ≤ the sampled init's (the Lloyd
+    * guarantee that makes "trained" better than "sampled"). */
+  def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (cents, _) = KMeans.fit(e, 16, 3)
+    val assigned = KMeans.assign(e, cents)
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("cluster").as("q_cluster"))
+    val cand = assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
+                               col("embedding").as("nv"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    cand.join(broadcast(q), col("cluster") === col("q_cluster") &&
+                            col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_raw", VectorFunctions.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Rank-1-window formulation of the centroid assignment — kept only
     * as the parity reference for IvfAssignmentSpec (it shuffles the
     * expanded corpus×codebook product; assignToCentroids is the
@@ -446,6 +496,8 @@ object Knn {
     "ann_ivf"           -> (ivf _),
     "ann_pq"            -> (pq _),
     "ann_rq"            -> (rq _),
+    "ann_kmeans"        -> (kmeansProfile _),
+    "ann_ivf_trained"   -> (ivfTrained _),
     "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)))
 
   private val topkOracle: String =
