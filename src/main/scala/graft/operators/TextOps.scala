@@ -233,6 +233,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance sampling: score every document by how much
+    * more likely its tokens are under a TARGET domain's unigram LM than
+    * under the whole corpus's (Data Selection via Importance Resampling
+    * — the hashed-ngram estimator reduced to unigrams; the en-language
+    * slice stands in for the curated target). score =
+    * avg_tokens(ln p_tgt − ln p_all), add-one smoothed over the corpus
+    * vocabulary; the top scorers are the docs a targeted pretraining
+    * mix keeps.
+    *
+    * Scale: ONE counts pass serves both LMs (conditional count inside
+    * the same map-side-combined groupBy — not two pipelines), totals
+    * are a lazy 1-row aggregate (broadcast, no driver count), the
+    * score join is term-keyed like tf-idf, and the final top-N is a
+    * TakeOrderedAndProject. Fully deterministic → DuckDB oracle. */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(reTokens(col("text"))).as("term"))
+    val counts = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("c_all"),
+           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(sum(col("c_all")).cast("double").as("t_all"),
+                            sum(col("c_tgt")).cast("double").as("t_tgt"),
+                            count(lit(1)).cast("double").as("v"))
+    terms.join(counts, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+           rnd(avg(log((col("c_tgt") + 1.0) / (col("t_tgt") + col("v"))) -
+                   log((col("c_all") + 1.0) / (col("t_all") + col("v")))), 4)
+             .as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** CCNet-style perplexity bucketing: rank every document by its
+    * unigram-LM avg negative log-probability (the [[unigramLogprob]]
+    * score) and split the corpus into head / middle / tail terciles —
+    * head is the most in-distribution third a quality-tiered mix
+    * trains on first. The tercile cutoffs are exact interpolated
+    * percentiles computed as a LAZY 1-ROW aggregate and broadcast into
+    * a row-local CASE — no rank window over the corpus (ntile would
+    * funnel 100 TB through a global sort; two scalar cutoffs don't).
+    * At 100 TB the swap-in is approx_percentile for the cutoff row
+    * (the rpt_approx_percentiles pattern). */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = unigramLogprob(spark, dir)
+      .select(col("doc_id"), col("avg_neg_logprob"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val cuts = scored.agg(
+      expr("percentile(avg_neg_logprob, CAST(1.0/3.0 AS DOUBLE))").as("c1"),
+      expr("percentile(avg_neg_logprob, CAST(2.0/3.0 AS DOUBLE))").as("c2"))
+    scored.join(docs, Seq("doc_id"))
+      .crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_neg_logprob") <= col("c1"), "head")
+          .when(col("avg_neg_logprob") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           rnd(avg(col("avg_neg_logprob")), 4).as("avg_nlp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Fixed-size token chunking (pretraining/RAG shard prep): each
     * document splits into consecutive 64-token chunks, last chunk
     * ragged. Entirely MAP-SIDE: the token array is built once per row,
@@ -399,6 +462,8 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_importance" -> (importanceSample _),
+    "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_pii_scrub" -> (piiScrub _),
     "text_pretrain_pipeline" -> (pretrainPipeline _),
     "text_unigram_logprob" -> (unigramLogprob _),
@@ -417,6 +482,52 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "sample_importance" ->
+      """WITH terms AS (
+           SELECT doc_id, lang,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         counts AS (
+           SELECT term, count(*) AS c_all,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c_tgt
+           FROM terms GROUP BY 1),
+         totals AS (
+           SELECT CAST(sum(c_all) AS DOUBLE) AS t_all,
+                  CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+                  CAST(count(*) AS DOUBLE) AS v
+           FROM counts)
+         SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                floor(avg(ln((c_tgt + 1.0) / (t_tgt + v)) -
+                          ln((c_all + 1.0) / (t_all + v))) * 10000 + 0.5)
+                  / 10000 AS dsir_score
+         FROM terms JOIN counts USING (term) CROSS JOIN totals
+         GROUP BY doc_id, lang
+         ORDER BY dsir_score DESC, doc_id
+         LIMIT 100""",
+    "text_perplexity_buckets" ->
+      """WITH terms AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         counts AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+         total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+         scored AS (
+           SELECT doc_id,
+                  floor(avg(-ln(c * 1.0 / t)) * 10000 + 0.5) / 10000 AS s
+           FROM terms JOIN counts USING (term) CROSS JOIN total
+           GROUP BY doc_id),
+         cuts AS (SELECT quantile_cont(s, CAST(1.0/3.0 AS DOUBLE)) AS c1,
+                         quantile_cont(s, CAST(2.0/3.0 AS DOUBLE)) AS c2
+                  FROM scored)
+         SELECT d.lang,
+                CASE WHEN s <= c1 THEN 'head'
+                     WHEN s <= c2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+                count(*) AS n_docs,
+                floor(avg(s) * 10000 + 0.5) / 10000 AS avg_nlp
+         FROM scored JOIN documents d USING (doc_id) CROSS JOIN cuts
+         GROUP BY 1, 2 ORDER BY lang, bucket""",
     // identical fixture seeding + RE2-safe patterns; DuckDB
     // regexp_replace needs the 'g' flag (Spark replaces all by default)
     "text_pii_scrub" ->
