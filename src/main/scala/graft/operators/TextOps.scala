@@ -219,11 +219,20 @@ object TextOps {
     * Two passes over one exploded token stream: global term counts
     * (map-side-combined), then a term-keyed join back and a per-doc
     * average — the same shuffle profile as TF-IDF. The corpus total is
-    * a lazy 1-row aggregate (broadcast cross join, no driver count). */
+    * a lazy 1-row aggregate (broadcast cross join, no driver count).
+    * `counts` feeds BOTH the total branch and the score join, and
+    * Catalyst does not reuse exchanges across branches — so the
+    * vocabulary-sized counts frame is materialized ONCE via a lazy
+    * localCheckpoint (the ann_ivf pattern; without it the whole
+    * explode+aggregate pipeline runs twice). The raw `terms` stream is
+    * also consumed twice, but that branch is scan+explode only —
+    * recomputing a map is cheaper than checkpointing a corpus-sized
+    * token stream. */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(reTokens(col("text"))).as("term"))
     val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val total = counts.agg(sum(col("c")).cast("double").as("t"))
     terms.join(counts, Seq("term"))
       .crossJoin(broadcast(total))
@@ -246,13 +255,17 @@ object TextOps {
     * the same map-side-combined groupBy — not two pipelines), totals
     * are a lazy 1-row aggregate (broadcast, no driver count), the
     * score join is term-keyed like tf-idf, and the final top-N is a
-    * TakeOrderedAndProject. Fully deterministic → DuckDB oracle. */
+    * TakeOrderedAndProject. The vocabulary-sized counts frame feeds
+    * both the totals branch and the score join, so it is materialized
+    * once (lazy localCheckpoint — the ann_ivf pattern). Fully
+    * deterministic → DuckDB oracle. */
   def importanceSample(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(reTokens(col("text"))).as("term"))
     val counts = terms.groupBy(col("term"))
       .agg(count(lit(1)).as("c_all"),
            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+      .localCheckpoint(false)
     val totals = counts.agg(sum(col("c_all")).cast("double").as("t_all"),
                             sum(col("c_tgt")).cast("double").as("t_tgt"),
                             count(lit(1)).cast("double").as("v"))
@@ -276,10 +289,14 @@ object TextOps {
     * a row-local CASE — no rank window over the corpus (ntile would
     * funnel 100 TB through a global sort; two scalar cutoffs don't).
     * At 100 TB the swap-in is approx_percentile for the cutoff row
-    * (the rpt_approx_percentiles pattern). */
+    * (the rpt_approx_percentiles pattern). The per-doc score frame
+    * feeds both the cutoff branch and the bucketing join, so the
+    * whole logprob pipeline is materialized once (lazy
+    * localCheckpoint; two skinny columns per doc). */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     val scored = unigramLogprob(spark, dir)
       .select(col("doc_id"), col("avg_neg_logprob"))
+      .localCheckpoint(false)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val cuts = scored.agg(
       expr("percentile(avg_neg_logprob, CAST(1.0/3.0 AS DOUBLE))").as("c1"),

@@ -26,6 +26,22 @@ class PlanQualitySpec extends AnyFunSuite {
     df.count() // materializes through the checkpoint without error
   }
 
+  test("LM-backed text ops materialize their shared counts/score frame once") {
+    // counts (unigram_logprob, sample_importance) and the per-doc score
+    // frame (perplexity buckets) each feed two plan branches; both
+    // branches must read the SAME lazily-checkpointed RDD, or the
+    // explode+aggregate pipeline silently runs twice (the ann_ivf
+    // defect class from round 2).
+    for (q <- Seq("text_unigram_logprob", "sample_importance",
+                  "text_perplexity_buckets")) {
+      val plan = SparkEntry.queries(q)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
+      assert(rddScans >= 2, s"$q: expected both branches on the checkpoint\n" +
+        plan.take(2000))
+    }
+  }
+
   test("vw_employee_workload pre-aggregates the fact side below the roster join") {
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
