@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, HyperplaneBands, MinHashSignature, SimHashSignature}
+import graft.functions.expressions.{DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature}
 
 /** Session-wide registration of graft's native expressions via the
   * SparkSessionExtensions SPI, so a SQL-only deployment gets them too:
@@ -35,5 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHashSignature(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItemsSketch].getName, "graft_freq_items"),
+      FreqItemsSketch.build))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (exprs: Seq[Expression]) => DeflateLength(exprs.head)))
   }
 }

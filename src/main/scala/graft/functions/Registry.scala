@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.expressions.{DotProduct, HyperplaneBands, MinHashSignature, SimHashSignature}
+import graft.functions.expressions.{DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature}
 
 /** Per-session registration of graft's native Catalyst expressions.
   * Idempotent; the function registry is the supported route to custom
@@ -18,5 +18,9 @@ object Registry {
       "graft_hplane_bands", HyperplaneBands.build, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashSignature(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_freq_items", FreqItemsSketch.build, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_deflate_len", exprs => DeflateLength(exprs.head), "built-in")
   }
 }

@@ -478,7 +478,80 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT corpus heavy hitters through a two-pass Misra–Gries sketch —
+    * "which tokens make up more than 1/K of the corpus" without ever
+    * shuffling the vocabulary.
+    *
+    * Pass 1 aggregates a single graft_freq_items sketch (native
+    * TypedImperativeAggregate, ≤ K−1 counters per partition with
+    * explicit partial merge → O(partitions × K) bytes on the wire,
+    * independent of vocabulary size) — guaranteed to contain every item
+    * with frequency > N/K. Pass 2 re-scans, keeps ONLY the ≤ K−1
+    * candidate terms (map-side filter before the shuffle), counts them
+    * exactly, and applies the > N/K cut — so the sketch's false
+    * positives are discarded and the answer is exact and deterministic,
+    * hash-checked against DuckDB's full GROUP BY/HAVING. At 100 TB the
+    * oracle's formulation shuffles billions of distinct n-grams; this
+    * one shuffles two 1-row frames and ≤ K−1 terms' partial counts.
+    *
+    * The synthetic corpus is deliberately uniform (31 words), so a
+    * deterministic hot token is seeded in-plan (doc_id%4 docs get 25
+    * copies — the text_pii_scrub fixture precedent), mirrored exactly
+    * in the oracle: the sketch must find the one true heavy hitter
+    * among uniform noise, with the sketch capacity (19) well below the
+    * vocabulary (32) so the decrement path genuinely runs. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val K = 20
+    val seeded = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+             when(col("doc_id") % 4 === 0, repeat(lit(" zzzhot"), 25))
+               .otherwise(lit(""))).as("txt"))
+    val terms = seeded.select(explode(reTokens(col("txt"))).as("term"))
+    val sketch = terms.agg(
+      call_function("graft_freq_items", col("term"), lit(K)).as("cands"),
+      count(lit(1)).as("total"))
+    terms.crossJoin(broadcast(sketch))
+      .filter(array_contains(col("cands"), col("term")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"), max(col("total")).as("total"))
+      .filter(col("n") * K > col("total"))
+      .select(col("term"), col("n"),
+              rnd(col("n") * 1.0 / col("total"), 4).as("share"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  /** Compression-ratio quality signal (the zlib gate Dolma/RefinedWeb-
+    * class pipelines run next to the statistical ones): deflated size /
+    * raw size per document — degenerate boilerplate collapses toward 0,
+    * natural prose sits mid-range. Map-only over the scan via the native
+    * graft_deflate_len codegen expression (no UDF, no shuffle); at
+    * 100 TB this rides the same pass as the other per-doc metrics.
+    *
+    * A deterministic degenerate fixture is seeded in-plan (doc_id%8
+    * docs become a 16-char span repeated 40×) so the flag demonstrably
+    * separates the classes. No DuckDB oracle — zlib isn't SQL — so this
+    * is rows-only by design; SketchSpec pins known-answer orderings,
+    * determinism, and interpreted-vs-codegen parity. */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val seeded = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 8 === 0, repeat(substring(col("text"), 1, 16), 40))
+        .otherwise(col("text")).as("txt"))
+    seeded.select(
+        col("doc_id"),
+        octet_length(col("txt")).cast("long").as("n_bytes"),
+        call_function("graft_deflate_len", col("txt")).as("z_bytes"))
+      .withColumn("ratio", rnd(col("z_bytes") * 1.0 / col("n_bytes"), 4))
+      .withColumn("degenerate", col("ratio") < 0.1)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (heavyHitters _),
+    "text_compress_ratio" -> (compressRatio _),
     "sample_importance" -> (importanceSample _),
     "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_pii_scrub" -> (piiScrub _),
@@ -499,6 +572,22 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 4 = 0
+                               THEN repeat(' zzzhot', 25) ELSE '' END AS txt
+           FROM documents),
+         terms AS (
+           SELECT unnest(regexp_extract_all(lower(txt), '[a-z0-9]+')) AS term
+           FROM seeded),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM terms)
+         SELECT term, CAST(count(*) AS BIGINT) AS n,
+                floor((count(*) * 1.0 / total) * 10000 + 0.5) / 10000 AS share
+         FROM terms CROSS JOIN tot
+         GROUP BY term, total
+         HAVING count(*) * 20 > total
+         ORDER BY n DESC, term""",
     "sample_importance" ->
       """WITH terms AS (
            SELECT doc_id, lang,
