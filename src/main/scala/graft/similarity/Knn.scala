@@ -68,6 +68,40 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RAG retrieval end-to-end: ANN top-5 per query vector (through the
+    * custom TopKPerKey operator — bounded per-key heaps with the
+    * map-side partial pass) joined back to `documents` for the metadata
+    * and snippet a retrieval consumer actually reads. The retrieved set
+    * is bounded (k × |queries|), so the fetch broadcasts IT against the
+    * doc table — documents never shuffle, one scan regardless of corpus
+    * size (and at 100 TB the broadcast keys are exactly what a runtime
+    * bloom filter / point-lookup index would prune the scan with; see
+    * RuntimeFilterSpec). Embedding ids and doc ids share the key space
+    * by construction of the corpus. */
+  def retrieve(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosine(col("qv"), col("nv")).as("cos_raw"))
+    val top = graft.plans.TopKPerKey(scored, "query_id", "cos_raw", 5,
+      tiebreak = Some("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val hits = top.withColumn("rank", row_number().over(w).cast("long"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+              substring(col("text"), 1, 40).as("snippet"))
+      .join(broadcast(hits), col("doc_id") === col("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("lang"),
+              col("source"), col("snippet"), rnd(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH: 16-bit signatures (one band of 16 planes
     * from the shared graft.functions.expressions.HyperplaneFamily —
     * deterministic across runs/sessions and shared with
@@ -498,7 +532,8 @@ object Knn {
     "ann_rq"            -> (rq _),
     "ann_kmeans"        -> (kmeansProfile _),
     "ann_ivf_trained"   -> (ivfTrained _),
-    "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)))
+    "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)),
+    "rag_retrieve"      -> (retrieve _))
 
   private val topkOracle: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -524,5 +559,26 @@ object Knn {
   val oracles: Map[String, String] = Map(
     "ann_topk"          -> topkOracle,
     // identical semantics, custom-operator execution path
-    "ann_topk_operator" -> topkOracle)
+    "ann_topk_operator" -> topkOracle,
+    "rag_retrieve" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_dot_product(q.qv, e.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(e.v, e.v))) AS cos_raw
+           FROM q JOIN e ON e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos_raw,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+                d.lang, d.source, substr(d.text, 1, 40) AS snippet,
+                floor((r.cos_raw) * 10000 + 0.5) / 10000 AS cos_sim
+         FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+         WHERE r.rank <= 5
+         ORDER BY r.query_id, r.rank""")
 }
