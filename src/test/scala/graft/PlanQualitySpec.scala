@@ -113,6 +113,37 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("text_heavy_hitters: sketch is partial-merged; exact pass counts candidates only") {
+    val plan = operators.TextOps.heavyHitters(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // pass 1: the Misra–Gries buffer must combine map-side (one sketch
+    // per partition crosses the wire, not the term stream)
+    assert(plan.contains("partial_freqitemssketch"), plan.take(3000))
+    // pass 2: the candidate filter is the join condition — it must sit
+    // below the term aggregation, so only ≤ k−1 distinct terms shuffle
+    val joinIdx = plan.indexOf("array_contains")
+    val aggIdx = plan.indexOf("partial_count")
+    assert(joinIdx >= 0 && aggIdx >= 0, plan.take(3000))
+  }
+
+  test("text_compress_ratio is map-only (no exchange except the presentation sort)") {
+    val plan = operators.TextOps.compressRatio(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, plan.take(2000)) // only the final orderBy range
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("rag_retrieve broadcasts the bounded hit set; documents never shuffle") {
+    val plan = similarity.Knn.retrieve(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the doc fetch is a broadcast join with the retrieval result as
+    // the build side — the documents scan feeds a BroadcastHashJoin
+    // directly, with no hash-partition exchange of doc rows
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
   test("sample_domain_cap runs through TopKPerKey with a map-side partial pass") {
     val plan = operators.Sampling.domainCap(spark, Sf)
       .queryExecution.executedPlan.toString
