@@ -10,7 +10,13 @@ import org.apache.spark.sql.SparkSession
   *    round-over-round comparison;
   *  - timing materializes `queryExecution.toRdd.count()` — every output
   *    row of the real physical plan; `df.count()` would let Catalyst
-  *    prune the projections being measured.
+  *    prune the projections being measured;
+  *  - queries are isolated: after each query the harness unpersists any
+  *    leftover persistent RDD blocks (the lazy localCheckpoints several
+  *    operators pin). Without this, blocks accumulate across the 100+
+  *    query session and squeeze the execution memory of whichever query
+  *    runs later — a 1.2 s query was observed at 17 s purely from
+  *    stale-block GC pressure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,7 +47,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // free this run's checkpoint blocks before the next run/query
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       }.sorted
       name -> times(times.size / 2)
     }
