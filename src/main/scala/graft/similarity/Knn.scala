@@ -259,13 +259,23 @@ object Knn {
       .orderBy(col("vec_id")).limit(K)
       .select(col("embedding")).as[Seq[Float]].collect()
     require(sampled.nonEmpty, "PQ codebook sample is empty")
-    // codebook(m)(cw) = the cw-th codeword of subspace m
+    pqSearch(spark, e, k, (0 until M).map { m =>
+      sampled.toIndexedSeq.map(v =>
+        v.slice(m * subDim, (m + 1) * subDim).map(_.toDouble).toArray)
+    })
+  }
+
+  /** PQ search against an explicit per-subspace codebook —
+    * cbooks(m)(cw) is the cw-th codeword of subspace m (see pqTopK for
+    * the sampled codebook, pqTrained for the k-means one; both inline
+    * the bounded model as literals). */
+  private def pqSearch(spark: SparkSession, e: DataFrame, k: Int,
+      cbooks: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    VectorFunctions.register(spark)
+    val M = cbooks.length
+    val subDim = cbooks.head.head.length
     val codebook: IndexedSeq[IndexedSeq[Column]] =
-      (0 until M).map { m =>
-        sampled.toIndexedSeq.map { v =>
-          typedlit(v.slice(m * subDim, (m + 1) * subDim))
-        }
-      }
+      cbooks.map(_.map(v => typedlit(v.toSeq)))
     // Encode: one row per (vector, subspace); the best codeword is a
     // codegen'd argmax — array_max over K (score, -cw) structs built
     // from literal codewords. No join, no aggregate, NO SHUFFLE: at
@@ -287,7 +297,7 @@ object Knn {
     // M×K tiny rows per query, broadcast.
     val lut = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"),
-        explode(array((for { m <- 0 until M; i <- sampled.indices } yield
+        explode(array((for { m <- 0 until M; i <- cbooks.head.indices } yield
           struct(lit(m).as("m"), lit(i + 1).as("cw"),
                  VectorFunctions.dot(sub(col("embedding"), m), codebook(m)(i))
                    .as("contrib"))): _*)).as("x"))
@@ -312,6 +322,44 @@ object Knn {
   def pq(spark: SparkSession, dir: String): DataFrame =
     pqTopK(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
+
+  /** PQ over TRAINED per-subspace codebooks — closing pqTopK's
+    * documented "codebook is an honest sample" gap the same way
+    * ann_ivf_trained does for IVF: each of the M=4 subspaces runs its
+    * own distributed Lloyd's k-means (similarity.KMeans, K=16, ≤3
+    * rounds) over the SLICED embeddings (the slice is map-only, each
+    * round shuffles ≤ K×subDim partial rows per input partition).
+    * Trained centroids quantize their subspace with lower distortion
+    * than raw sample slices, so ADC scores track true dot products
+    * more closely — PqSpec extends the planted-duplicate maximum
+    * invariant to this path. The search is the same literal-codebook
+    * pure-map encode + broadcast-LUT ADC as pqTopK. */
+  def pqTrained(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val M = 4; val subDim = 16; val K = 16
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    pqTrainedOn(spark, e, M, subDim, K, 10)
+  }
+
+  /** Frame-level trained-PQ core (shared with PqSpec's planted run).
+    * The M subspace trainers are independent job chains, so they are
+    * submitted CONCURRENTLY (Spark's scheduler interleaves jobs from
+    * multiple threads) — wall-clock is one trainer, not M; results
+    * stay deterministic because each future returns its own subspace's
+    * centroids regardless of completion order. */
+  private[graft] def pqTrainedOn(spark: SparkSession, e: DataFrame, M: Int,
+      subDim: Int, K: Int, k: Int): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cbooks = Await.result(
+      Future.sequence((0 until M).map { m => Future {
+        KMeans.fit(e.select(col("vec_id"),
+          slice(col("embedding"), m * subDim + 1, subDim).as("embedding")),
+          K, 3)._1
+      }}), Duration.Inf).toIndexedSeq
+    pqSearch(spark, e, k, cbooks)
+  }
 
   /** Residual (two-level / multi-codebook) quantization — the
     * refinement ladder over PQ: level 1 picks the nearest full-dim
@@ -533,6 +581,7 @@ object Knn {
     "ann_kmeans"        -> (kmeansProfile _),
     "ann_ivf_trained"   -> (ivfTrained _),
     "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)),
+    "ann_pq_trained"    -> (pqTrained _),
     "rag_retrieve"      -> (retrieve _))
 
   private val topkOracle: String =
