@@ -478,6 +478,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic pseudo-random weights for the hashed-feature quality
+    * model: 64 buckets, 3-decimal weights in [−1, 1) from a fixed seed —
+    * the same literals are interpolated into the DuckDB oracle, so both
+    * engines parse identical decimal text to identical doubles. */
+  private[operators] val QmWeights: IndexedSeq[Double] = {
+    val rng = new scala.util.Random(1234)
+    IndexedSeq.fill(64)(math.floor((rng.nextDouble() * 2 - 1) * 1000) / 1000)
+  }
+
+  /** fastText-style quality-classifier INFERENCE as a plan — the
+    * learned quality gate (think DCLM/FineWeb-Edu classifiers) run the
+    * Spark-first way: the model is a BOUNDED LITERAL PARAMETER (64
+    * hashed-bucket weights + bias), so scoring is token explode →
+    * row-local bucket hash (md5, shared with the oracle) → literal
+    * weight lookup → one mean-pooled aggregation per doc → logistic.
+    * No join, no vocabulary shuffle, no UDF: at 100 TB this is a scan
+    * plus one map-side-combined doc aggregation — the exact shape of
+    * `text_quality`, with a trained model instead of hand rules.
+    * (Weights here are seeded stand-ins — the synthetic corpus has no
+    * quality labels to fit; the operator contract is the hashed-feature
+    * inference plumbing, hash-checked end-to-end.) */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val B = QmWeights.size
+    val bias = 0.1
+    val wLit = typedlit(QmWeights)
+    val bucket = conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int") % B
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(reTokens(col("text"))).as("term"))
+      .select(col("doc_id"), element_at(wLit, bucket + 1).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           (avg(col("w")) + bias).as("logit_raw"))
+      .select(col("doc_id"), col("n_tokens"),
+              rnd(col("logit_raw"), 4).as("logit"),
+              rnd(lit(1.0) / (lit(1.0) + exp(-col("logit_raw"))), 4).as("prob"))
+      // keep compares the ROUNDED logit (both engines), so sub-rounding
+      // float jitter can't flip the decision at the boundary
+      .withColumn("keep", col("logit") >= 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** EXACT corpus heavy hitters through a two-pass Misra–Gries sketch —
     * "which tokens make up more than 1/K of the corpus" without ever
     * shuffling the vocabulary.
@@ -550,6 +591,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> (qualityModel _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_compress_ratio" -> (compressRatio _),
     "sample_importance" -> (importanceSample _),
@@ -572,6 +614,31 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    // the weight list is interpolated from the SAME Scala constants the
+    // Spark plan inlines — identical decimal text → identical doubles
+    "text_quality_model" -> {
+      val ws = QmWeights.map(w => f"$w%.3f").mkString("[", ", ", "]")
+      s"""WITH terms AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents),
+          model AS (SELECT CAST($ws AS DOUBLE[]) AS ws),
+          scored AS (
+            SELECT doc_id,
+                   ws[(CAST(('0x' || substr(md5(term), 1, 2)) AS INTEGER)
+                       % ${QmWeights.size}) + 1] AS w
+            FROM terms CROSS JOIN model),
+          agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   avg(w) + 0.1 AS logit_raw
+            FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 floor(logit_raw * 10000 + 0.5) / 10000 AS logit,
+                 floor((1.0 / (1.0 + exp(-logit_raw))) * 10000 + 0.5) / 10000
+                   AS prob,
+                 floor(logit_raw * 10000 + 0.5) / 10000 >= 0 AS keep
+          FROM agg ORDER BY doc_id"""
+    },
     "text_heavy_hitters" ->
       """WITH seeded AS (
            SELECT doc_id,
