@@ -33,13 +33,27 @@ import graft.functions.VectorFunctions
   */
 object KMeans {
 
-  /** Assignment against literal centroids: appends `cluster` (1-based)
-    * and `sqdist` (‖x − c_cluster‖², clamped at 0 against FP drift).
-    * argmax(2·x·cᵢ − ‖cᵢ‖²) ⇔ argmin‖x − cᵢ‖² (x·x is constant per
-    * row); ties break to the lowest cluster id via the (score, −i)
-    * struct ordering. Pure map — at 100 TB this is a scan. */
+  /** Past this k the literal-argmax expression chain stops being the
+    * right shape (codegen method size, plan bloat) and assignment
+    * switches to the broadcast-centroids max_by regime. */
+  private[graft] val LiteralArgmaxMaxK = 64
+
+  /** Assignment dispatch: appends `cluster` (1-based) and `sqdist`
+    * (‖x − c_cluster‖², clamped at 0 against FP drift) to a
+    * (vec_id, embedding) frame. Codebook-scale k inlines centroids as
+    * literals (pure map, zero shuffles); past [[LiteralArgmaxMaxK]]
+    * (e.g. SemDeDup-scale cluster counts) it switches to the broadcast
+    * + max_by shape — KMeansSpec pins the two regimes row-identical. */
   private[graft] def assign(e: DataFrame,
-                            cents: IndexedSeq[Array[Double]]): DataFrame = {
+                            cents: IndexedSeq[Array[Double]]): DataFrame =
+    if (cents.length <= LiteralArgmaxMaxK) assignLiteral(e, cents)
+    else assignBroadcast(e, cents)
+
+  /** Literal-centroid regime: argmax(2·x·cᵢ − ‖cᵢ‖²) ⇔ argmin‖x − cᵢ‖²
+    * (x·x is constant per row); ties break to the lowest cluster id via
+    * the (score, −i) struct ordering. Pure map — at 100 TB a scan. */
+  private[graft] def assignLiteral(e: DataFrame,
+                                   cents: IndexedSeq[Array[Double]]): DataFrame = {
     def sqn(v: Array[Double]): Double = v.map(x => x * x).sum
     val v = col("embedding")
     val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
@@ -53,6 +67,32 @@ object KMeans {
       .withColumn("sqdist",
         greatest(VectorFunctions.dot(v, v) - col("b.s"), lit(0.0)))
       .drop("b")
+  }
+
+  /** Large-k regime: centroids broadcast as a tiny frame, the expanded
+    * vector × centroid product is reduced by max_by over groupBy(vec_id)
+    * — a hash aggregate with map-side partial combine, so the shuffle
+    * carries one best-so-far row per vector per partition, never the
+    * expanded product (the Knn.assignToCentroids shape). Same score
+    * formula and tie-break as the literal regime. */
+  private[graft] def assignBroadcast(e: DataFrame,
+                                     cents: IndexedSeq[Array[Double]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex
+      .map { case (c, i) => (i + 1, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("c_id", "cv", "c_sqn")
+    e.crossJoin(broadcast(cdf))
+      .withColumn("s",
+        lit(2.0) * VectorFunctions.dot(col("embedding"), col("cv")) - col("c_sqn"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+           max_by(struct(col("c_id"), col("s")),
+                  struct(col("s"), -col("c_id"))).as("b"))
+      .select(col("vec_id"), col("embedding"),
+              col("b.c_id").as("cluster"),
+              greatest(VectorFunctions.dot(col("embedding"), col("embedding")) -
+                         col("b.s"), lit(0.0)).as("sqdist"))
   }
 
   /** Lloyd iterations from a deterministic id-strided init. Returns the

@@ -58,6 +58,26 @@ class KMeansSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
   }
 
+  test("literal-argmax and broadcast max_by assignment regimes are row-identical") {
+    val e = emb()
+    val (cents, _) = KMeans.fit(e, k = 8, maxIter = 2)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("sqdist"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val lit = collect(KMeans.assignLiteral(e, cents))
+    val bc = collect(KMeans.assignBroadcast(e, cents))
+    assert(lit.keySet === bc.keySet && lit.nonEmpty)
+    lit.foreach { case (id, (cl, sd)) =>
+      assert(bc(id)._1 === cl, s"vec $id cluster differs")
+      assert(math.abs(bc(id)._2 - sd) < 1e-9, s"vec $id sqdist differs")
+    }
+    // the dispatch picks the broadcast regime past the literal bound
+    val bigK = IndexedSeq.fill(KMeans.LiteralArgmaxMaxK + 1)(cents.head)
+    val plan = KMeans.assign(e, bigK).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
   test("dedup_semantic co-clusters and emits planted exact duplicates") {
     import spark.implicits._
     functions.VectorFunctions.register(spark)
