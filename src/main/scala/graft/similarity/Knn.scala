@@ -458,8 +458,15 @@ object Knn {
     * query's score against a candidate is two broadcast-LUT lookups
     * hash-summed, then the TopKPerKey bounded heap. */
   def rqTopK(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
-    VectorFunctions.register(spark)
     val (c1, c2) = fitRq(e)
+    rqSearch(spark, e, k, c1, c2)
+  }
+
+  /** RQ search against explicit level-1/level-2 codebooks (see rqTopK
+    * for the sampled fit, rqTrained for the k-means one). */
+  private def rqSearch(spark: SparkSession, e: DataFrame, k: Int,
+      c1: IndexedSeq[Array[Float]], c2: IndexedSeq[Array[Float]]): DataFrame = {
+    VectorFunctions.register(spark)
     val candCodes = rqEncode(e, c1, c2)
       .select(col("vec_id"), explode(array(
         struct(lit(1).as("level"), col("code1").as("code")),
@@ -489,6 +496,43 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"),
               rnd(col("rq_raw"), 4).as("rq_score"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** RQ over TRAINED codebooks — the §7 refinement of rq's honest
+    * samples, mirroring ann_pq_trained: level 1 is a distributed
+    * Lloyd's fit over the raw embeddings; level 2 trains on the ACTUAL
+    * corpus residuals (x − c1[assign(x)]) — the residual frame is a
+    * pure map (zip_with against the literal level-1 centroids), so the
+    * residual trainer sees every vector, not a 15-row sample. Codeword
+    * 1 of the trained level-2 book is pinned to the zero vector, so
+    * "refine by nothing" stays available and the per-vector monotone
+    * guarantee err2 ≤ err1 survives training (RqSpec asserts it, plus
+    * that training beats the sampled residual codebook on corpus
+    * distortion). Search is the same two-LUT ADC as rq. */
+  def rqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (c1, c2) = fitRqTrained(e)
+    rqSearch(spark, e, 10, c1, c2)
+  }
+
+  /** Trained RQ codebooks (shared with RqSpec). */
+  private[graft] def fitRqTrained(e: DataFrame)
+      : (IndexedSeq[Array[Float]], IndexedSeq[Array[Float]]) = {
+    VectorFunctions.register(e.sparkSession)
+    // 2 Lloyd rounds per level: the distortion win over the sampled
+    // codebook comes almost entirely from seeing every residual, and
+    // the two fits are sequential (level 2 needs level 1's assignment)
+    val K1 = 16; val K2 = 16
+    val c1d = KMeans.fit(e, K1, 2)._1
+    val resid = KMeans.assignLiteral(e, c1d)
+      .select(col("vec_id"),
+        zip_with(col("embedding"),
+                 element_at(typedlit(c1d.map(_.toSeq)), col("cluster")),
+                 (x, y) => x - y).as("embedding"))
+    val c2d = KMeans.fit(resid, K2, 2)._1
+    val zero = Array.fill(c1d.head.length)(0.0f)
+    (c1d.map(_.map(_.toFloat)).toIndexedSeq,
+     (zero +: c2d.take(K2 - 1).map(_.map(_.toFloat))).toIndexedSeq)
   }
 
   /** RQ/ADC top-10 over the embeddings table (see rqTopK). */
@@ -582,6 +626,7 @@ object Knn {
     "ann_ivf_trained"   -> (ivfTrained _),
     "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)),
     "ann_pq_trained"    -> (pqTrained _),
+    "ann_rq_trained"    -> (rqTrained _),
     "rag_retrieve"      -> (retrieve _))
 
   private val topkOracle: String =

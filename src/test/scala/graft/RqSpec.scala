@@ -47,6 +47,24 @@ class RqSpec extends AnyFunSuite {
     }
   }
 
+  test("trained codebooks keep monotone refinement and beat the sampled fit") {
+    graft.functions.VectorFunctions.register(spark)
+    val (tc1, tc2) = similarity.Knn.fitRqTrained(e)
+    val trained = similarity.Knn.rqEncode(e, tc1, tc2).collect()
+    assert(trained.nonEmpty)
+    trained.foreach { r =>
+      assert(r.getAs[Double]("err2") <= r.getAs[Double]("err1") + 1e-6,
+        s"vec ${r.getAs[Long]("vec_id")}: trained err2 > err1")
+    }
+    // training on actual corpus residuals must reduce total two-level
+    // distortion vs the 15-row sampled residual codebook (k-means
+    // minimizes exactly this objective over the whole corpus)
+    val sampledErr2 = encoded.map(_.getAs[Double]("err2")).sum
+    val trainedErr2 = trained.map(_.getAs[Double]("err2")).sum
+    assert(trainedErr2 < sampledErr2,
+      s"trained distortion $trainedErr2 >= sampled $sampledErr2")
+  }
+
   test("RQ/ADC top-k is well-formed: contiguous ranks, descending scores") {
     val rows = similarity.Knn.rqTopK(spark, e, 10).collect()
     assert(rows.nonEmpty)
