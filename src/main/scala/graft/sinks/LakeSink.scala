@@ -28,6 +28,45 @@ object LakeSink {
   def readMonth(spark: SparkSession, path: String, month: String): DataFrame =
     spark.read.parquet(path).filter(col("part_month") === month)
 
+  /** Append a micro-batch to the monthly-partitioned lake — the
+    * foreachBatch landing write of a CONTINUOUS ingestion job. Each
+    * batch appends its own files (small by nature of micro-batching);
+    * [[compactPartition]] is the paired maintenance op that folds them
+    * back to scan-friendly sizes. Only partitions the batch touches
+    * gain files — cold months never churn. */
+  def appendMonthlyPartitioned(df: DataFrame, tsCol: String,
+                               path: String): Unit =
+    df.withColumn("part_month", date_format(col(tsCol), "yyyy-MM"))
+      .write.mode("append")
+      .partitionBy("part_month")
+      .option("maxRecordsPerFile", 5000000)
+      .parquet(path)
+
+  /** In-place compaction of ONE lake partition directory — the unit of
+    * the continuous maintenance loop (compact the partitions whose
+    * file count crossed a threshold; recent partitions churn, old ones
+    * are never rewritten). Rewrites through a staging directory and
+    * then swaps, so a crash leaves the old or the new layout, never a
+    * mix. Returns (files_before, files_after). File-count sizing
+    * derives from input bytes like [[compact]]. */
+  def compactPartition(spark: SparkSession, lakePath: String, month: String,
+                       targetFileMB: Int = 128): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$lakePath/part_month=$month")
+    val staging = new Path(s"$lakePath/.compact_tmp_part_month=$month")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    val df = spark.read.parquet(dir.toString)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
+    // staged swap: the partition is replaced in one rename window
+    fs.delete(dir, true)
+    fs.rename(staging, dir)
+    val after = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+
   /** Compact a directory of many small files into ~`targetFileMB`-sized
     * parquet files — the maintenance op every streaming/incremental lake
     * ingestion needs (micro-batches produce small files; scans slow down
