@@ -168,7 +168,51 @@ object Events {
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Active-user rollup (DAU + MAU side by side) — the engagement
+    * dashboard every event pipeline serves. Each granularity is one
+    * two-phase distinct-count aggregation on a low-cardinality period
+    * key (partial sets map-side, tiny shuffle); the two granularities
+    * union rather than join (no cross-period alignment needed). At
+    * 100 TB the swap-in for exact distinct is approx_count_distinct —
+    * the rpt_approx_distinct pattern; exact keeps the DuckDB oracle
+    * here. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("ts"), col("user_id"))
+    def roll(fmt: String, gran: String) = ev
+      .groupBy(date_format(col("ts"), fmt).as("period"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+           count(lit(1)).as("n_events"))
+      .withColumn("granularity", lit(gran))
+    roll("yyyy-MM-dd", "day").unionByName(roll("yyyy-MM", "month"))
+      .select(col("granularity"), col("period"), col("active_users"),
+              col("n_events"))
+      .orderBy(col("granularity"), col("period"))
+  }
+
+  /** Per-type z-score anomaly flags — monitoring's classic outlier
+    * sweep: each event's value scored against its type's mean/stddev
+    * (population stddev, Welford partial merge — one map-side-combined
+    * pass), then the scored join broadcasts the tiny per-type stats
+    * frame back over the scan. Flag compares the ROUNDED |z| (both
+    * engines) so float jitter can't flip the boundary. Emits only the
+    * anomalies — the result is alert-sized, not corpus-sized. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("sigma") > 0)
+      .withColumn("z", rnd((col("value") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"),
+              rnd(col("value"), 2).as("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_active_users"  -> (activeUsers _),
+    "evt_anomalies"     -> (anomalies _),
     "evt_window_hourly" -> (windowHourly _),
     "evt_sessionize"    -> (sessionize _),
     "evt_sessionize_sw" -> (sessionizeSessionWindow _),
@@ -179,6 +223,32 @@ object Events {
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "evt_active_users" ->
+      """WITH d AS (
+           SELECT 'day' AS granularity, strftime(ts, '%Y-%m-%d') AS period,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 2),
+         m AS (
+           SELECT 'month' AS granularity, strftime(ts, '%Y-%m') AS period,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 2)
+         SELECT * FROM d UNION ALL SELECT * FROM m
+         ORDER BY granularity, period""",
+    "evt_anomalies" ->
+      """WITH stats AS (
+           SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+           FROM events GROUP BY 1),
+         z AS (
+           SELECT e.event_id, e.event_type, e.value,
+                  floor(((e.value - mu) / sigma) * 10000 + 0.5) / 10000 AS z
+           FROM events e JOIN stats USING (event_type)
+           WHERE sigma > 0)
+         SELECT event_id, event_type,
+                floor(value * 100 + 0.5) / 100 AS value, z
+         FROM z WHERE abs(z) >= 3.0
+         ORDER BY event_id""",
     "evt_window_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
                 count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
