@@ -45,24 +45,33 @@ object LakeSink {
   /** In-place compaction of ONE lake partition directory — the unit of
     * the continuous maintenance loop (compact the partitions whose
     * file count crossed a threshold; recent partitions churn, old ones
-    * are never rewritten). Rewrites through a staging directory and
-    * then swaps, so a crash leaves the old or the new layout, never a
-    * mix. Returns (files_before, files_after). File-count sizing
-    * derives from input bytes like [[compact]]. */
+    * are never rewritten). Rewrites through a staging directory, then
+    * swaps via rename-to-backup → rename-staging-in → drop-backup: at
+    * every crash point the full data exists as the live dir, the
+    * backup, or the completed staging copy — there is no
+    * delete-before-replace window that could lose the partition.
+    * Returns (files_before, files_after). File-count sizing derives
+    * from input bytes like [[compact]]. */
   def compactPartition(spark: SparkSession, lakePath: String, month: String,
                        targetFileMB: Int = 128): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(s"$lakePath/part_month=$month")
     val staging = new Path(s"$lakePath/.compact_tmp_part_month=$month")
+    val backup = new Path(s"$lakePath/.compact_bak_part_month=$month")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true) // stale leftovers from a prior crash
+    fs.delete(backup, true)
     val before = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
     val df = spark.read.parquet(dir.toString)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     df.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
-    // staged swap: the partition is replaced in one rename window
-    fs.delete(dir, true)
-    fs.rename(staging, dir)
+    if (!fs.rename(dir, backup) || !fs.rename(staging, dir)) {
+      // roll forward/back is manual at this point; never drop data
+      throw new java.io.IOException(
+        s"compactPartition: rename failed for $dir (backup at $backup)")
+    }
+    fs.delete(backup, true)
     val after = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
     (before, after)
   }
