@@ -20,6 +20,29 @@ import graft.functions.Num.rnd
   */
 object TableOps {
 
+  /** The database-catalog page (ref app.py:1746 get_tables_list → one
+    * row per table: record count + column count, sorted by size): each
+    * table contributes one 1-row count aggregate and the rows union —
+    * count-star over parquet reads footers, not data, so this "scans"
+    * every table at metadata cost; column counts come from the schema
+    * (driver-side metadata, no job). */
+  def catalogPage(spark: SparkSession, dir: String): DataFrame = {
+    val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "region" -> (Tables.region _), "nation" -> (Tables.nation _),
+      "customer" -> (Tables.customer _), "supplier" -> (Tables.supplier _),
+      "part" -> (Tables.part _), "orders" -> (Tables.orders _),
+      "lineitem" -> (Tables.lineitem _), "events" -> (Tables.events _),
+      "documents" -> (Tables.documents _),
+      "embeddings" -> (Tables.embeddings _))
+    loaders.map { case (name, load) =>
+      val df = load(spark, dir)
+      df.agg(count(lit(1)).as("record_count"))
+        .select(lit(name).as("table_name"), col("record_count"),
+                lit(df.schema.fields.length.toLong).as("n_columns"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("record_count").desc, col("table_name"))
+  }
+
   /** Paginated ordered page of a table (browse shape: LIMIT/OFFSET). */
   def browse(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -241,6 +264,7 @@ object TableOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tbl_catalog"          -> (catalogPage _),
     "tbl_browse"           -> (browse _),
     "tbl_sorted"           -> (sortedDefault _),
     "tbl_keyset"           -> (keysetDefault _),
@@ -253,6 +277,19 @@ object TableOps {
     "vw_service_demand"    -> (serviceDemand _))
 
   val oracles: Map[String, String] = Map(
+    // column counts are literals on the DuckDB side (they are schema
+    // metadata); Spark derives them from the live schema, so a schema
+    // drift breaks the hash — which is the point
+    "tbl_catalog" -> {
+      val arity = Seq("region" -> 2, "nation" -> 3, "customer" -> 5,
+        "supplier" -> 4, "part" -> 6, "orders" -> 6, "lineitem" -> 11,
+        "events" -> 6, "documents" -> 5, "embeddings" -> 3)
+      arity.map { case (t, n) =>
+        s"""SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS record_count,
+                   CAST($n AS BIGINT) AS n_columns FROM $t"""
+      }.mkString("SELECT * FROM (", " UNION ALL ",
+                 ") ORDER BY record_count DESC, table_name")
+    },
     "tbl_browse" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 strftime(o_orderdate, '%Y-%m-%d') AS orderdate
