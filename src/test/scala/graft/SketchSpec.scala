@@ -33,6 +33,20 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("freq_items: nulls are skipped; empty input yields an empty array") {
+    import spark.implicits._
+    graft.functions.Registry.register(spark)
+    val withNulls = Seq(Some("a"), None, Some("a"), Some("b"), None)
+      .toDF("item")
+      .agg(call_function("graft_freq_items", col("item"), lit(5)))
+      .collect().head.getSeq[String](0).toSet
+    assert(withNulls === Set("a", "b"))
+    val empty = Seq.empty[String].toDF("item")
+      .agg(call_function("graft_freq_items", col("item"), lit(5)))
+      .collect().head.getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
   test("text_heavy_hitters: sketch pass agrees with the exact groupBy") {
     graft.functions.Registry.register(spark)
     val viaSketch = operators.TextOps.heavyHitters(spark, Sf)
