@@ -210,7 +210,46 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** RFM user segmentation — recency / frequency / monetary, the
+    * engagement-tiering evergreen: one user-keyed aggregation builds
+    * the three metrics (recency against a FIXED reference date — no
+    * now()), then the three median cutoffs are a LAZY 1-row exact-
+    * percentile aggregate broadcast into a row-local CASE — the
+    * perplexity-buckets pattern: no ntile, no global rank window
+    * funneling every user through one sort (approx_percentile is the
+    * 100 TB cutoff swap-in). Monetary is rounded BEFORE the cutoff
+    * compare so partial-sum float jitter can't flip a boundary user.
+    * Output is the segment rollup (bounded rows). */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val ref = "2024-02-01"
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(datediff(lit(ref), max(col("ts"))).cast("long").as("recency_days"),
+           count(lit(1)).as("frequency"),
+           rnd(sum(col("value")), 2).as("monetary"))
+    val cuts = users.agg(
+      expr("percentile(recency_days, CAST(0.5 AS DOUBLE))").as("r_med"),
+      expr("percentile(frequency, CAST(0.5 AS DOUBLE))").as("f_med"),
+      expr("percentile(monetary, CAST(0.5 AS DOUBLE))").as("m_med"))
+    users.crossJoin(broadcast(cuts))
+      .withColumn("segment",
+        when(col("recency_days") <= col("r_med") &&
+             col("frequency") >= col("f_med") &&
+             col("monetary") >= col("m_med"), "champion")
+          .when(col("recency_days") <= col("r_med"), "recent")
+          .when(col("frequency") >= col("f_med") ||
+                col("monetary") >= col("m_med"), "at_risk")
+          .otherwise("hibernating"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+           rnd(avg(col("recency_days")), 2).as("avg_recency"),
+           rnd(avg(col("frequency")), 2).as("avg_frequency"),
+           rnd(avg(col("monetary")), 2).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rfm"           -> (rfm _),
     "evt_active_users"  -> (activeUsers _),
     "evt_anomalies"     -> (anomalies _),
     "evt_window_hourly" -> (windowHourly _),
@@ -223,6 +262,32 @@ object Events {
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "evt_rfm" ->
+      """WITH u AS (
+           SELECT user_id,
+                  CAST(date_diff('day', CAST(max(ts) AS DATE),
+                                 DATE '2024-02-01') AS BIGINT) AS recency_days,
+                  CAST(count(*) AS BIGINT) AS frequency,
+                  floor(sum(value) * 100 + 0.5) / 100 AS monetary
+           FROM events GROUP BY 1),
+         c AS (SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS r_med,
+                      quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f_med,
+                      quantile_cont(monetary, 0.5) AS m_med
+               FROM u),
+         seg AS (
+           SELECT u.*,
+                  CASE WHEN recency_days <= r_med AND frequency >= f_med
+                            AND monetary >= m_med THEN 'champion'
+                       WHEN recency_days <= r_med THEN 'recent'
+                       WHEN frequency >= f_med OR monetary >= m_med
+                         THEN 'at_risk'
+                       ELSE 'hibernating' END AS segment
+           FROM u CROSS JOIN c)
+         SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+                floor(avg(recency_days) * 100 + 0.5) / 100 AS avg_recency,
+                floor(avg(frequency) * 100 + 0.5) / 100 AS avg_frequency,
+                floor(avg(monetary) * 100 + 0.5) / 100 AS avg_monetary
+         FROM seg GROUP BY 1 ORDER BY segment""",
     "evt_active_users" ->
       """WITH d AS (
            SELECT 'day' AS granularity, strftime(ts, '%Y-%m-%d') AS period,
