@@ -519,6 +519,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level Shannon entropy per document — the exactly-
+    * verifiable twin of the zlib compressibility gate (compress_ratio):
+    * degenerate/repetitive text scores low, natural prose sits in a
+    * band, random noise scores high. Two hash aggregations — (doc,
+    * char) counts then the per-doc −Σ p·ln p — both map-side-combined;
+    * the per-doc total char count rides the same row (sum over the
+    * count column via a doc-window would add a shuffle; sum(c) in the
+    * second agg doesn't). Deterministic → DuckDB oracle. */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+           count(lit(1)).as("n_distinct_chars"),
+           rnd(-sum(col("c") * log(col("c"))) / sum(col("c")) +
+               log(sum(col("c"))), 4).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+
   /** EXACT corpus heavy hitters through a two-pass Misra–Gries sketch —
     * "which tokens make up more than 1/K of the corpus" without ever
     * shuffling the vocabulary.
@@ -591,6 +611,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (entropy _),
     "text_quality_model" -> (qualityModel _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_compress_ratio" -> (compressRatio _),
@@ -614,6 +635,18 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    // identical expression tree on both sides: -sum(c*ln c)/n + ln n
+    "text_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_chars,
+                CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                floor((-sum(c * ln(c)) / sum(c) + ln(sum(c))) * 10000 + 0.5)
+                  / 10000 AS entropy_nats
+         FROM cc GROUP BY doc_id ORDER BY doc_id""",
     // the weight list is interpolated from the SAME Scala constants the
     // Spark plan inlines — identical decimal text → identical doubles
     "text_quality_model" -> {
