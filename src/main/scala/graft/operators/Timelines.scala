@@ -191,6 +191,34 @@ object Timelines {
       .orderBy(col("period"))
   }
 
+  /** Pareto revenue concentration — "how much of the book do the top
+    * 20 customers carry": per-customer revenue rollup, top-20 via
+    * sort-limit (TakeOrderedAndProject — per-partition heaps, no
+    * global sort), then the cumulative window runs over the 20
+    * SURVIVORS only and the denominator is a lazy 1-row total
+    * broadcast. Revenue is rounded before ranking/cumsum so the
+    * 20-row running sum is bit-stable; the unpartitioned window frame
+    * is bounded at k rows regardless of customer count. */
+  def pareto(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(rnd(sum(col("o_totalprice")), 2).as("revenue"))
+    val total = byCust.agg(sum(col("revenue")).as("t"))
+    val top = byCust
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(20)
+    val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue").desc, col("o_custkey"))).cast("long"))
+      .withColumn("cum_revenue", rnd(sum(col("revenue")).over(w), 2))
+      .select(col("rank"), col("o_custkey").as("custkey"), col("revenue"),
+              col("cum_revenue"),
+              rnd(col("cum_revenue") / col("t") * 100, 4).as("cum_share_pct"))
+      .orderBy(col("rank"))
+  }
+
   /** 7-day rolling order volume — a RANGE-frame window (value-based:
     * calendar gaps shrink the frame to the days actually present in
     * the last week, unlike a ROWS frame which would always grab 7
@@ -268,6 +296,7 @@ object Timelines {
     "rpt_rollup"           -> (rollupYearPriority _),
     "rpt_cohort_retention" -> (cohortRetention _),
     "rpt_running_total"    -> (runningTotal _),
+    "rpt_pareto"           -> (pareto _),
     "rpt_rolling_7d"       -> (rolling7d _),
     "rpt_yoy_growth"       -> (yoyGrowth _),
     "rpt_timeline_month"   -> (timelineMonth _),
@@ -306,6 +335,25 @@ object Timelines {
                 count(DISTINCT o_custkey) AS n_customers
          FROM c WHERE ym - cohort_ym <= 6
          GROUP BY 1, 2 ORDER BY cohort, offset_m""",
+    "rpt_pareto" ->
+      """WITH bc AS (
+           SELECT o_custkey,
+                  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+           FROM orders GROUP BY 1),
+         t AS (SELECT sum(revenue) AS t FROM bc),
+         top AS (SELECT * FROM bc ORDER BY revenue DESC, o_custkey LIMIT 20),
+         r AS (SELECT o_custkey, revenue,
+                      row_number() OVER w AS rank,
+                      floor(sum(revenue) OVER (w ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+                        AS cum_revenue
+               FROM top
+               WINDOW w AS (ORDER BY revenue DESC, o_custkey))
+         SELECT CAST(rank AS BIGINT) AS rank, o_custkey AS custkey, revenue,
+                cum_revenue,
+                floor((cum_revenue / t * 100) * 10000 + 0.5) / 10000
+                  AS cum_share_pct
+         FROM r CROSS JOIN t ORDER BY rank""",
     "rpt_running_total" ->
       """WITH m AS (
            SELECT strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n
