@@ -97,13 +97,66 @@ object Tpch {
         .as("revenue"),
         count(lit(1)).as("n_lines"))
 
+  /** TPC-H Q10 shape: returned-item reporting — which customers drove
+    * the most revenue in returned lines over a quarter. Fact side
+    * filters (returnflag, date window) push to the scans; the
+    * lineitem⋈orders join is the only fact-fact shuffle; customer
+    * joins the AGGREGATED per-customer revenue (partial aggs below the
+    * join — the vw_employee_workload lesson), and nation broadcasts.
+    * Top-20 is a TakeOrderedAndProject. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .as("rev"))
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-10-01") &&
+              to_date(col("o_orderdate")) < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(rnd(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_lines"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              col("c_acctbal"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    perCust.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+              col("n_name").as("nation"), rnd(col("c_acctbal"), 2).as("acctbal"),
+              col("revenue"), col("n_lines"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns"      -> (q10Returns _),
     "q6_forecast"      -> (q6Forecast _),
     "q1_pricing"       -> (q1Pricing _),
     "q3_shipping"      -> (q3Shipping _),
     "q5_region_volume" -> (q5RegionVolume _))
 
   val oracles: Map[String, String] = Map(
+    "q10_returns" ->
+      """WITH pc AS (
+           SELECT o_custkey,
+                  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5)
+                    / 100 AS revenue,
+                  count(*) AS n_lines
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+             AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+           GROUP BY 1)
+         SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+                floor(c_acctbal * 100 + 0.5) / 100 AS acctbal,
+                revenue, n_lines
+         FROM pc
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, custkey LIMIT 20""",
     "q6_forecast" ->
       """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100
                   AS revenue,
