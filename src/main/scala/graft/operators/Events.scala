@@ -248,7 +248,34 @@ object Events {
       .orderBy(col("segment"))
   }
 
+  /** Event-type transition matrix — first-order Markov view of user
+    * behavior (what users do NEXT after each action): one lead() over
+    * the per-user timeline (the same user_id Exchange+Sort shape as
+    * sessionize), then a map-side-combined count per (from, to) and a
+    * row-share against the per-from total via a partial-agg join of
+    * two tiny aggregates (|event_types|² rows — never a window over
+    * the facts). Ties in ts break on event_id for a deterministic
+    * sequence. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+               col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_n"))
+    pairs.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+              rnd(col("n") * 1.0 / col("from_n"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_transitions"   -> (transitions _),
     "evt_rfm"           -> (rfm _),
     "evt_active_users"  -> (activeUsers _),
     "evt_anomalies"     -> (anomalies _),
@@ -262,6 +289,21 @@ object Events {
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "evt_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         p AS (SELECT event_type AS from_type, next_type AS to_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_n
+               FROM p GROUP BY 1)
+         SELECT from_type, to_type, n,
+                floor((n * 1.0 / from_n) * 10000 + 0.5) / 10000 AS p
+         FROM p JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
     "evt_rfm" ->
       """WITH u AS (
            SELECT user_id,
