@@ -191,6 +191,30 @@ object Timelines {
       .orderBy(col("period"))
   }
 
+  /** Monthly new-vs-returning customer mix — the acquisition/retention
+    * split every growth dashboard opens with: a customer is "new" in
+    * their first-ever order month, "returning" after. Both sides of
+    * the decision aggregate BEFORE joining — per-(customer, month)
+    * activity and per-customer first month are each one
+    * map-side-combined agg, and their join is custkey-keyed partial
+    * aggregates, never fact rows (the vw_employee_workload lesson);
+    * the monthly rollup is then O(months × 2). */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val byMonth = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"),
+               date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+    val firstMonth = byMonth.groupBy(col("o_custkey"))
+      .agg(min(col("month")).as("first_month"))
+    byMonth.join(firstMonth, Seq("o_custkey"))
+      .withColumn("kind",
+        when(col("month") === col("first_month"), "new").otherwise("returning"))
+      .groupBy(col("month"), col("kind"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("month"), col("kind"))
+  }
+
   /** Pareto revenue concentration — "how much of the book do the top
     * 20 customers carry": per-customer revenue rollup, top-20 via
     * sort-limit (TakeOrderedAndProject — per-partition heaps, no
@@ -297,6 +321,7 @@ object Timelines {
     "rpt_cohort_retention" -> (cohortRetention _),
     "rpt_running_total"    -> (runningTotal _),
     "rpt_pareto"           -> (pareto _),
+    "rpt_new_vs_returning" -> (newVsReturning _),
     "rpt_rolling_7d"       -> (rolling7d _),
     "rpt_yoy_growth"       -> (yoyGrowth _),
     "rpt_timeline_month"   -> (timelineMonth _),
@@ -335,6 +360,20 @@ object Timelines {
                 count(DISTINCT o_custkey) AS n_customers
          FROM c WHERE ym - cohort_ym <= 6
          GROUP BY 1, 2 ORDER BY cohort, offset_m""",
+    "rpt_new_vs_returning" ->
+      """WITH bm AS (
+           SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1, 2),
+         fm AS (SELECT o_custkey, min(month) AS first_month
+                FROM bm GROUP BY 1)
+         SELECT month,
+                CASE WHEN month = first_month
+                     THEN 'new' ELSE 'returning' END AS kind,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                CAST(sum(n_orders) AS BIGINT) AS n_orders
+         FROM bm JOIN fm USING (o_custkey)
+         GROUP BY 1, 2 ORDER BY month, kind""",
     "rpt_pareto" ->
       """WITH bc AS (
            SELECT o_custkey,
