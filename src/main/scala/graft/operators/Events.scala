@@ -274,7 +274,20 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Day-of-week × hour activity heatmap — the ops-dashboard staple:
+    * one map-side-combined count on a 168-key composite (long format;
+    * the UI pivots). dayofweek is emitted 1=Sunday..7=Saturday in both
+    * engines via the same strftime-style derivation. */
+  def heatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+               hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("dow"), col("hour"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_heatmap"       -> (heatmap _),
     "evt_transitions"   -> (transitions _),
     "evt_rfm"           -> (rfm _),
     "evt_active_users"  -> (activeUsers _),
@@ -289,6 +302,13 @@ object Events {
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB dayofweek() is 0=Sunday; Spark's is 1=Sunday — shift +1
+    "evt_heatmap" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                CAST(hour(ts) AS BIGINT) AS hour,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     "evt_transitions" ->
       """WITH s AS (
            SELECT user_id, event_type,
