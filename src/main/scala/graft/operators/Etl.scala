@@ -139,7 +139,33 @@ object Etl {
           .otherwise("reload").as("decision"))
   }
 
+  /** Blocked entity matching — the record-linkage step of every
+    * ingest pipeline (the reference's person-matching intent,
+    * relationally): candidate pairs form ONLY within a blocking key
+    * (name prefix — one equi-join shuffle per side on the block,
+    * sub-quadratic by construction, the same reason dedup buckets by
+    * shingle), then Levenshtein ≤ 1 verifies within the block.
+    * Integer edit distance → identical in both engines → oracle. */
+  def entityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+              substring(col("c_name"), 1, 16).as("blk"))
+    val a = c.select(col("blk"), col("c_custkey").as("custkey_a"),
+                     col("c_name").as("name_a"))
+    val b = c.select(col("blk"), col("c_custkey").as("custkey_b"),
+                     col("c_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("custkey_a") < col("custkey_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= 1)
+      .select(col("custkey_a"), col("custkey_b"), col("name_a"),
+              col("name_b"), col("lev"))
+      .orderBy(col("custkey_a"), col("custkey_b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_entity_match" -> (entityMatch _),
     "etl_load_ledger"     -> (loadLedger _),
     "etl_quarantine"      -> (quarantine _),
     "etl_clean_normalize" -> (cleanNormalize _),
@@ -150,6 +176,16 @@ object Etl {
     "etl_ingest_stats"    -> (ingestStats _))
 
   val oracles: Map[String, String] = Map(
+    "etl_entity_match" ->
+      """WITH c AS (SELECT c_custkey, c_name,
+                           substr(c_name, 1, 16) AS blk
+                    FROM customer)
+         SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+                a.c_name AS name_a, b.c_name AS name_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+         FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY custkey_a, custkey_b LIMIT 100""",
     "etl_load_ledger" ->
       """WITH incoming AS (
            SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
