@@ -144,12 +144,15 @@ object Etl {
     * relationally): candidate pairs form ONLY within a blocking key
     * (name prefix — one equi-join shuffle per side on the block,
     * sub-quadratic by construction, the same reason dedup buckets by
-    * shingle), then Levenshtein ≤ 1 verifies within the block.
-    * Integer edit distance → identical in both engines → oracle. */
+    * shingle), then Levenshtein ≤ 1 verifies within the block. One
+    * block key trades recall for cost like any blocking scheme — the
+    * standard recall path is a second pass with a different key
+    * (suffix or sorted-digit prefix), unioned. Integer edit distance →
+    * identical in both engines → oracle. */
   def entityMatch(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"),
-              substring(col("c_name"), 1, 16).as("blk"))
+              substring(col("c_name"), 1, 17).as("blk"))
     val a = c.select(col("blk"), col("c_custkey").as("custkey_a"),
                      col("c_name").as("name_a"))
     val b = c.select(col("blk"), col("c_custkey").as("custkey_b"),
@@ -178,7 +181,7 @@ object Etl {
   val oracles: Map[String, String] = Map(
     "etl_entity_match" ->
       """WITH c AS (SELECT c_custkey, c_name,
-                           substr(c_name, 1, 16) AS blk
+                           substr(c_name, 1, 17) AS blk
                     FROM customer)
          SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
                 a.c_name AS name_a, b.c_name AS name_b,
