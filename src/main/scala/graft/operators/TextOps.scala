@@ -610,7 +610,25 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Equi-width token-count histogram — the corpus length profile a
+    * pipeline checks before choosing chunk/packing budgets: bucket =
+    * floor(n_tokens / width), one map-side-combined count on the
+    * bucket key (O(buckets) result, no sort over docs). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val W = 16L
+    Tables.documents(spark, dir)
+      .select((size(reTokens(col("text"))).cast("long")).as("n"))
+      .groupBy(floor(col("n") / W).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .withColumn("bucket_lo", col("bucket") * W)
+      .select(col("bucket"), col("bucket_lo"), col("n_docs"),
+              col("min_tokens"), col("max_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_hist" -> (lengthHistogram _),
     "text_entropy" -> (entropy _),
     "text_quality_model" -> (qualityModel _),
     "text_heavy_hitters" -> (heavyHitters _),
@@ -635,6 +653,15 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_length_hist" ->
+      """WITH t AS (SELECT CAST(len(regexp_extract_all(lower(text),
+                          '[a-z0-9]+')) AS BIGINT) AS n
+                    FROM documents)
+         SELECT CAST(n // 16 AS BIGINT) AS bucket,
+                CAST((n // 16) * 16 AS BIGINT) AS bucket_lo,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                min(n) AS min_tokens, max(n) AS max_tokens
+         FROM t GROUP BY 1, 2 ORDER BY bucket""",
     // identical expression tree on both sides: -sum(c*ln c)/n + ln n
     "text_entropy" ->
       """WITH ch AS (
