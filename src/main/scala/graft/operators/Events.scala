@@ -286,7 +286,30 @@ object Events {
            countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("dow"), col("hour"))
 
+  /** Inter-event gap profile per event type — the arrival-cadence
+    * stats behind session-gap and watermark tuning (how long until the
+    * same user acts again, by what they just did): one lead() on the
+    * sessionize partitioning, gap math in INTEGER MICROSECONDS (the
+    * no-float-time rule), then a map-side-combined rollup per type. */
+  def gaps(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("gap_s",
+        expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+           rnd(avg(col("gap_s")), 2).as("avg_gap_s"),
+           min(col("gap_s")).as("min_gap_s"),
+           max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_gaps"          -> (gaps _),
     "evt_heatmap"       -> (heatmap _),
     "evt_transitions"   -> (transitions _),
     "evt_rfm"           -> (rfm _),
@@ -302,6 +325,20 @@ object Events {
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "evt_gaps" ->
+      """WITH s AS (
+           SELECT user_id, event_type, ts,
+                  lead(ts, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_ts
+           FROM events),
+         g AS (SELECT event_type,
+                      date_diff('microsecond', ts, next_ts) // 1000000 AS gap_s
+               FROM s WHERE next_ts IS NOT NULL)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                floor(avg(gap_s) * 100 + 0.5) / 100 AS avg_gap_s,
+                CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+                CAST(max(gap_s) AS BIGINT) AS max_gap_s
+         FROM g GROUP BY 1 ORDER BY event_type""",
     // DuckDB dayofweek() is 0=Sunday; Spark's is 1=Sunday — shift +1
     "evt_heatmap" ->
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

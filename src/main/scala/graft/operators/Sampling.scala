@@ -41,6 +41,22 @@ object Sampling {
            countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
 
+  /** Deterministic k-fold cross-validation assignment (k=5): fold =
+    * md5-derived value mod k — a pure function of the id, so every
+    * re-run (and every engine) deals the same folds; map-only plus one
+    * tiny rollup. Emits the (fold × lang) audit counts an eval
+    * pipeline checks for balance before trusting CV numbers. */
+  def kfold(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    Tables.documents(spark, dir)
+      .withColumn("fold",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+           .cast("long") % K).cast("long"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
   /** Stratified class balancing: deterministically downsample every
     * language to the smallest class's size (rank within stratum by the
     * md5 coin, keep rank ≤ min class count). The min count is a lazy
@@ -139,9 +155,16 @@ object Sampling {
     "sample_deterministic" -> (sampleDocs _),
     "sample_stratified"    -> (stratifiedBalance _),
     "shard_by_budget"      -> (shardByBudget _),
-    "split_train_test"     -> (splitDocs _))
+    "split_train_test"     -> (splitDocs _),
+    "split_kfold"          -> (kfold _))
 
   val oracles: Map[String, String] = Map(
+    "split_kfold" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS BIGINT) % 5 AS fold,
+                lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents GROUP BY 1, 2 ORDER BY fold, lang""",
     "sample_domain_cap" ->
       """WITH r AS (
            SELECT doc_id, source, n_chars,
