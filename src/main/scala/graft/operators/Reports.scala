@@ -162,7 +162,20 @@ object Reports {
            count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Lines-per-order profile — the fact-table shape statistic behind
+    * join-strategy choices (how wide is an order on average; how heavy
+    * is the tail): per-order line counts (one map-side-combined agg on
+    * the already-clustered key) rolled into an O(sizes) histogram. */
+  def orderSizeProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_order_size_profile" -> (orderSizeProfile _),
     "rpt_percentiles"       -> (percentiles _),
     "rpt_approx_percentiles" -> (approxPercentiles _),
     "rpt_summary"           -> (summary _),
@@ -174,6 +187,11 @@ object Reports {
     "rpt_conditional_rates" -> (conditionalRates _))
 
   val oracles: Map[String, String] = Map(
+    "rpt_order_size_profile" ->
+      """WITH po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+                     FROM lineitem GROUP BY 1)
+         SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+         FROM po GROUP BY 1 ORDER BY n_lines""",
     "rpt_percentiles" ->
       """SELECT o_orderstatus,
                 floor((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS p50_price,
