@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's front door: a SparkSession wired the way graft's own
+  * mains run — native functions registered, the TopKPerKey operator
+  * stack injected, and the session defaults every operator assumes
+  * (UTC timestamps, AQE on, shuffle parallelism sized to the
+  * cluster, not the 200 default).
+  *
+  * Cluster deployments that build their own session can instead pass
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (the SPI route —
+  * identical bindings) or call [[configure]] on an existing session.
+  */
+object GraftSession {
+
+  /** Apply graft's session-level requirements to an existing session:
+    * native function registration (idempotent). Extensions
+    * (rule/strategy) can only be injected at build time — sessions not
+    * built via [[local]]/the SPI still run every operator, with
+    * TopKPerKey falling back to its logical form's window rewrite. */
+  def configure(spark: SparkSession): SparkSession = {
+    functions.Registry.register(spark)
+    spark
+  }
+
+  /** A local session with graft fully wired (the shape Verify/Bench/
+    * Explain run): extensions injected at build time, functions
+    * registered, shuffle partitions = cores. */
+  def local(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    configure(s)
+  }
+}
