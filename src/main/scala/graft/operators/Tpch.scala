@@ -131,7 +131,30 @@ object Tpch {
       .limit(20)
   }
 
+  /** TPC-H Q4 shape: EXISTS semi-join — how many orders per priority
+    * had at least one late-shipping line (>90 days after the order).
+    * A LEFT SEMI join keeps the fact side at most once per order (no
+    * row multiplication, no post-join distinct — the plan Spark emits
+    * for EXISTS); the date window pushes to the orders scan and the
+    * rollup is a tiny partial agg. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+              to_date(col("o_orderdate")) < lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+        to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority"      -> (q4Priority _),
     "q10_returns"      -> (q10Returns _),
     "q6_forecast"      -> (q6Forecast _),
     "q1_pricing"       -> (q1Pricing _),
@@ -139,6 +162,17 @@ object Tpch {
     "q5_region_volume" -> (q5RegionVolume _))
 
   val oracles: Map[String, String] = Map(
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+         FROM orders o
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND CAST(l.l_shipdate AS DATE) >
+                   CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY)
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "q10_returns" ->
       """WITH pc AS (
            SELECT o_custkey,
