@@ -42,12 +42,29 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Bounded-heap final ranking shared by every cosine search path:
+    * TopKPerKey (map-side partial heaps, ≤k rows/key/partition on the
+    * wire — see plans/TopKPerKey.scala) picks the per-query top-k; the
+    * rank column is then a window over the k×|queries| SURVIVORS, a
+    * bounded frame regardless of corpus/cell size. The alternative —
+    * `row_number().over(partitionBy(query_id))` on the raw candidate
+    * set — funnels a whole cell's candidates (~N/K rows at 100 TB)
+    * into one task's sort. */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopKPerKey(scored, "query_id", "cos_raw", k,
+      tiebreak = Some("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Brute-force top-10 routed through the custom TopKPerKey operator
     * (graft.plans) instead of the window formulation: per-key bounded
     * heaps, no per-key sort — the shape that survives hot keys at
-    * 100 TB. Output contract (and oracle) identical to ann_topk; the
-    * rank column is computed afterwards over the k×|queries| survivors,
-    * a bounded frame regardless of corpus size. */
+    * 100 TB. Output contract (and oracle) identical to ann_topk. */
   def topKOperator(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -58,14 +75,7 @@ object Knn {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               VectorFunctions.cosine(col("qv"), col("nv")).as("cos_raw"))
-    val top = graft.plans.TopKPerKey(scored, "query_id", "cos_raw", 10,
-      tiebreak = Some("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("query_id"), col("neighbor_id"),
-              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, 10)
   }
 
   /** RAG retrieval end-to-end: ANN top-5 per query vector (through the
@@ -158,8 +168,15 @@ object Knn {
     * runs no job at plan build, materializes on first action, is
     * shared by both branches of THIS query, and is private to this
     * DataFrame. The search join then touches one cell per query
-    * instead of the corpus. */
-  def ivf(spark: SparkSession, dir: String): DataFrame = {
+    * instead of the corpus, and the final ranking is the bounded-heap
+    * TopKPerKey pass (rankTopK) — a cell holds ~N/K vectors at 100 TB,
+    * far too many for a single task's window sort. */
+  def ivf(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(ivfScored(spark, dir), 5)
+
+  /** The scored in-cell candidate set behind `ivf` (shared with
+    * IvfAssignmentSpec's ranking-parity test). */
+  private[graft] def ivfScored(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 97 === 0)
@@ -170,13 +187,20 @@ object Knn {
               col("cent_id").as("q_cent"))
     val cand = assigned.select(col("cent_id"), col("vec_id").as("neighbor_id"),
                                col("embedding").as("nv"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
     cand.join(broadcast(q), col("cent_id") === col("q_cent") &&
                             col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_raw", VectorFunctions.cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosine(col("qv"), col("nv")).as("cos_raw"))
+  }
+
+  /** Window-ranked formulation of the final top-k — kept only as the
+    * parity reference for IvfAssignmentSpec (it sorts a whole cell's
+    * candidates in one task; rankTopK is the production shape). */
+  private[graft] def rankViaWindow(scored: DataFrame, k: Int): DataFrame = {
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
               rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -206,16 +230,11 @@ object Knn {
       nprobe, tiebreak = Some("q_cent"))
     val cand = assigned.select(col("cent_id"), col("vec_id").as("neighbor_id"),
                                col("embedding").as("nv"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    cand.join(broadcast(probes), col("cent_id") === col("q_cent") &&
-                                 col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_raw", VectorFunctions.cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= 5)
+    val scored = cand.join(broadcast(probes), col("cent_id") === col("q_cent") &&
+                                              col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+              VectorFunctions.cosine(col("qv"), col("nv")).as("cos_raw"))
+    rankTopK(scored, 5)
   }
 
   /** Product-quantization ANN (PQ-lite with asymmetric distance
@@ -578,16 +597,11 @@ object Knn {
               col("cluster").as("q_cluster"))
     val cand = assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
                                col("embedding").as("nv"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    cand.join(broadcast(q), col("cluster") === col("q_cluster") &&
-                            col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_raw", VectorFunctions.cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= 5)
+    val scored = cand.join(broadcast(q), col("cluster") === col("q_cluster") &&
+                                         col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-              rnd(col("cos_raw"), 4).as("cos_sim"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+              VectorFunctions.cosine(col("qv"), col("nv")).as("cos_raw"))
+    rankTopK(scored, 5)
   }
 
   /** Rank-1-window formulation of the centroid assignment — kept only

@@ -28,6 +28,27 @@ class IvfAssignmentSpec extends AnyFunSuite {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }
 
+  test("IVF final ranking via TopKPerKey matches the window formulation") {
+    val scored = similarity.Knn.ivfScored(spark, Sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("rank"))).toSeq
+    val viaOperator = rows(similarity.Knn.rankTopK(scored, 5))
+    val viaWindow = rows(similarity.Knn.rankViaWindow(scored, 5))
+    assert(viaOperator.nonEmpty)
+    assert(viaOperator === viaWindow)
+  }
+
+  test("all three IVF variants rank through the bounded-heap operator") {
+    for (df <- Seq(similarity.Knn.ivf(spark, Sf),
+                   similarity.Knn.ivfProbes(spark, Sf, nprobe = 2),
+                   similarity.Knn.ivfTrained(spark, Sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
+    }
+  }
+
   test("max_by centroid assignment matches the rank-1 window formulation") {
     val (fast, ref) = similarity.Knn.assignmentPair(spark, Sf)
     val a = fast.collect()
