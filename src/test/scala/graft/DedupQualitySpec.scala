@@ -99,6 +99,95 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(plantedHamming.forall(_ <= 8))
   }
 
+  private def observedMetric(df: org.apache.spark.sql.DataFrame,
+                             name: String, field: String): Long = {
+    df.collect()
+    df.queryExecution.observedMetrics(name).getAs[Long](field)
+  }
+
+  // The planted hot-bucket corpora all pair a degenerate hot bucket (30
+  // docs sharing one stopword-like shingle/fingerprint, maxBucket=10)
+  // with ONE genuine near-dup pair on private vocabulary — the
+  // production shape. (A corpus where the guard empties the output
+  // entirely also loses the audit: AQE's empty-relation propagation
+  // prunes the CollectMetrics node along with the rest of the plan.)
+
+  test("jaccard drops hot-shingle buckets and audits the drop") {
+    import spark.implicits._
+    val shared = (0 until 12).map(j => s"p$j").mkString(" ")
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"aaa bbb ccc " + (0 until 10).map(j => s"u${i}x$j").mkString(" "))
+    } ++ Seq((200L, shared), (201L, shared))).toDF("doc_id", "text")
+    val pairs = dedup.Dedup.jaccardPairsOn(docs, maxBucket = 10)
+    val got = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // only the genuine pair survives; nothing leaked from the hot bucket
+    assert(got === Set((200L, 201L)))
+    assert(observedMetric(pairs, "jaccard_hot_shingles", "n_hot_buckets") === 1L)
+    assert(observedMetric(pairs, "jaccard_hot_shingles",
+      "n_hot_doc_entries") === 30L)
+  }
+
+  test("winnow drops hot-fingerprint buckets and audits the drop") {
+    import spark.implicits._
+    // a shared 12-token run fingerprints identically in all 30 docs
+    val hotRun = (0 until 12).map(j => s"s$j").mkString(" ")
+    val pairRun = (0 until 14).map(j => s"q$j").mkString(" ")
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, hotRun + " " + (0 until 8).map(j => s"u${i}x$j").mkString(" "))
+    } ++ Seq((200L, pairRun), (201L, pairRun))).toDF("doc_id", "text")
+    val pairs = dedup.Dedup.winnowPairsOn(docs, maxBucket = 10)
+    val got = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === Set((200L, 201L)))
+    assert(observedMetric(pairs, "winnow_hot_fps", "n_hot_buckets") >= 1L)
+  }
+
+  test("contamination drops hot-shingle buckets and audits the drop") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def nibble(id: Long): Int = Integer.parseInt(
+      MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+        .map("%02x".format(_)).mkString.substring(0, 1), 16)
+    val evalIds = (0L until 2000L).filter(nibble(_) == 15).take(2)
+    val trainIds = (0L until 2000L).filter(nibble(_) != 15).take(30)
+    val shared = (0 until 12).map(j => s"p$j").mkString(" ")
+    // hot shingle across eval#0 + 29 train docs; genuine leak between
+    // train#29 and eval#1 on private vocabulary
+    val docs = ((evalIds.take(1) ++ trainIds.take(29)).map { id =>
+      (id, s"aaa bbb ccc " + (0 until 10).map(j => s"u${id}x$j").mkString(" "))
+    } ++ Seq((trainIds(29), shared), (evalIds(1), shared))).toDF("doc_id", "text")
+    val hits = dedup.Dedup.contaminationOn(docs, maxBucket = 10)
+    val got = hits.collect().map(r => (r.getAs[Long]("train_doc_id"),
+      r.getAs[Long]("eval_doc_id"))).toSet
+    assert(got === Set((trainIds(29), evalIds(1))))
+    assert(observedMetric(hits, "contamination_hot_shingles",
+      "n_hot_buckets") === 1L)
+  }
+
+  test("simhash star-expands oversized buckets instead of all-pairs") {
+    import spark.implicits._
+    val text = (0 until 20).map(j => s"w$j").mkString(" ")
+    val docs = (0 until 50).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val pairs = dedup.Dedup.simhashPairs(docs, maxBucket = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // identical docs, identical simhash: star = (0, i) edges only
+    assert(pairs.length === 49)
+    assert(pairs.forall(_._1 === 0L))
+  }
+
+  test("minhash star-expands oversized buckets instead of all-pairs") {
+    import spark.implicits._
+    val text = (0 until 20).map(j => s"w$j").mkString(" ")
+    val docs = (0 until 50).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val pairs = dedup.Dedup.minhashPairs(spark, docs, maxBucket = 10)
+    val rows = pairs.collect().map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b")))
+    assert(rows.length === 49)
+    assert(rows.forall(_._1 === 0L))
+    assert(observedMetric(pairs, "minhash_hot_buckets", "n_hot_buckets") >= 1L)
+  }
+
   test("minhash-verified pairs are a precision-1.0 subset of exact jaccard") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
