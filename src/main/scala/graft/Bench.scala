@@ -12,13 +12,29 @@ import org.apache.spark.sql.SparkSession
   *    row of the real physical plan; `df.count()` would let Catalyst
   *    prune the projections being measured;
   *  - queries are isolated: after each query the harness unpersists any
-  *    leftover persistent RDD blocks (the lazy localCheckpoints several
-  *    operators pin). Without this, blocks accumulate across the 100+
-  *    query session and squeeze the execution memory of whichever query
-  *    runs later — a 1.2 s query was observed at 17 s purely from
+  *    persistent RDD blocks the run ADDED (the lazy localCheckpoints
+  *    several operators pin) — blocks that existed before the run (e.g.
+  *    data a future harness shares across queries) are left alone.
+  *    Without the cleanup, blocks accumulate across the 100+ query
+  *    session and squeeze the execution memory of whichever query runs
+  *    later — a 1.2 s query was observed at 17 s purely from
   *    stale-block GC pressure.
+  *  - failures are LOUD: a query that throws is reported as "err" in
+  *    the JSON (with the exception in an `errors` map) and the process
+  *    exits nonzero — a regression must never bench as a speedup.
+  *  - the full JSON line is also written to `BENCH_FULL.json` in the
+  *    working directory, so a consumer that truncates long stdout lines
+  *    still has the complete per-query recording.
   */
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => " "
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,24 +57,44 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map { name =>
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val results: Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
+      var err: Option[String] = None
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+            .replace('\n', ' ').take(300))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
-        // free this run's checkpoint blocks before the next run/query
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // free only the blocks THIS run pinned (checkpoints), never
+        // state that existed before it
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = false) }
         dt
       }.sorted
-      name -> times(times.size / 2)
+      name -> err.toLeft(times(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"$k\":$v"
+      case (k, Left(_))  => s"\"$k\":\"err\""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(m)) =>
+      s"\"$k\":\"${jsonEscape(m)}\"" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val nErr = results.count(_._2.isLeft)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"n_errors":$nErr,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr queries FAILED — see errors map")
+      sys.exit(1)
+    }
   }
 }
