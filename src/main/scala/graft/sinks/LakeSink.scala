@@ -49,7 +49,12 @@ object LakeSink {
     * swaps via rename-to-backup → rename-staging-in → drop-backup: at
     * every crash point the full data exists as the live dir, the
     * backup, or the completed staging copy — there is no
-    * delete-before-replace window that could lose the partition.
+    * delete-before-replace window that could lose the partition. On
+    * entry, if a prior run died between the two renames (live dir
+    * absent), the partition is recovered FIRST — roll forward to the
+    * completed staging copy, else roll back to the backup — and only
+    * then are leftovers deleted; deleting them while the live dir is
+    * absent would destroy the only surviving copy.
     * Returns (files_before, files_after). File-count sizing derives
     * from input bytes like [[compact]]. */
   def compactPartition(spark: SparkSession, lakePath: String, month: String,
@@ -59,7 +64,22 @@ object LakeSink {
     val staging = new Path(s"$lakePath/.compact_tmp_part_month=$month")
     val backup = new Path(s"$lakePath/.compact_bak_part_month=$month")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true) // stale leftovers from a prior crash
+    if (!fs.exists(dir)) {
+      // a prior run crashed after rename(dir→backup): the staging copy
+      // (written fully before that rename) is the roll-forward target,
+      // the backup the roll-back target — one of them IS the partition
+      if (fs.exists(staging) && fs.rename(staging, dir)) {
+        // rolled forward to the completed compacted copy
+      } else if (fs.exists(backup) && fs.rename(backup, dir)) {
+        // rolled back to the pre-compaction data
+      } else {
+        throw new java.io.IOException(
+          s"compactPartition: $dir absent and no recoverable staging/" +
+          s"backup copy found — refusing to proceed")
+      }
+    }
+    // live dir is present — now stale leftovers are safe to clear
+    fs.delete(staging, true)
     fs.delete(backup, true)
     val before = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
     val df = spark.read.parquet(dir.toString)

@@ -60,6 +60,50 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(parquetFiles(s"$base/compacted") < parquetFiles(frag))
   }
 
+  test("compactPartition swaps in place and recovers a mid-swap crash") {
+    def seedLake(): String = {
+      val base = Files.createTempDirectory("graft_cpart").toString + "/lake"
+      LakeSink.writeMonthlyPartitioned(
+        Tables.orders(spark, Sf), "o_orderdate", base)
+      // fragment one partition with appends so compaction has work
+      val more = Tables.orders(spark, Sf)
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-03")
+        .repartition(8)
+      LakeSink.appendMonthlyPartitioned(more, "o_orderdate", base)
+      base
+    }
+    val month = "1997-03"
+    def rowsIn(base: String) = LakeSink.readMonth(spark, base, month).count()
+
+    // normal path: same rows, fewer files
+    val lake = seedLake()
+    val expected = rowsIn(lake)
+    val (before, after) = LakeSink.compactPartition(spark, lake, month)
+    assert(after <= before && rowsIn(lake) === expected)
+
+    // crash between rename(dir->backup) and rename(staging->dir):
+    // live dir absent, completed staging + backup present. A rerun must
+    // roll forward, not delete the only surviving copies.
+    val dir = new java.io.File(s"$lake/part_month=$month")
+    val staging = new java.io.File(s"$lake/.compact_tmp_part_month=$month")
+    val backup = new java.io.File(s"$lake/.compact_bak_part_month=$month")
+    val shadow = new java.io.File(s"$lake/.shadow")
+    // build a "completed staging" copy, then simulate the crash state
+    assert(dir.renameTo(shadow))
+    LakeSink.compact(spark, shadow.getPath, staging.getPath)
+    assert(shadow.renameTo(backup))
+    assert(!dir.exists())
+    val (_, _) = LakeSink.compactPartition(spark, lake, month)
+    assert(rowsIn(lake) === expected, "mid-swap crash recovery lost rows")
+    assert(!staging.exists() && !backup.exists())
+
+    // crash state with only a backup (no staging): must roll back
+    assert(dir.renameTo(backup))
+    val (_, _) = LakeSink.compactPartition(spark, lake, month)
+    assert(rowsIn(lake) === expected, "backup-only recovery lost rows")
+    assert(!backup.exists())
+  }
+
   test("clustered write produces pairwise-disjoint per-file key ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft_lake_cl").toString
     val out = s"$base/clustered"
