@@ -167,7 +167,48 @@ object Etl {
       .limit(100)
   }
 
+  /** Load-batch rollback over an upsert table — the reference's undo-ETL
+    * semantics (/root/reference/core/app.py:1403 undo_etl_job: delete
+    * every record a load batch imported) made upsert-aware: when the
+    * undone batch UPDATED a key that existed before, deletion must
+    * restore the key's previous version, not just remove a row. Orders
+    * model the per-key version stream (each customer's orders are
+    * successive upserts; `etl_dedup_latest` is the current-state view);
+    * the undone batch is a deterministic md5 1/16 split of orderkeys —
+    * the same content-addressed coin as dedup.incremental. Verdicts per
+    * key: `unchanged` (current version not from the batch), `restored`
+    * (batch row removed, previous version becomes current —
+    * restored_orderkey says which), `removed` (the key existed only in
+    * the undone batch). The physical delete mechanism is
+    * sinks.LakeSink.undoBatch (staged partition swap).
+    *
+    * Scale: ONE hash aggregate on the key with map-side partial combine
+    * — `max(struct(date, key))` picks the current and the pre-batch
+    * version in the same pass; no window sort, no self-join, the fact
+    * table shuffles once. */
+  def undoBatch(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      (conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+        .cast("int") === 0).as("in_batch"))
+    o.groupBy(col("o_custkey"))
+      .agg(
+        max(struct(col("o_orderdate"), col("o_orderkey"))).as("cur"),
+        max(when(!col("in_batch"),
+          struct(col("o_orderdate"), col("o_orderkey")))).as("prev"))
+      .select(
+        col("o_custkey").as("custkey"),
+        col("cur.o_orderkey").as("current_orderkey"),
+        when(col("cur.o_orderkey") === col("prev.o_orderkey"), "unchanged")
+          .when(col("prev").isNotNull, "restored")
+          .otherwise("removed").as("verdict"),
+        when(col("cur.o_orderkey") =!= col("prev.o_orderkey"),
+          col("prev.o_orderkey")).as("restored_orderkey"))
+      .orderBy(col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_undo_batch" -> (undoBatch _),
     "etl_entity_match" -> (entityMatch _),
     "etl_load_ledger"     -> (loadLedger _),
     "etl_quarantine"      -> (quarantine _),
@@ -179,6 +220,30 @@ object Etl {
     "etl_ingest_stats"    -> (ingestStats _))
 
   val oracles: Map[String, String] = Map(
+    "etl_undo_batch" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                       AS INTEGER) = 0 AS in_batch
+           FROM orders),
+         cur AS (
+           SELECT o_custkey, o_orderkey AS current_orderkey, in_batch
+           FROM o
+           QUALIFY row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+         prev AS (
+           SELECT o_custkey, o_orderkey AS prev_orderkey
+           FROM o WHERE NOT in_batch
+           QUALIFY row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+         SELECT c.o_custkey AS custkey, c.current_orderkey,
+                CASE WHEN NOT c.in_batch THEN 'unchanged'
+                     WHEN p.prev_orderkey IS NOT NULL THEN 'restored'
+                     ELSE 'removed' END AS verdict,
+                CASE WHEN c.in_batch THEN p.prev_orderkey END
+                  AS restored_orderkey
+         FROM cur c LEFT JOIN prev p ON c.o_custkey = p.o_custkey
+         ORDER BY custkey""",
     "etl_entity_match" ->
       """WITH c AS (SELECT c_custkey, c_name,
                            substr(c_name, 1, 17) AS blk

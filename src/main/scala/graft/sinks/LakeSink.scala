@@ -59,6 +59,51 @@ object LakeSink {
     * from input bytes like [[compact]]. */
   def compactPartition(spark: SparkSession, lakePath: String, month: String,
                        targetFileMB: Int = 128): (Int, Int) = {
+    var before = 0
+    stagedRewrite(spark, lakePath, month) { (fs, dir, staging) =>
+      before = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+      val df = spark.read.parquet(dir.toString)
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nFiles = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+      df.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
+    }
+    val dir = new org.apache.hadoop.fs.Path(s"$lakePath/part_month=$month")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val after = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+
+  /** Load-batch rollback of ONE lake partition — the reference's
+    * undo-ETL-job semantics (/root/reference/core/app.py:1403
+    * undo_etl_job deletes every record a load batch imported) on the
+    * partitioned lake: rewrite the partition WITHOUT the undone batch's
+    * rows, atomically through the same staged swap as
+    * [[compactPartition]] (every crash point leaves the full data as
+    * live dir, backup, or completed staging). `batchCol` is the load-id
+    * column the ingestion writes (the lake twin of etl_metadata's
+    * file/job lineage). Returns (rows_deleted, rows_kept). */
+  def undoBatch(spark: SparkSession, lakePath: String, month: String,
+                batchCol: String, batchId: String): (Long, Long) = {
+    var deleted = 0L
+    var kept = 0L
+    stagedRewrite(spark, lakePath, month) { (_, dir, staging) =>
+      val df = spark.read.parquet(dir.toString)
+      val total = df.count()
+      df.filter(col(batchCol) =!= batchId || col(batchCol).isNull)
+        .write.mode("overwrite").parquet(staging.toString)
+      kept = spark.read.parquet(staging.toString).count() // footer-only
+      deleted = total - kept
+    }
+    (deleted, kept)
+  }
+
+  /** Staged atomic rewrite of one partition dir, shared by compaction
+    * and batch rollback: recover any prior mid-swap crash, clear
+    * leftovers, run `write` into the staging dir, then swap via
+    * rename-to-backup → rename-staging-in → drop-backup. */
+  private def stagedRewrite(spark: SparkSession, lakePath: String,
+      month: String)(write: (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(s"$lakePath/part_month=$month")
     val staging = new Path(s"$lakePath/.compact_tmp_part_month=$month")
@@ -69,31 +114,25 @@ object LakeSink {
       // (written fully before that rename) is the roll-forward target,
       // the backup the roll-back target — one of them IS the partition
       if (fs.exists(staging) && fs.rename(staging, dir)) {
-        // rolled forward to the completed compacted copy
+        // rolled forward to the completed rewritten copy
       } else if (fs.exists(backup) && fs.rename(backup, dir)) {
-        // rolled back to the pre-compaction data
+        // rolled back to the pre-rewrite data
       } else {
         throw new java.io.IOException(
-          s"compactPartition: $dir absent and no recoverable staging/" +
+          s"stagedRewrite: $dir absent and no recoverable staging/" +
           s"backup copy found — refusing to proceed")
       }
     }
     // live dir is present — now stale leftovers are safe to clear
     fs.delete(staging, true)
     fs.delete(backup, true)
-    val before = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
-    val df = spark.read.parquet(dir.toString)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
-    df.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
+    write(fs, dir, staging)
     if (!fs.rename(dir, backup) || !fs.rename(staging, dir)) {
       // roll forward/back is manual at this point; never drop data
       throw new java.io.IOException(
-        s"compactPartition: rename failed for $dir (backup at $backup)")
+        s"stagedRewrite: rename failed for $dir (backup at $backup)")
     }
     fs.delete(backup, true)
-    val after = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
-    (before, after)
   }
 
   /** Compact a directory of many small files into ~`targetFileMB`-sized

@@ -104,6 +104,32 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(!backup.exists())
   }
 
+  test("undoBatch deletes one load batch and a re-append restores it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_undo").toString + "/lake"
+    val rows = (0 until 300).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"1997-03-${i % 28 + 1} 00:00:00"),
+       s"batch_${i % 3}")
+    }.toDF("id", "ts", "load_batch")
+    LakeSink.writeMonthlyPartitioned(rows, "ts", base)
+    val month = "1997-03"
+    val (deleted, kept) = LakeSink.undoBatch(spark, base, month,
+      "load_batch", "batch_1")
+    assert(deleted === 100L && kept === 200L)
+    val after = LakeSink.readMonth(spark, base, month)
+    assert(after.count() === 200)
+    assert(after.filter(col("load_batch") === "batch_1").count() === 0)
+    // restore round-trip: re-appending the undone batch (the staged
+    // files a real pipeline keeps, here re-derived) recovers the
+    // original partition content exactly
+    LakeSink.appendMonthlyPartitioned(
+      rows.filter(col("load_batch") === "batch_1"), "ts", base)
+    val restored = LakeSink.readMonth(spark, base, month)
+    assert(restored.count() === 300)
+    assert(restored.select(sum(col("id"))).head.getLong(0) ===
+           rows.select(sum(col("id"))).head.getLong(0))
+  }
+
   test("clustered write produces pairwise-disjoint per-file key ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft_lake_cl").toString
     val out = s"$base/clustered"
