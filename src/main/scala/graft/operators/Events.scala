@@ -220,17 +220,37 @@ object Events {
     * 100 TB cutoff swap-in). Monetary is rounded BEFORE the cutoff
     * compare so partial-sum float jitter can't flip a boundary user.
     * Output is the segment rollup (bounded rows). */
-  def rfm(spark: SparkSession, dir: String): DataFrame = {
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    rfmWith(spark, dir, approxAccuracy = None)
+
+  /** [[rfm]] with the cutoff strategy explicit: None = exact
+    * interpolated percentile (single-buffer, the oracle-checkable
+    * form); Some(a) = approx_percentile with accuracy `a` — the
+    * Greenwald–Khanna mergeable sketch whose map-side partials make
+    * the cutoff row scale to 100 TB. Rank error ≤ N/a per cutoff, so a
+    * segment's count can move by at most 3·N/a users (one flip per
+    * metric comparison) — ApproxCutoffSpec asserts that bound. */
+  private[graft] def rfmWith(spark: SparkSession, dir: String,
+                             approxAccuracy: Option[Int]): DataFrame = {
     val ref = "2024-02-01"
     val users = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(datediff(lit(ref), max(col("ts"))).cast("long").as("recency_days"),
            count(lit(1)).as("frequency"),
            rnd(sum(col("value")), 2).as("monetary"))
-    val cuts = users.agg(
-      expr("percentile(recency_days, CAST(0.5 AS DOUBLE))").as("r_med"),
-      expr("percentile(frequency, CAST(0.5 AS DOUBLE))").as("f_med"),
-      expr("percentile(monetary, CAST(0.5 AS DOUBLE))").as("m_med"))
+    val cuts = approxAccuracy match {
+      case None => users.agg(
+        expr("percentile(recency_days, CAST(0.5 AS DOUBLE))").as("r_med"),
+        expr("percentile(frequency, CAST(0.5 AS DOUBLE))").as("f_med"),
+        expr("percentile(monetary, CAST(0.5 AS DOUBLE))").as("m_med"))
+      case Some(a) => users.agg(
+        expr(s"approx_percentile(recency_days, CAST(0.5 AS DOUBLE), $a)")
+          .cast("double").as("r_med"),
+        expr(s"approx_percentile(frequency, CAST(0.5 AS DOUBLE), $a)")
+          .cast("double").as("f_med"),
+        expr(s"approx_percentile(monetary, CAST(0.5 AS DOUBLE), $a)")
+          .as("m_med"))
+    }
     users.crossJoin(broadcast(cuts))
       .withColumn("segment",
         when(col("recency_days") <= col("r_med") &&

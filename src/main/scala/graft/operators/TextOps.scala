@@ -293,14 +293,31 @@ object TextOps {
     * feeds both the cutoff branch and the bucketing join, so the
     * whole logprob pipeline is materialized once (lazy
     * localCheckpoint; two skinny columns per doc). */
-  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBucketsWith(spark, dir, approxAccuracy = None)
+
+  /** [[perplexityBuckets]] with the cutoff strategy explicit: None =
+    * exact interpolated percentile (oracle-checkable); Some(a) =
+    * approx_percentile accuracy `a` — the mergeable-sketch 100 TB
+    * swap-in. Rank error ≤ N/a per cutoff ⇒ each tercile's doc count
+    * moves by ≤ 2·N/a (two cutoffs bound a bucket) —
+    * ApproxCutoffSpec asserts the bound. */
+  private[graft] def perplexityBucketsWith(spark: SparkSession, dir: String,
+      approxAccuracy: Option[Int]): DataFrame = {
     val scored = unigramLogprob(spark, dir)
       .select(col("doc_id"), col("avg_neg_logprob"))
       .localCheckpoint(false)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val cuts = scored.agg(
-      expr("percentile(avg_neg_logprob, CAST(1.0/3.0 AS DOUBLE))").as("c1"),
-      expr("percentile(avg_neg_logprob, CAST(2.0/3.0 AS DOUBLE))").as("c2"))
+    val cuts = approxAccuracy match {
+      case None => scored.agg(
+        expr("percentile(avg_neg_logprob, CAST(1.0/3.0 AS DOUBLE))").as("c1"),
+        expr("percentile(avg_neg_logprob, CAST(2.0/3.0 AS DOUBLE))").as("c2"))
+      case Some(a) => scored.agg(
+        expr(s"approx_percentile(avg_neg_logprob, CAST(1.0/3.0 AS DOUBLE), $a)")
+          .as("c1"),
+        expr(s"approx_percentile(avg_neg_logprob, CAST(2.0/3.0 AS DOUBLE), $a)")
+          .as("c2"))
+    }
     scored.join(docs, Seq("doc_id"))
       .crossJoin(broadcast(cuts))
       .withColumn("bucket",
