@@ -26,8 +26,21 @@ object GraftSession {
 
   /** A local session with graft fully wired (the shape Verify/Bench/
     * Explain run): extensions injected at build time, functions
-    * registered, shuffle partitions = cores. */
+    * registered, shuffle partitions = cores. Fails fast if a session
+    * already exists in the JVM — getOrCreate would silently hand that
+    * session back with every config here ignored (no extensions, wrong
+    * shuffle width), breaking the "extensions injected at build time"
+    * contract; callers with an existing session want [[configure]]. */
   def local(cores: Int): SparkSession = {
+    val existing = SparkSession.getActiveSession.orElse(
+      SparkSession.getDefaultSession)
+    existing.filterNot(_.sparkContext.isStopped).foreach { _ =>
+      throw new IllegalStateException(
+        "GraftSession.local: a SparkSession already exists in this JVM; " +
+        "getOrCreate would ignore the graft configs and return it without " +
+        "the extension stack. Use GraftSession.configure(session) instead, " +
+        "or stop the existing session first.")
+    }
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)

@@ -37,6 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FreqItemsSketch {
   def build(exprs: Seq[Expression]): FreqItemsSketch = {
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"graft_freq_items expects exactly 2 arguments (item, k literal), " +
+      s"got ${exprs.length}")
     def intArg(e: Expression, role: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt

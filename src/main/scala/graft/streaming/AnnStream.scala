@@ -23,10 +23,14 @@ object AnnStream {
 
   case class Vec(vec_id: Long, embedding: Seq[Float])
 
-  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+  private[graft] def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    // a silent min-length truncation would score malformed stream
+    // vectors with a plausible-looking number; surface them instead
+    require(a.length == b.length,
+      s"AnnStream.cosine: dimension mismatch ${a.length} vs ${b.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y

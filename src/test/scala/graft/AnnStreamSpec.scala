@@ -21,6 +21,14 @@ class AnnStreamSpec extends AnyFunSuite {
     if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
   }
 
+  test("dimension-mismatched vectors are surfaced, not silently scored") {
+    val e = intercept[IllegalArgumentException] {
+      AnnStream.cosine(Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))
+    }
+    assert(e.getMessage.contains("dimension mismatch"))
+    assert(AnnStream.cosine(Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)) === 1.0)
+  }
+
   test("multi-batch streaming top-3 per standing query matches batch brute force") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -35,6 +35,16 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftSession.local refuses to shadow an existing session") {
+    // TestSpark's session is live in this JVM: getOrCreate would hand
+    // it back with every graft config silently ignored
+    val spark = TestSpark.spark
+    SparkSession.setDefaultSession(spark)
+    SparkSession.setActiveSession(spark)
+    val e = intercept[IllegalStateException] { GraftSession.local(2) }
+    assert(e.getMessage.contains("configure"))
+  }
+
   test("GraftSession.configure is idempotent on an existing session") {
     val spark = TestSpark.spark
     GraftSession.configure(spark)

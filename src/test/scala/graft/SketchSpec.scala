@@ -11,6 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class SketchSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("freq_items: wrong arity raises a descriptive error, not an index crash") {
+    import spark.implicits._
+    graft.functions.Registry.register(spark)
+    val e = intercept[Exception] {
+      Seq("a").toDF("item")
+        .agg(call_function("graft_freq_items", col("item"))).collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+
   test("freq_items: superset guarantee holds under any partitioning") {
     import spark.implicits._
     graft.functions.Registry.register(spark)
