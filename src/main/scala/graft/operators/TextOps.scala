@@ -644,7 +644,33 @@ object TextOps {
       .orderBy(col("bucket"))
   }
 
+  /** Duplicated-n-gram fraction per document — the RefinedWeb/Gopher
+    * corpus-health metric the near-dup suite acts on: for each doc, the
+    * share of its DISTINCT 3-gram shingles that also occur in at least
+    * one other document. High dup_frac docs are boilerplate/template
+    * candidates even when no single pair crosses a jaccard threshold —
+    * the per-doc complement of dedup's pairwise view.
+    *
+    * Scale shape: gram doc-frequencies are ONE map-side-combined count
+    * keyed on the shingle; the join back to the exploded (doc, shingle)
+    * rows co-partitions on that same key (the agg side arrives
+    * pre-partitioned, the explode side shuffles once); the per-doc
+    * rollup is a second map-side-combined agg. No collect_list — no
+    * hot-shingle memory risk — and no corpus² anywhere. */
+  def dupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(Tables.documents(spark, dir))
+    val df = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    ex.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"),
+           rnd(sum(when(col("df") >= 2, 1L).otherwise(0L)) /
+               count(lit(1)).cast("double"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_ngram_frac" -> (dupNgramFrac _),
     "text_length_hist" -> (lengthHistogram _),
     "text_entropy" -> (entropy _),
     "text_quality_model" -> (qualityModel _),
@@ -670,6 +696,27 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_dup_ngram_frac" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2),
+                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+             ELSE [] END) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         g AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+         SELECT e.doc_id,
+                count(*) AS n_grams,
+                CAST(sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_grams,
+                floor((sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) /
+                       CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+                  AS dup_frac
+         FROM ex e JOIN g USING (shingle)
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
     "text_length_hist" ->
       """WITH t AS (SELECT CAST(len(regexp_extract_all(lower(text),
                           '[a-z0-9]+')) AS BIGINT) AS n

@@ -112,6 +112,36 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage retrieval — the production ANN serving shape: a cheap
+    * approximate SHORTLIST (PQ/ADC, 25 candidates per query scored
+    * from byte codes without touching raw vectors) followed by an
+    * exact cosine RERANK of only those candidates. Rerank cost is
+    * O(25·|queries|) full-precision dot products regardless of corpus
+    * size; recall is the shortlist's, precision-of-ordering is exact —
+    * selecting by true cosine from the shortlist is the best any
+    * 5-subset of it can do (RerankSpec asserts the dominance over
+    * raw ADC ordering and score-exactness vs brute force).
+    *
+    * Scale: the bounded shortlist BROADCASTS against the embeddings
+    * scan for the vector fetch (the corpus never shuffles), the query
+    * vectors broadcast likewise, and the final ranking is the
+    * bounded-heap TopKPerKey pass. Approximate (shortlist misses) →
+    * rows-only. */
+  def rerank(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val shortlist = pqTopK(spark, e, 25)
+      .select(col("query_id").as("sl_query"), col("neighbor_id").as("sl_nb"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e
+      .join(broadcast(shortlist), col("vec_id") === col("sl_nb"))
+      .join(broadcast(q), col("sl_query") === col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              VectorFunctions.cosine(col("qv"), col("embedding")).as("cos_raw"))
+    rankTopK(scored, 5)
+  }
+
   /** Random-hyperplane LSH: 16-bit signatures (one band of 16 planes
     * from the shared graft.functions.expressions.HyperplaneFamily —
     * deterministic across runs/sessions and shared with
@@ -641,7 +671,8 @@ object Knn {
     "ann_ivf_probes"    -> ((s, d) => ivfProbes(s, d, nprobe = 2)),
     "ann_pq_trained"    -> (pqTrained _),
     "ann_rq_trained"    -> (rqTrained _),
-    "rag_retrieve"      -> (retrieve _))
+    "rag_retrieve"      -> (retrieve _),
+    "rag_rerank"        -> (rerank _))
 
   private val topkOracle: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
