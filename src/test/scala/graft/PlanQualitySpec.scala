@@ -66,6 +66,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("text_dup_ngram_frac never collect_lists a bucket") {
+    // the doc-frequency formulation must stay a pure count + join —
+    // a collect_list bucket skeleton would reintroduce the hot-shingle
+    // memory risk the guard work removed (and plan ObjectHashAggregate)
+    val plan = operators.TextOps.dupNgramFrac(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("collect_list"), plan.take(3000))
+  }
+
+  test("rag_rerank broadcasts the shortlist and ranks through TopKPerKey") {
+    // the corpus scan must be the streamed side of broadcast joins
+    // (embeddings never shuffle) and the final ranking must be the
+    // bounded-heap operator, not a per-query window over candidates
+    val plan = similarity.Knn.rerank(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
+  }
+
   test("ann_pq encodes map-only: no sort/object aggregate, one shuffled agg") {
     // the literal-codebook rewrite keeps the encode inside codegen: a
     // groupBy+max_by formulation would plan a SortAggregate over the
