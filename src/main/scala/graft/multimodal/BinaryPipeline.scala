@@ -7,16 +7,20 @@ import graft.Tables
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata.
   *
-  * The container has no image/audio codecs, so per SURVEY §2.9 the
-  * *decode* step is a clearly-marked deterministic stub — but everything
-  * Spark-side is real and tested: binary column handling, metadata
-  * extraction with pushdown-friendly typed columns, and batched
-  * per-partition feature extraction (the Scala analogue of a batched
-  * `mapInPandas` decode: fixed-size batches through an opaque kernel).
+  * Image and audio decode are REAL as of round 4 — the JDK ships
+  * codecs (javax.imageio PNG/JPEG, javax.sound.sampled WAV/PCM), so
+  * [[imageFeatures]] and [[audioFeatures]] run genuine byte-level
+  * decodes inside batched mapPartitions kernels. The corpus has no
+  * binary column, so payloads are synthesized deterministically per
+  * doc THROUGH the same codecs (ImageIO.write / AudioSystem.write) —
+  * the decode parses real PNG/WAV containers, and MultimodalSpec pins
+  * the decoded features to closed-form expectations. Video decode
+  * stays a clearly-marked stub ([[features]]'s fakeDecode): the JDK
+  * has no video codec and the zero-egress image ships none.
   *
   * Scale notes: payloads never leave columnar storage until the feature
   * stage; metadata (size/hash/chunk) is map-only and gives downstream
-  * stages partition-pruning handles; the feature kernel processes
+  * stages partition-pruning handles; the feature kernels process
   * fixed-size batches so decoder memory stays bounded per task.
   */
 object BinaryPipeline {
@@ -55,7 +59,8 @@ object BinaryPipeline {
     }.toDF()
   }
 
-  /** STUB decode — deterministic fake features standing in for a codec. */
+  /** STUB decode — deterministic fake features standing in for a VIDEO
+    * codec (the one modality the JDK cannot decode). */
   private def fakeDecode(docId: Long, bytes: Array[Byte]): Features = {
     val n = bytes.length.toLong
     val first = if (bytes.nonEmpty) (bytes(0) & 0xFF).toDouble else 0.0
@@ -63,9 +68,155 @@ object BinaryPipeline {
     Features(docId, n, n.toDouble, first, checksum, (n % 251).toDouble)
   }
 
+  /** Deterministic 8×8 RGB PNG payload per doc, produced THROUGH the
+    * real encoder (ImageIO.write) so the decode side parses a genuine
+    * PNG container. Pixel (x,y) of doc d has channels
+    * r=(d·31+7x+13y)%256, g=(d·17+11x+3y)%256, b=(d·23+5x+19y)%256 —
+    * the closed form MultimodalSpec checks decoded features against. */
+  private[graft] def pngPayload(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val r = ((docId * 31 + 7 * x + 13 * y) % 256).toInt
+        val g = ((docId * 17 + 11 * x + 3 * y) % 256).toInt
+        val b = ((docId * 23 + 5 * x + 19 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class ImagePayload(doc_id: Long, png: Array[Byte])
+  case class ImageFeatures(doc_id: Long, n_bytes: Long, width: Int,
+                           height: Int, mean_r: Double, mean_g: Double,
+                           mean_b: Double, mean_luma: Double)
+
+  /** REAL image decode + feature extraction: each binary PNG payload is
+    * parsed by the JDK's ImageIO codec inside a bounded-batch
+    * mapPartitions kernel (decoder memory per task = one batch), then
+    * reduced to dimension + per-channel means + BT.601 luma — the
+    * resize/embed front-end shape of an image-curation pipeline.
+    * Engine-specific float summation order → rows-only;
+    * MultimodalSpec pins decoded features to the closed-form pixel
+    * expectation (PNG is lossless, so equality is exact). */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      // producer stand-in: a real lake stores these bytes in a binary
+      // parquet column; the codec-decode downstream is identical
+      .mapPartitions(_.map(id => ImagePayload(id, pngPayload(id))))
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap { batch => // bounded decoder batches
+        batch.iterator.map { p =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p.png))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          def r4(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+          ImageFeatures(p.doc_id, p.png.length.toLong, w, h,
+            r4(sr / n), r4(sg / n), r4(sb / n),
+            r4((0.299 * sr + 0.587 * sg + 0.114 * sb) / n))
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Deterministic WAV payload per doc: 8 kHz 16-bit mono PCM, 400
+    * samples of a sine at freq = 200 + (doc_id % 20)·50 Hz, amplitude
+    * 0.5 FS, written THROUGH AudioSystem.write so the decode parses a
+    * genuine RIFF/WAVE container. */
+  private[graft] def wavPayload(docId: Long): Array[Byte] = {
+    val rate = 8000f
+    val n = 400
+    val freq = 200.0 + (docId % 20) * 50.0
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 0.5 *
+        Short.MaxValue).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioPayload(doc_id: Long, wav: Array[Byte])
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, n_samples: Long,
+                           sample_rate: Double, duration_ms: Double,
+                           rms: Double, zero_crossings: Long)
+
+  /** REAL audio decode + feature extraction: each WAV payload is parsed
+    * by the JDK's sampled-audio codec (header + PCM frames) inside the
+    * same bounded-batch kernel shape, reduced to duration / RMS level /
+    * zero-crossing count — the VAD-and-level front-end of an audio
+    * curation pipeline. MultimodalSpec pins RMS to amplitude/√2 and
+    * the crossing count to 2·freq·duration within tolerance. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => AudioPayload(id, wavPayload(id))))
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { p =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p.wav))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumSq = 0.0
+          var crossings = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+            sumSq += s.toDouble * s
+            if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+            prev = s
+            i += 1
+          }
+          def r4(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+          AudioFeatures(p.doc_id, p.wav.length.toLong, n.toLong,
+            fmt.getSampleRate.toDouble,
+            r4(n * 1000.0 / fmt.getSampleRate),
+            r4(math.sqrt(sumSq / n) / Short.MaxValue), crossings)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta"     -> (meta _),
-    "multimodal_features" -> (features _))
+    "multimodal_meta"           -> (meta _),
+    "multimodal_features"       -> (features _),
+    "multimodal_image_features" -> (imageFeatures _),
+    "multimodal_audio_features" -> (audioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.BinaryPipeline
+
+/** The image/audio decode paths run REAL JDK codecs (ImageIO PNG,
+  * sampled-audio WAV). Payloads are synthesized from closed-form pixel/
+  * sample formulas, so the decoded features have exact (image — PNG is
+  * lossless) or tight-tolerance (audio — sine identities) expectations
+  * computed here independently of the pipeline. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("PNG decode reproduces the closed-form channel means exactly") {
+    val rows = BinaryPipeline.imageFeatures(spark, Sf).collect()
+    assert(rows.length === 500)
+    def r4(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+    rows.take(25).foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+      // expected channel means straight from the pixel formula
+      def mean(mul: Long, cx: Long, cy: Long): Double =
+        (for { y <- 0 until 8; x <- 0 until 8 }
+          yield ((d * mul + cx * x + cy * y) % 256).toDouble).sum / 64.0
+      val (er, eg, eb) = (mean(31, 7, 13), mean(17, 11, 3), mean(23, 5, 19))
+      assert(r.getAs[Double]("mean_r") === r4(er), s"doc $d mean_r")
+      assert(r.getAs[Double]("mean_g") === r4(eg), s"doc $d mean_g")
+      assert(r.getAs[Double]("mean_b") === r4(eb), s"doc $d mean_b")
+      assert(r.getAs[Double]("mean_luma") ===
+        r4(0.299 * er + 0.587 * eg + 0.114 * eb), s"doc $d luma")
+    }
+  }
+
+  test("WAV decode recovers sine RMS and zero-crossing rate") {
+    val rows = BinaryPipeline.audioFeatures(spark, Sf).collect()
+    assert(rows.length === 500)
+    rows.take(25).foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_samples") === 400L)
+      assert(r.getAs[Double]("sample_rate") === 8000.0)
+      assert(r.getAs[Double]("duration_ms") === 50.0)
+      // sine at amplitude 0.5 FS: RMS = 0.5/sqrt(2) ≈ 0.3536
+      assert(math.abs(r.getAs[Double]("rms") - 0.5 / math.sqrt(2)) < 0.01,
+        s"doc $d rms ${r.getAs[Double]("rms")}")
+      // crossings ≈ 2 · freq · duration (±2 boundary effects)
+      val freq = 200.0 + (d % 20) * 50.0
+      val expected = 2.0 * freq * 0.05
+      assert(math.abs(r.getAs[Long]("zero_crossings") - expected) <= 2,
+        s"doc $d crossings ${r.getAs[Long]("zero_crossings")} vs $expected")
+    }
+  }
+
+  test("decode kernels are deterministic across runs") {
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(sig(BinaryPipeline.imageFeatures(spark, Sf)) ===
+           sig(BinaryPipeline.imageFeatures(spark, Sf)))
+    assert(sig(BinaryPipeline.audioFeatures(spark, Sf)) ===
+           sig(BinaryPipeline.audioFeatures(spark, Sf)))
+  }
+}
