@@ -174,7 +174,33 @@ object Reports {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_lines"))
 
+  /** Join-key skew audit — the operational profile run BEFORE choosing
+    * a strategy for a recurring 100 TB join (broadcast / AQE skew
+    * split / salting / bucketing): per-key row counts bucketed by
+    * DIGIT COUNT (order of magnitude; integer-exact in every engine,
+    * unlike float log2 at power boundaries), so a heavy tail is
+    * visible as occupied high buckets. The per-key count is one
+    * map-side-combined aggregate; the histogram is a second tiny agg
+    * over |keys| rows; row_share comes from a global window over the
+    * O(digits) bucket frame — no percentile buffer, no second scan,
+    * nothing corpus-global. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val hist = perKey
+      .groupBy(length(col("n").cast("string")).cast("long").as("magnitude"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+           min(col("n")).as("min_rows"), max(col("n")).as("max_rows"))
+    hist
+      .withColumn("row_share",
+        rnd(col("n_rows") / sum(col("n_rows")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .orderBy(col("magnitude"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_skew_audit"        -> (skewAudit _),
     "rpt_order_size_profile" -> (orderSizeProfile _),
     "rpt_percentiles"       -> (percentiles _),
     "rpt_approx_percentiles" -> (approxPercentiles _),
@@ -187,6 +213,17 @@ object Reports {
     "rpt_conditional_rates" -> (conditionalRates _))
 
   val oracles: Map[String, String] = Map(
+    "rpt_skew_audit" ->
+      """WITH k AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+                    FROM lineitem GROUP BY 1),
+         h AS (SELECT CAST(strlen(CAST(n AS VARCHAR)) AS BIGINT) AS magnitude,
+                      count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+                      min(n) AS min_rows, max(n) AS max_rows
+               FROM k GROUP BY 1)
+         SELECT magnitude, n_keys, n_rows, min_rows, max_rows,
+                floor((n_rows * 1.0 / sum(n_rows) OVER ()) * 10000 + 0.5)
+                  / 10000 AS row_share
+         FROM h ORDER BY magnitude""",
     "rpt_order_size_profile" ->
       """WITH po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
                      FROM lineitem GROUP BY 1)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.rnd
 
 /** Deterministic sampling & dataset splitting.
   *
@@ -149,7 +150,36 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
 
+  /** Soft dedup — down-WEIGHT duplicate clusters instead of dropping
+    * them (the mixing-stage alternative to dedup_canonical: repeated
+    * content contributes one "effective copy" of training signal
+    * spread across its variants, so weight = 1/cluster_size). Every
+    * doc joins its near-dup cluster label (singletons weight 1.0);
+    * the output is the per-doc sampling weight a mixture builder
+    * consumes.
+    *
+    * Scale: identical join shape to dedup_canonical — the label set is
+    * pair-graph-sized, so the corpus⋈labels join broadcasts the labels
+    * at 100 TB (AQE decides); the cluster-size rollup is a map-side-
+    * combined count over the labels alone, never the corpus. */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.dedup.Dedup.clusterLabels(spark, dir)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+              coalesce(col("n_members"), lit(1L)).as("n_members"),
+              rnd(lit(1.0) / coalesce(col("n_members"), lit(1L)), 4)
+                .as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_soft_dedup"    -> (softDedup _),
     "sample_domain_cap"    -> (domainCap _),
     "sample_mixture"       -> (mixture _),
     "sample_deterministic" -> (sampleDocs _),
@@ -159,6 +189,43 @@ object Sampling {
     "split_kfold"          -> (kfold _))
 
   val oracles: Map[String, String] = Map(
+    "sample_soft_dedup" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2),
+                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+             ELSE [] END) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         p0 AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+                  any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         p1 AS (
+           SELECT doc_a, doc_b FROM p0
+           WHERE floor((inter * 1.0 / (na + nb - inter)) * 10000 + 0.5) / 10000
+                 >= 0.02),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM p1
+                   UNION ALL SELECT doc_b, doc_a FROM p1),
+         cc(node, label) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges) n(u)
+           UNION
+           SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+         lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+                 FROM cc GROUP BY node),
+         m AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         s AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
+         SELECT m.doc_id, m.cluster_id,
+                CAST(coalesce(s.n_members, 1) AS BIGINT) AS n_members,
+                floor((1.0 / coalesce(s.n_members, 1)) * 10000 + 0.5) / 10000
+                  AS weight
+         FROM m LEFT JOIN s USING (cluster_id)
+         ORDER BY m.doc_id""",
     "split_kfold" ->
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                      AS BIGINT) % 5 AS fold,
