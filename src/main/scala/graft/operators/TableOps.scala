@@ -263,7 +263,40 @@ object TableOps {
     spark.table("v_service_demand")
   }
 
+  /** Per-column table profile — the catalog drill-down page (null
+    * counts, distinct cardinality, min/max per column) every data
+    * platform's admin surface shows, and the stats a cost-based
+    * planner consumes (ANALYZE TABLE's relational twin).
+    *
+    * ONE aggregation pass computes all measures for all columns
+    * (map-side combined, one job — not one scan per column), then the
+    * wide 1-row result unpivots to one row per column via stack().
+    * Values are stringified so heterogeneous column types share the
+    * output schema. Exact count_distinct is the oracle-checkable form;
+    * approx_count_distinct is the 100 TB swap-in, demonstrated with an
+    * error-bound spec by rpt_approx_distinct. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cols = o.schema.fields.map(_.name).toIndexedSeq
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      count_distinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
+    }.mkString(s"stack(${cols.length}, ", ", ",
+      ") as (column_name, n_nulls, n_distinct, min_value, max_value)")
+    wide.select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tbl_profile"          -> (profile _),
     "tbl_catalog"          -> (catalogPage _),
     "tbl_browse"           -> (browse _),
     "tbl_sorted"           -> (sortedDefault _),
@@ -277,6 +310,19 @@ object TableOps {
     "vw_service_demand"    -> (serviceDemand _))
 
   val oracles: Map[String, String] = Map(
+    "tbl_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_value,
+                   CAST(max($c) AS VARCHAR) AS max_value
+            FROM orders"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
+    },
     // column counts are literals on the DuckDB side (they are schema
     // metadata); Spark derives them from the live schema, so a schema
     // drift breaks the hash — which is the point
