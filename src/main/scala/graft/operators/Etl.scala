@@ -207,7 +207,30 @@ object Etl {
       .orderBy(col("custkey"))
   }
 
+  /** Load-job history page — the reference's ETL job log
+    * (/root/reference/core/app.py:1390 get_etl_history,
+    * etl_service.get_job_history) as a relational rollup: one row per
+    * load batch with its record/key counts, value total, and covered
+    * date range. The batch id is the same md5 1/16 content-addressed
+    * split as etl_undo_batch, so history and rollback agree on
+    * lineage. One map-side-combined aggregate on the batch key. */
+  def jobHistory(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+          .cast("long").as("job_id"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .groupBy(col("job_id"))
+      .agg(count(lit(1)).as("n_records"),
+           countDistinct(col("o_custkey")).as("n_keys"),
+           date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"),
+           date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"),
+           rnd(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("job_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_job_history" -> (jobHistory _),
     "etl_undo_batch" -> (undoBatch _),
     "etl_entity_match" -> (entityMatch _),
     "etl_load_ledger"     -> (loadLedger _),
@@ -220,6 +243,15 @@ object Etl {
     "etl_ingest_stats"    -> (ingestStats _))
 
   val oracles: Map[String, String] = Map(
+    "etl_job_history" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                     AS BIGINT) AS job_id,
+                count(*) AS n_records,
+                count(DISTINCT o_custkey) AS n_keys,
+                strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+                strftime(max(o_orderdate), '%Y-%m-%d') AS last_date,
+                floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_value
+         FROM orders GROUP BY 1 ORDER BY job_id""",
     "etl_undo_batch" ->
       """WITH o AS (
            SELECT o_custkey, o_orderkey, o_orderdate,

@@ -199,7 +199,27 @@ object Reports {
       .orderBy(col("magnitude"))
   }
 
+  /** Faceted filter options — the option lists (with counts) behind the
+    * reference's composable report filters (filters.py
+    * build_report_where_clause consumes status/priority/date params;
+    * the UI needs the distinct values + facet counts to offer them).
+    * ONE scan: both facet columns explode to (filter_name, value) rows
+    * in the map, then a single map-side-combined count — not one
+    * groupBy job per facet. */
+  def filterOptions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(explode(array(
+        struct(lit("status").as("filter_name"),
+               col("o_orderstatus").as("option_value")),
+        struct(lit("priority").as("filter_name"),
+               col("o_orderpriority").as("option_value")))).as("f"))
+      .groupBy(col("f.filter_name").as("filter_name"),
+               col("f.option_value").as("option_value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("filter_name"), col("option_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_filter_options"    -> (filterOptions _),
     "rpt_skew_audit"        -> (skewAudit _),
     "rpt_order_size_profile" -> (orderSizeProfile _),
     "rpt_percentiles"       -> (percentiles _),
@@ -213,6 +233,15 @@ object Reports {
     "rpt_conditional_rates" -> (conditionalRates _))
 
   val oracles: Map[String, String] = Map(
+    "rpt_filter_options" ->
+      """SELECT * FROM (
+           SELECT 'status' AS filter_name, o_orderstatus AS option_value,
+                  count(*) AS n_rows
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 'priority', o_orderpriority, count(*)
+           FROM orders GROUP BY 2)
+         ORDER BY filter_name, option_value""",
     "rpt_skew_audit" ->
       """WITH k AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
                     FROM lineitem GROUP BY 1),
