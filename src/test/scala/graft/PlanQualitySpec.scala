@@ -86,6 +86,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
   }
 
+  test("tbl_profile computes all column stats in one scan") {
+    // six exact count_distincts must plan as ONE Expand-based pass over
+    // a single parquet scan — not a job per column
+    val plan = operators.TableOps.profile(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected one scan, got $scans\n${plan.take(2000)}")
+    assert(plan.contains("Expand"), plan.take(2000))
+  }
+
   test("ann_pq encodes map-only: no sort/object aggregate, one shuffled agg") {
     // the literal-codebook rewrite keeps the encode inside codegen: a
     // groupBy+max_by formulation would plan a SortAggregate over the
