@@ -22,5 +22,26 @@ object Registry {
       "graft_freq_items", FreqItemsSketch.build, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "built-in")
+    // Spark's own bloom-filter pair (the expressions behind runtime
+    // row-level filtering, SPARK-32268) exposed under graft names —
+    // they are not in the public FunctionRegistry. The aggregate is
+    // MERGEABLE (map-side partial combine), which is what makes a
+    // persistent dedup membership index maintainable incrementally.
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg", { exprs =>
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"graft_bloom_agg expects (xxhash64 value, est_items, num_bits), " +
+          s"got ${exprs.length} arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain", { exprs =>
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_might_contain expects (bloom, xxhash64 value), " +
+          s"got ${exprs.length} arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      }, "built-in")
   }
 }
