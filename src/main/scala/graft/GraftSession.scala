@@ -32,9 +32,11 @@ object GraftSession {
     * shuffle width), breaking the "extensions injected at build time"
     * contract; callers with an existing session want [[configure]]. */
   def local(cores: Int): SparkSession = {
-    val existing = SparkSession.getActiveSession.orElse(
-      SparkSession.getDefaultSession)
-    existing.filterNot(_.sparkContext.isStopped).foreach { _ =>
+    // check BOTH slots: a stopped thread-local active session must not
+    // mask a live default session (getOrCreate would return the latter)
+    val existing = (SparkSession.getActiveSession.toSeq ++
+      SparkSession.getDefaultSession.toSeq)
+    existing.filterNot(_.sparkContext.isStopped).headOption.foreach { _ =>
       throw new IllegalStateException(
         "GraftSession.local: a SparkSession already exists in this JVM; " +
         "getOrCreate would ignore the graft configs and return it without " +

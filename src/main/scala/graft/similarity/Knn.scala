@@ -23,11 +23,18 @@ import graft.functions.VectorFunctions
   */
 object Knn {
 
+  /** The standing query set (vec_id < 5) — ONE definition shared by
+    * every search path and its LUT/shortlist/rerank stages, so widening
+    * the query set cannot silently desynchronize a two-stage pipeline
+    * (a shortlist for queries a later stage does not know about would
+    * be dropped without error). */
+  private def isQuery: Column = col("vec_id") < 5
+
   /** Brute-force cosine top-10 for query vectors (vec_id < 5). */
   def topK(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("query_id"))
@@ -68,7 +75,7 @@ object Knn {
   def topKOperator(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     val scored = cand.crossJoin(broadcast(q))
@@ -91,7 +98,7 @@ object Knn {
   def retrieve(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     val scored = cand.crossJoin(broadcast(q))
@@ -132,7 +139,7 @@ object Knn {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val shortlist = pqTopK(spark, e, 25)
       .select(col("query_id").as("sl_query"), col("neighbor_id").as("sl_nb"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = e
       .join(broadcast(shortlist), col("vec_id") === col("sl_nb"))
@@ -212,7 +219,7 @@ object Knn {
     val cents = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val assigned = assignToCentroids(e, cents).localCheckpoint(false)
-    val q = assigned.filter(col("vec_id") < 5)
+    val q = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               col("cent_id").as("q_cent"))
     val cand = assigned.select(col("cent_id"), col("vec_id").as("neighbor_id"),
@@ -251,7 +258,7 @@ object Knn {
     val cents = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val assigned = assignToCentroids(e, cents).localCheckpoint(false)
-    val qScores = e.filter(col("vec_id") < 5)
+    val qScores = e.filter(isQuery)
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               col("cent_id").as("q_cent"),
@@ -344,7 +351,7 @@ object Knn {
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
     // Query LUT: every (subspace, codeword) dot product per query —
     // M×K tiny rows per query, broadcast.
-    val lut = e.filter(col("vec_id") < 5)
+    val lut = e.filter(isQuery)
       .select(col("vec_id").as("query_id"),
         explode(array((for { m <- 0 until M; i <- cbooks.head.indices } yield
           struct(lit(m).as("m"), lit(i + 1).as("cw"),
@@ -522,7 +529,7 @@ object Knn {
         struct(lit(2).as("level"), col("code2").as("code")))).as("lc"))
       .select(col("vec_id"), col("lc.level").as("level"),
               col("lc.code").as("code"))
-    val lut = e.filter(col("vec_id") < 5)
+    val lut = e.filter(isQuery)
       .select(col("vec_id").as("query_id"),
         explode(array((for {
           (cb, level) <- Seq((c1, 1), (c2, 2))
@@ -622,7 +629,7 @@ object Knn {
     val (cents, _) = KMeans.fit(e, 16, 3)
     val assigned = KMeans.assign(e, cents)
       .select(col("cluster"), col("vec_id"), col("embedding"))
-    val q = assigned.filter(col("vec_id") < 5)
+    val q = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               col("cluster").as("q_cluster"))
     val cand = assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),

@@ -55,8 +55,12 @@ object LakeSink {
     * completed staging copy, else roll back to the backup — and only
     * then are leftovers deleted; deleting them while the live dir is
     * absent would destroy the only surviving copy.
-    * Returns (files_before, files_after). File-count sizing derives
-    * from input bytes like [[compact]]. */
+    * Returns (files_before, files_after); after a roll-FORWARD
+    * recovery, files_before describes the recovered (already
+    * compacted) partition — the pre-crash state no longer exists to
+    * count, so before==after is the expected signature of a
+    * crash-recovered no-op pass.
+    * File-count sizing derives from input bytes like [[compact]]. */
   def compactPartition(spark: SparkSession, lakePath: String, month: String,
                        targetFileMB: Int = 128): (Int, Int) = {
     var before = 0
