@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   *    even as entries are added;
   *  - each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
   *    MEDIAN is reported, so one noisy-neighbor run can't poison a
-  *    round-over-round comparison;
+  *    round-over-round comparison; the FIRST run's time is reported
+  *    separately (`first` map) — queries that pin lazy localCheckpoints
+  *    pay materialization every run here (per-run unpersist is what
+  *    isolates queries), so the first/median split makes checkpoint
+  *    cost visible without conflating it with steady-state;
   *  - timing materializes `queryExecution.toRdd.count()` — every output
   *    row of the real physical plan; `df.count()` would let Catalyst
   *    prune the projections being measured;
@@ -58,7 +62,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val preexisting = spark.sparkContext.getPersistentRDDs.keySet
-    val results: Seq[(String, Either[String, Double])] = names.map { name =>
+    val results: Seq[(String, Either[String, (Double, Double)])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       var err: Option[String] = None
       val times = (1 to runs).map { _ =>
@@ -75,18 +79,21 @@ object Bench {
           .foreach { case (id, rdd) =>
             if (!preexisting.contains(id)) rdd.unpersist(blocking = false) }
         dt
-      }.sorted
-      name -> err.toLeft(times(times.size / 2))
+      }
+      val sortedTimes = times.sorted
+      name -> err.toLeft((sortedTimes(times.size / 2), times.head))
     }
     val qs = results.map {
-      case (k, Right(v)) => s"\"$k\":$v"
-      case (k, Left(_))  => s"\"$k\":\"err\""
+      case (k, Right((med, _))) => s"\"$k\":$med"
+      case (k, Left(_))         => s"\"$k\":\"err\""
     }.mkString("{", ",", "}")
+    val firsts = results.collect { case (k, Right((_, f))) =>
+      s"\"$k\":$f" }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(m)) =>
       s"\"$k\":\"${jsonEscape(m)}\"" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
+    val total = results.collect { case (_, Right((med, _))) => med }.sum
     val nErr = results.count(_._2.isLeft)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"n_errors":$nErr,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"errors":$errors,"n_errors":$nErr,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     println(json)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

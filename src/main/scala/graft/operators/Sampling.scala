@@ -162,11 +162,18 @@ object Sampling {
     * pair-graph-sized, so the corpus⋈labels join broadcasts the labels
     * at 100 TB (AQE decides); the cluster-size rollup is a map-side-
     * combined count over the labels alone, never the corpus. */
-  def softDedup(spark: SparkSession, dir: String): DataFrame = {
-    val labels = graft.dedup.Dedup.clusterLabels(spark, dir)
+  def softDedup(spark: SparkSession, dir: String): DataFrame =
+    softDedupFrom(Tables.documents(spark, dir),
+                  graft.dedup.Dedup.clusterLabels(spark, dir))
+
+  /** Label-application core shared by the inline and persisted forms
+    * (labels written once via Dedup.writeClusterLabels feed this AND
+    * canonical — PersistedLabelsSpec proves output identity). */
+  private[graft] def softDedupFrom(docs: DataFrame,
+                                   labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
-    Tables.documents(spark, dir).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
               coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -177,6 +184,14 @@ object Sampling {
                 .as("weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[softDedup]] fed from a persisted labels table (see
+    * Dedup.writeClusterLabels) instead of the inline cluster
+    * pipeline. */
+  def softDedupPersisted(spark: SparkSession, dir: String,
+                         labelsPath: String): DataFrame =
+    softDedupFrom(Tables.documents(spark, dir),
+                  spark.read.parquet(labelsPath))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_soft_dedup"    -> (softDedup _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -272,17 +272,53 @@ object TableOps {
     * (map-side combined, one job — not one scan per column), then the
     * wide 1-row result unpivots to one row per column via stack().
     * Values are stringified so heterogeneous column types share the
-    * output schema. Exact count_distinct is the oracle-checkable form;
-    * approx_count_distinct is the 100 TB swap-in, demonstrated with an
-    * error-bound spec by rpt_approx_distinct. */
-  def profile(spark: SparkSession, dir: String): DataFrame = {
+    * output schema — with EXPLICIT, type-aware rendering (fixed-scale
+    * decimal for floating point, date_format for temporals) so the
+    * text never depends on an engine's default value rendering (Java's
+    * Double.toString flips to scientific notation at ≥1e7; timestamp
+    * formats differ across engines — the oracle mirrors each format).
+    *
+    * Exact count_distinct is the oracle-checkable form, but N exact
+    * distincts in one pass plan through Expand (scan output × N) — the
+    * one documented 100 TB caveat of this page. [[profileApprox]] is
+    * the swap-in that removes it. */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    profileOn(spark, dir, c => count_distinct(c))
+
+  /** The 100 TB form of [[profile]]: approx_count_distinct (HLL++,
+    * rsd 5%) replaces the exact distincts, so the plan is ONE plain
+    * hash aggregate — no Expand, scan output read once, sketches merge
+    * map-side like any partial agg. Approximate by design → rows-only
+    * driver check; ProfileSpec pins every approx cardinality within
+    * the HLL error bound of the exact page and locks the Expand-free
+    * plan. */
+  def profileApprox(spark: SparkSession, dir: String): DataFrame =
+    profileOn(spark, dir, c => approx_count_distinct(c))
+
+  /** Type-aware explicit rendering for profile min/max values. */
+  private def renderValue(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType =>
+        c.cast(DecimalType(28, 6)).cast("string")
+      case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case DateType      => date_format(c, "yyyy-MM-dd")
+      case _             => c.cast("string")
+    }
+  }
+
+  private def profileOn(spark: SparkSession, dir: String,
+                        distinctAgg: Column => Column): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val cols = o.schema.fields.map(_.name).toIndexedSeq
-    val aggs = cols.flatMap { c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      count_distinct(col(c)).as(s"${c}__distinct"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max"))
+    val fields = o.schema.fields.toIndexedSeq
+    val cols = fields.map(_.name)
+    val aggs = fields.flatMap { f =>
+      val c = f.name
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        distinctAgg(col(c)).as(s"${c}__distinct"),
+        renderValue(min(col(c)), f.dataType).as(s"${c}__min"),
+        renderValue(max(col(c)), f.dataType).as(s"${c}__max"))
     }
     val wide = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackExpr = cols.map { c =>
@@ -297,6 +333,7 @@ object TableOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tbl_profile"          -> (profile _),
+    "tbl_profile_approx"   -> (profileApprox _),
     "tbl_catalog"          -> (catalogPage _),
     "tbl_browse"           -> (browse _),
     "tbl_sorted"           -> (sortedDefault _),
@@ -311,15 +348,23 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "tbl_profile" -> {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority")
-      cols.map { c =>
+      // render type tags mirror profile's renderValue: dbl → fixed
+      // 6-decimal, ts → second-resolution format, else bare varchar
+      val cols = Seq("o_orderkey" -> "raw", "o_custkey" -> "raw",
+        "o_orderstatus" -> "raw", "o_totalprice" -> "dbl",
+        "o_orderdate" -> "ts", "o_orderpriority" -> "raw")
+      def render(e: String, t: String): String = t match {
+        case "dbl" => s"CAST(CAST($e AS DECIMAL(28,6)) AS VARCHAR)"
+        case "ts"  => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+        case _     => s"CAST($e AS VARCHAR)"
+      }
+      cols.map { case (c, t) =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
                    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_nulls,
                    count(DISTINCT $c) AS n_distinct,
-                   CAST(min($c) AS VARCHAR) AS min_value,
-                   CAST(max($c) AS VARCHAR) AS max_value
+                   ${render(s"min($c)", t)} AS min_value,
+                   ${render(s"max($c)", t)} AS max_value
             FROM orders"""
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
     },

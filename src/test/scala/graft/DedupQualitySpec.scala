@@ -99,10 +99,15 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(plantedHamming.forall(_ <= 8))
   }
 
+  // metric names carry a per-invocation "#N" suffix (Spark rejects
+  // duplicate observation names in one plan) — match by prefix
   private def observedMetric(df: org.apache.spark.sql.DataFrame,
                              name: String, field: String): Long = {
     df.collect()
-    df.queryExecution.observedMetrics(name).getAs[Long](field)
+    df.queryExecution.observedMetrics.collectFirst {
+      case (k, row) if k == name || k.startsWith(name + "#") =>
+        row.getAs[Long](field)
+    }.getOrElse(fail(s"no observed metric named $name"))
   }
 
   // The planted hot-bucket corpora all pair a degenerate hot bucket (30
@@ -186,6 +191,27 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(rows.length === 49)
     assert(rows.forall(_._1 === 0L))
     assert(observedMetric(pairs, "minhash_hot_buckets", "n_hot_buckets") >= 1L)
+  }
+
+  test("verify stage shingles ONLY candidate-pair docs (plan + rows)") {
+    import spark.implicits._
+    val docs = corpus()
+    val cands = dedup.Dedup.minhashPairs(spark, docs)
+      .select($"doc_a", $"doc_b")
+    val ex = dedup.Dedup.candidateShingles(docs, cands)
+    // plan lock: the doc scan is semi-join-bounded before the explode
+    val plan = ex.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"candidateShingles must semi-join docs to candidate ids:\n$plan")
+    // row lock: every shingled doc appears in a candidate pair, and the
+    // noise docs (never candidates) are not shingled at all
+    val candIds = cands.collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val shingled = ex.select($"doc_id").distinct()
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(shingled === candIds)
+    assert(shingled.size < docs.count(),
+      "verify input must be a strict subset of the corpus")
   }
 
   test("minhash-verified pairs are a precision-1.0 subset of exact jaccard") {
