@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Sampling.queries ++
     dedup.Dedup.queries ++
     similarity.Knn.queries ++
+    graph.PageRank.queries ++
     multimodal.BinaryPipeline.queries
 
   def oracleSql: Map[String, String] =
@@ -43,5 +44,6 @@ object SparkEntry {
     operators.Sampling.oracles ++
     dedup.Dedup.oracles ++
     similarity.Knn.oracles ++
+    graph.PageRank.oracles ++
     multimodal.BinaryPipeline.oracles
 }

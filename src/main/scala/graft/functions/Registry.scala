@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.expressions.{DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature}
+import graft.functions.expressions.{DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature, UnicodeNormalize}
 
 /** Per-session registration of graft's native Catalyst expressions.
   * Idempotent; the function registry is the supported route to custom
@@ -22,6 +22,16 @@ object Registry {
       "graft_freq_items", FreqItemsSketch.build, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_normalize", { exprs =>
+        val form = if (exprs.length < 2) "NFC" else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+              if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_normalize form must be a string literal")
+        }
+        UnicodeNormalize(exprs.head, form)
+      }, "built-in")
     // Spark's own bloom-filter pair (the expressions behind runtime
     // row-level filtering, SPARK-32268) exposed under graft names —
     // they are not in the public FunctionRegistry. The aggregate is

@@ -110,6 +110,12 @@ object BinaryPipeline {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
+      // Decode parallelism must come from the CLUSTER, not the scan: a
+      // doc_id-only projection of a small table reads as one-few
+      // partitions, which would run the CPU-bound codec single-threaded
+      // (measured 44× instead of 10× in the 10× scaling audit). One
+      // narrow-row shuffle to core count is ~free next to decode cost.
+      .repartition(spark.sparkContext.defaultParallelism)
       // producer stand-in: a real lake stores these bytes in a binary
       // parquet column; the codec-decode downstream is identical
       .mapPartitions(_.map(id => ImagePayload(id, pngPayload(id))))
@@ -141,10 +147,50 @@ object BinaryPipeline {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** Cached sampled-audio SPI providers. `AudioSystem.getAudioInputStream`
+    * and `.write` re-run a ServiceLoader provider scan on EVERY call —
+    * under a 32-thread decode the loader's classloading locks convoy and
+    * the "parallel" stage ran slower than single-threaded (measured
+    * 1.3 s → 3.2 s at sf0.1). One JVM-wide materialized provider list
+    * keeps the identical JDK codec objects and removes the lock. */
+  private object AudioCodec {
+    import scala.jdk.CollectionConverters._
+    lazy val readers: List[javax.sound.sampled.spi.AudioFileReader] =
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toList
+    lazy val writers: List[javax.sound.sampled.spi.AudioFileWriter] =
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala.toList
+
+    /** Provider-dispatch open (same contract as
+      * AudioSystem.getAudioInputStream, minus the per-call scan). */
+    def open(in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+      readers.foreach { r =>
+        try return r.getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            in.reset()
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no cached AudioFileReader matched the stream")
+    }
+
+    def writeWave(ais: javax.sound.sampled.AudioInputStream,
+                  out: java.io.OutputStream): Unit = {
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      writers.find(_.isFileTypeSupported(t, ais)) match {
+        case Some(w) => w.write(ais, t, out)
+        case None => throw new IllegalStateException(
+          "no cached AudioFileWriter supports WAVE")
+      }
+    }
+  }
+
   /** Deterministic WAV payload per doc: 8 kHz 16-bit mono PCM, 400
     * samples of a sine at freq = 200 + (doc_id % 20)·50 Hz, amplitude
-    * 0.5 FS, written THROUGH AudioSystem.write so the decode parses a
-    * genuine RIFF/WAVE container. */
+    * 0.5 FS, written THROUGH the JDK's WAVE writer so the decode parses
+    * a genuine RIFF/WAVE container. */
   private[graft] def wavPayload(docId: Long): Array[Byte] = {
     val rate = 8000f
     val n = 400
@@ -162,8 +208,7 @@ object BinaryPipeline {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    AudioCodec.writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -182,12 +227,14 @@ object BinaryPipeline {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
+      // see imageFeatures: decode parallelism from the cluster, not the
+      // tiny projection's file layout
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => AudioPayload(id, wavPayload(id))))
     payloads.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { p =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(p.wav))
+          val ais = AudioCodec.open(new java.io.ByteArrayInputStream(p.wav))
           val fmt = ais.getFormat
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2

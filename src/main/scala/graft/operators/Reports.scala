@@ -218,7 +218,31 @@ object Reports {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("filter_name"), col("option_value"))
 
+  /** Equi-width CDF histogram over order value (distribution page with
+    * the cumulative curve): one map-side-combined count on the bucket
+    * key, then the running total as a window over the O(buckets)
+    * aggregate — the window's single-partition sort touches bucket
+    * rows, never orders, so the shape survives any corpus size. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val W = 25000.0
+    val byBucket = Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / W).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byBucket
+      .withColumn("bucket_lo", (col("bucket") * W).cast("double"))
+      .withColumn("cum_orders", sum(col("n_orders")).over(w))
+      .withColumn("cum_frac",
+        rnd(col("cum_orders") / sum(col("n_orders")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .select("bucket", "bucket_lo", "n_orders", "cum_orders", "cum_frac")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_histogram"         -> (priceHistogram _),
     "rpt_filter_options"    -> (filterOptions _),
     "rpt_skew_audit"        -> (skewAudit _),
     "rpt_order_size_profile" -> (orderSizeProfile _),
@@ -233,6 +257,22 @@ object Reports {
     "rpt_conditional_rates" -> (conditionalRates _))
 
   val oracles: Map[String, String] = Map(
+    "rpt_histogram" ->
+      """WITH b AS (
+           SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+                  count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT bucket,
+                CAST(bucket * 25000.0 AS DOUBLE) AS bucket_lo,
+                n_orders,
+                CAST(sum(n_orders) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_orders,
+                floor((sum(n_orders) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 1.0 / sum(n_orders) OVER ()) * 10000 + 0.5) / 10000
+                  AS cum_frac
+         FROM b ORDER BY bucket""",
     "rpt_filter_options" ->
       """SELECT * FROM (
            SELECT 'status' AS filter_name, o_orderstatus AS option_value,

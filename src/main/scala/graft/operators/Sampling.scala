@@ -193,7 +193,34 @@ object Sampling {
     softDedupFrom(Tables.documents(spark, dir),
                   spark.read.parquet(labelsPath))
 
+  /** Deterministic global shuffle-shard — the last step before a corpus
+    * is handed to a trainer: every doc gets a pseudo-random but
+    * REPRODUCIBLE position (md5 of its id), sharded for parallel
+    * readers, ordered within shard. Hash-ordering is the distributed
+    * form of "shuffle the dataset": no global sort of the corpus, just
+    * a hash partition (the shard key IS the shuffle) and a per-shard
+    * sort that at scale is the trainer-file write order. row_number
+    * runs per shard partition — parallel, never a single global sort.
+    *
+    * md5-hex → first 8 nibbles → bigint keeps the key engine-portable
+    * (Spark hash() and DuckDB hash() disagree; md5 is md5 everywhere).
+    */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val S = 16
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+          .as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(S)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shard_shuffle" -> (shardShuffle _),
     "sample_soft_dedup"    -> (softDedup _),
     "sample_domain_cap"    -> (domainCap _),
     "sample_mixture"       -> (mixture _),
@@ -204,6 +231,16 @@ object Sampling {
     "split_kfold"          -> (kfold _))
 
   val oracles: Map[String, String] = Map(
+    "sample_shard_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hkey
+           FROM documents)
+         SELECT doc_id, hkey % 16 AS shard,
+                CAST(row_number() OVER (PARTITION BY hkey % 16
+                  ORDER BY hkey, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
     "sample_soft_dedup" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

@@ -627,6 +627,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode canonicalization — step zero of a multilingual pipeline:
+    * the same visible text has many codepoint spellings (é = U+00E9 or
+    * e+U+0301), and every exact-dedup hash, shingle, and token count
+    * downstream silently fractures across them. Runs the native
+    * graft_normalize codegen expression (Spark ships no normalization
+    * function; a UDF would break whole-stage codegen) — map-only in the
+    * same scan as the other per-doc transforms.
+    *
+    * The corpus is ASCII, so a combining sequence (" caf" + e + U+0301)
+    * is seeded in-plan: NFC must fuse it (length drops by exactly 1,
+    * tail renders "café") — oracle-checked against DuckDB's own
+    * nfc_normalize, which exercises the expression against an
+    * independent ICU-backed implementation. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    // NOTE: Spark's chr() is mod-256 ASCII (chr(769) = chr(1)), unlike
+    // DuckDB's codepoint chr — the combining acute must be a literal
+    val seeded = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(substring(col("text"), 1, 40),
+        lit(" caf"), lit("e\u0301")).as("raw"))
+    seeded.select(
+        col("doc_id"),
+        length(col("raw")).cast("long").as("raw_len"),
+        call_function("graft_normalize", col("raw"), lit("NFC")).as("norm"))
+      .select(col("doc_id"), col("raw_len"),
+        length(col("norm")).cast("long").as("nfc_len"),
+        expr("right(norm, 4)").as("norm_tail"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Equi-width token-count histogram — the corpus length profile a
     * pipeline checks before choosing chunk/packing budgets: bucket =
     * floor(n_tokens / width), one map-side-combined count on the
@@ -671,6 +702,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_ngram_frac" -> (dupNgramFrac _),
+    "text_normalize" -> (normalizeText _),
     "text_length_hist" -> (lengthHistogram _),
     "text_entropy" -> (entropy _),
     "text_quality_model" -> (qualityModel _),
@@ -696,6 +728,15 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH s AS (SELECT doc_id,
+                           substr(text, 1, 40) || ' caf' || chr(101) || chr(769) AS raw
+                    FROM documents)
+         SELECT doc_id,
+                CAST(length(raw) AS BIGINT) AS raw_len,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+                right(nfc_normalize(raw), 4) AS norm_tail
+         FROM s ORDER BY doc_id""",
     "text_dup_ngram_frac" ->
       """WITH toks AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
