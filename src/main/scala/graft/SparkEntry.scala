@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Events.queries ++
     operators.TextOps.queries ++
     operators.Sampling.queries ++
+    operators.BpeVocab.queries ++
     dedup.Dedup.queries ++
     similarity.Knn.queries ++
     graph.PageRank.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
     operators.Events.oracles ++
     operators.TextOps.oracles ++
     operators.Sampling.oracles ++
+    operators.BpeVocab.oracles ++
     dedup.Dedup.oracles ++
     similarity.Knn.oracles ++
     graph.PageRank.oracles ++

@@ -169,6 +169,61 @@ object LakeSink {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ORDER clustered write — multi-dimensional data skipping
+    * (round 5). `writeClustered` gives one key tight per-file ranges but
+    * leaves a second predicate column scattered across every file; a
+    * Z-curve interleaves the BITS of both columns' rank positions so
+    * file locality follows BOTH dimensions at once — per-file bounding
+    * boxes shrink in x AND y, and a reader's min/max pushdown on either
+    * column (or both) skips most files. This is the layout Delta/Iceberg
+    * expose as ZORDER BY, built from Spark primitives.
+    *
+    * Shape: each column maps to an 8-bit equi-depth rank via its own
+    * approx-percentile cutoff table (a lazy 1-row aggregate broadcast
+    * into a codegen'd cutoff fold — NO global sort to learn ranks),
+    * the two ranks bit-interleave into the 16-bit z-key with shift/or
+    * expressions (pure codegen), and the write is range-partitioned +
+    * sorted on the z-key exactly like writeClustered. Cost is identical
+    * to single-key clustering: one narrow aggregate + one range
+    * exchange. LakeSinkSpec proves per-file bounding-box area shrinks
+    * vs the single-key layout and that both-column predicates touch a
+    * strict subset of files. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+                    colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.Column
+    val bits = 8 // 256 rank buckets per dimension — enough to order
+                 // files (a file covers many buckets); more bits would
+                 // only grow the per-row cutoff fold below
+    val nb = 1 << bits
+    // per-column monotone EQUI-DEPTH rank (robust to skew, unlike
+    // equi-width on the raw value): approx-percentile cutoffs — a lazy
+    // 1-row mergeable-sketch aggregate (bounded model parameter, same
+    // contract as the k-means/PQ codebooks) — broadcast as a literal
+    // array into a codegen'd fold counting cutoffs below the value
+    def rank(c: String): Column = {
+      val cuts = df.agg(
+        expr(s"approx_percentile($c, array(${
+          (1 until nb).map(i => f"${i.toDouble / nb}%.6f").mkString(",")
+        }), 1000)")).head.getSeq[Any](0)
+      val arr = array(cuts.map(v => lit(v)): _*)
+      aggregate(arr, lit(0),
+        (acc, cut) => acc + when(col(c) > cut, 1).otherwise(0))
+        .cast("long")
+    }
+    val ra = rank(colA)
+    val rb = rank(colB)
+    // bit-interleave: z = Σ ((a>>i & 1) << 2i) | ((b>>i & 1) << 2i+1)
+    val z = (0 until bits).map { i =>
+      (shiftleft(shiftright(ra, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(rb, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__zkey", z)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write a frame as a bucketed table: rows are hash-clustered and
     * sorted by the join key at write time, so repeated joins/aggs on
     * that key run with NO shuffle — the co-location layout recurring

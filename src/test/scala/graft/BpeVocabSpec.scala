@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeVocab
+
+/** BPE vocabulary learning — known-answer merge sequence on the classic
+  * Sennrich corpus, plus determinism under repartitioning. */
+class BpeVocabSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // word frequencies: low×5 lower×2 newest×6 widest×3 (Sennrich ex.)
+  private def corpus(parts: Int) = {
+    import spark.implicits._
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    // spread the words across docs so the word count is a real aggregate
+    words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+      .repartition(parts)
+  }
+
+  test("merge sequence matches the hand-computed BPE on the classic corpus") {
+    val (merges, dict) = BpeVocab.learn(corpus(4), k = 6)
+    val got = merges.map(m => (m.left, m.right, m.pair_count))
+    // hand computation (ties break lexicographically):
+    // r1 (e,s) 9;  r2 (es,t) 9;  r3 (est,</w>) 9;
+    // r4 (l,o) 7;  r5 (lo,w) 7;  r6 (e,w) 6
+    assert(got === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L), ("e", "w", 6L)))
+    // after 6 merges: "low" is fully merged up to its boundary symbol
+    val lowSyms = dict.collect().find(_.syms.headOption.contains("low"))
+    assert(lowSyms.isDefined) // "low</w>" pending, "low" merged
+  }
+
+  test("merge sequence is identical under different partitionings") {
+    val a = BpeVocab.learn(corpus(1), k = 4)._1
+    val b = BpeVocab.learn(corpus(7), k = 4)._1
+    assert(a === b)
+  }
+
+  test("exhausted vocabulary stops early instead of looping") {
+    import spark.implicits._
+    // single word "ab" -> merges (a,b), (ab,</w>) then nothing left
+    val tiny = Seq((0L, "ab")).toDF("doc_id", "text")
+    val (merges, _) = BpeVocab.learn(tiny, k = 10)
+    assert(merges.length === 2)
+    assert(merges.map(m => (m.left, m.right)) ===
+      Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("text_bpe_vocab query runs on the corpus with 16 deterministic rows") {
+    val df = BpeVocab.bpeVocab(spark, Sf)
+    val rows = df.collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 16L))
+    // counts are non-increasing? NOT guaranteed for BPE in general
+    // (a merged pair can create a new frequent pair), but every count
+    // must be positive and the table deterministic across runs
+    assert(rows.forall(_.getLong(3) > 0))
+    val again = BpeVocab.bpeVocab(spark, Sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}

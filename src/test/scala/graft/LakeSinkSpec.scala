@@ -171,4 +171,63 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(math.abs(s.getDouble(2) - p.getDouble(2)) < 1e-6)
     }
   }
+
+  test("z-ordered write shrinks per-file bounding boxes on BOTH columns " +
+       "vs single-key clustering") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_z").toString
+    val data = Tables.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_custkey").cast("double").as("ck"),
+              col("o_totalprice").as("tp"))
+    val zOut = s"$base/zorder"
+    val linOut = s"$base/linear"
+    LakeSink.writeZOrdered(data, zOut, nFiles = 16, "ck", "tp")
+    LakeSink.writeClustered(data, linOut, nFiles = 16, col("tp"))
+
+    def boxes(path: String): Array[(Double, Double, Double, Double)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col("ck")), max(col("ck")),
+                 min(col("tp")), max(col("tp"))).head()
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        }
+    val zBoxes = boxes(zOut)
+    val linBoxes = boxes(linOut)
+    assert(zBoxes.length >= 4 && linBoxes.length >= 4)
+
+    // The z-curve's guarantee is per-DIMENSION: every file's extent is
+    // bounded in BOTH columns (so min/max skipping works for predicates
+    // on either), where the single-key layout leaves the non-clustered
+    // column's extent at ~the full domain in every file. (Total box
+    // AREA is not the discriminator — 1D slices already minimize area;
+    // they just concentrate all of it in one dimension.)
+    val g = data.agg(min(col("ck")), max(col("ck")),
+                     min(col("tp")), max(col("tp"))).head()
+    val (ckLo, ckHi) = (g.getDouble(0), g.getDouble(1))
+    def ckExtent(bs: Array[(Double, Double, Double, Double)]) =
+      bs.map { case (a, b, _, _) => (b - a) / (ckHi - ckLo) }
+    val zCk = ckExtent(zBoxes)
+    val linCk = ckExtent(linBoxes)
+    // files straddling a high-level z-quad boundary legitimately span a
+    // wide ck range (inherent to any z-order layout, Delta's included),
+    // so the layout guarantee is about the TYPICAL file: mean extent
+    val zMean = zCk.sum / zCk.length
+    val linMean = linCk.sum / linCk.length
+    assert(zMean < 0.6,
+      s"z-order mean ck extent should be bounded, got $zMean")
+    assert(linMean > 0.9,
+      s"single-key files span ~full ck (sanity), mean $linMean")
+
+    // a narrow predicate on the NON-clustered column skips nothing in
+    // the linear layout (every file spans ck) but skips files under z
+    val ckSlice = ckLo + (ckHi - ckLo) * 0.05
+    val zTouch = zBoxes.count { case (a, b, _, _) => a <= ckSlice && ckSlice <= b }
+    val linTouch = linBoxes.count { case (a, b, _, _) => a <= ckSlice && ckSlice <= b }
+    assert(zTouch < zBoxes.length, "z-order should skip files on ck")
+    assert(zTouch <= linTouch)
+
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(zOut).count() === data.count())
+    assert(spark.read.parquet(zOut).columns.toSet === data.columns.toSet)
+  }
 }
