@@ -102,8 +102,96 @@ object BpeVocab {
       .orderBy("rank")
   }
 
+  /** BPE INFERENCE for one word: repeatedly merge all occurrences of
+    * the adjacent pair with the LOWEST merge rank present, until no
+    * learned pair remains (the standard tokenizer-application
+    * algorithm). On words seen in training this reproduces the learned
+    * dictionary exactly — applying merges in creation order and by
+    * rank priority commute, which BpeVocabSpec asserts word-for-word
+    * against `learn`'s final dictionary. */
+  private[operators] def encodeWord(
+      word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector :+ "</w>"
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length &&
+              ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == bestRank) {
+            out += (syms(j) + syms(j + 1)); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** Apply a trained merge table to a corpus — the pass that actually
+    * runs at 100 TB (training happens once, on a sample or a prior
+    * run; application touches every byte). The model is a BROADCAST
+    * BOUNDED PARAMETER (the rank map — KBs even for a 50k-merge
+    * production vocabulary), so encoding is map-only: no join, no
+    * shuffle, parallelism = scan parallelism. Each task memoizes
+    * word→token-count in a size-bounded local cache — natural text is
+    * Zipfian, so the hit rate approaches the type/token ratio and the
+    * per-word merge loop runs roughly once per DISTINCT word per task,
+    * not once per occurrence. */
+  def encodeOn(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(col("doc_id"), reTokens(col("text")).as("words"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Int](1 << 12)
+        it.map { case (id, words) =>
+          var nTok = 0L
+          words.foreach { w =>
+            var n = cache.get(w)
+            if (n == 0) { // 0 = absent (real counts are >= 1: "</w>")
+              n = encodeWord(w, bc.value).length
+              if (cache.size < (1 << 16)) cache.put(w, n)
+            }
+            nTok += n
+          }
+          (id, words.length.toLong, nTok)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+      .withColumn("tokens_per_word",
+        graft.functions.Num.rnd(
+          col("n_bpe_tokens") / greatest(col("n_words"), lit(1L)), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Query entry: learn a 16-merge vocabulary on the corpus, then
+    * tokenize the corpus with it — per-doc word/BPE-token accounting,
+    * the number every packing/budget/mixture step downstream consumes.
+    * (The in-query learn mirrors the ann_*_trained contract; production
+    * ships the merge table as a literal.) Rows-only — the per-word
+    * merge loop is not SQL; BpeVocabSpec pins encode↔learn parity and
+    * hand-computed token counts instead. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (merges, _) = learn(docs, k = 16)
+    encodeOn(docs, merges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_vocab" -> (bpeVocab _))
+    "text_bpe_vocab" -> (bpeVocab _),
+    "text_bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map.empty
 }

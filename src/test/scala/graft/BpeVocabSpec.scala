@@ -53,6 +53,58 @@ class BpeVocabSpec extends AnyFunSuite {
       Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("encode reproduces the learned dictionary word-for-word") {
+    // rank-priority inference must agree with creation-order training
+    // application on every training word
+    val (merges, dict) = BpeVocab.learn(corpus(4), k = 6)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val byWord = dict.collect().map(ws => ws.syms -> ws).toSeq
+    assert(byWord.nonEmpty)
+    for ((syms, _) <- byWord) {
+      val word = syms.mkString.stripSuffix("</w>")
+      assert(BpeVocab.encodeWord(word, ranks) === syms,
+        s"encode($word) diverged from the trained dictionary")
+    }
+  }
+
+  test("encode on unseen words falls back gracefully") {
+    val (merges, _) = BpeVocab.learn(corpus(2), k = 6)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    // "slowest" was never a training word, but its trained subunits
+    // still merge: r1-3 build est</w>, r4 (l,o), r5 (lo,w) build low
+    assert(BpeVocab.encodeWord("slowest", ranks) ===
+      Seq("s", "low", "est</w>"))
+    // fully out-of-alphabet word: characters + boundary, nothing merges
+    assert(BpeVocab.encodeWord("xyz", ranks) ===
+      Seq("x", "y", "z", "</w>"))
+  }
+
+  test("encodeOn counts tokens per document with hand-checked totals") {
+    import spark.implicits._
+    val (merges, _) = BpeVocab.learn(corpus(3), k = 6)
+    // doc 0: "low low" -> 2 words x ["low", "</w>"]  = 4 tokens
+    //   (after 6 merges "low" is (lo,w) merged = "low", "</w>" separate)
+    // doc 1: "newest" -> ["n","ew","est</w>"] = 3 tokens (r6 = (e,w))
+    val docs = Seq((0L, "low low"), (1L, "newest"))
+      .toDF("doc_id", "text")
+    val got = BpeVocab.encodeOn(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 2L, 4L), (1L, 1L, 3L)))
+  }
+
+  test("text_bpe_encode query covers every document deterministically") {
+    val df = BpeVocab.bpeEncode(spark, Sf)
+    val rows = df.collect()
+    val nDocs = graft.Tables.documents(spark, Sf).count()
+    assert(rows.length.toLong === nDocs)
+    // every doc has at least as many BPE tokens as words (the boundary
+    // symbol can merge but never disappears entirely) and no more than
+    // chars+words (character fallback)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+    val again = BpeVocab.bpeEncode(spark, Sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("text_bpe_vocab query runs on the corpus with 16 deterministic rows") {
     val df = BpeVocab.bpeVocab(spark, Sf)
     val rows = df.collect()
