@@ -109,7 +109,7 @@ object BpeVocab {
     * dictionary exactly — applying merges in creation order and by
     * rank priority commute, which BpeVocabSpec asserts word-for-word
     * against `learn`'s final dictionary. */
-  private[operators] def encodeWord(
+  private[graft] def encodeWord(
       word: String, ranks: Map[(String, String), Int]): Seq[String] = {
     var syms: Vector[String] = word.map(_.toString).toVector :+ "</w>"
     var done = false
