@@ -22,13 +22,21 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = rd(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = rd(spark, dir, "lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which the vectorized parquet
-    * reader rejects. Read the raw int64 nanos (legacy conf, runtime-settable)
-    * and surface a regular microsecond TimestampType column. */
+  /** events.parquet's `ts` physical type varies by generator version:
+    * TIMESTAMP(NANOS) (which the vectorized reader rejects — read as raw
+    * int64 via the legacy conf and rescale), TIMESTAMP_NTZ, or plain
+    * microsecond TIMESTAMP. Branch on the actual file schema so every
+    * generation surfaces the same session-zone microsecond TimestampType. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(spark, dir, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = rd(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
