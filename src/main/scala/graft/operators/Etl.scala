@@ -229,7 +229,75 @@ object Etl {
            rnd(sum(col("o_totalprice")), 2).as("total_value"))
       .orderBy(col("job_id"))
 
+  /** SCD Type-2 history build — the lake-production upsert variant:
+    * instead of keeping only the newest version per key
+    * (etl_dedup_latest ≡ the reference's destructive upsert,
+    * database_adapter.py), every version becomes a history row with a
+    * [valid_from, valid_to) validity interval and an is_current flag —
+    * the dimension-table form every warehouse joins facts against "as
+    * of" a date. Orders model the per-key version stream exactly as in
+    * etl_undo_batch. valid_to = next version's valid_from (open
+    * interval; current rows get the 9999-12-31 sentinel).
+    *
+    * Scale: one shuffle on the entity key + one window pass (lead and
+    * row_number share the same (key, date) sort — Catalyst plans a
+    * single Exchange+Sort); keys are high-cardinality and uniform, so
+    * per-key version chains are short and no salting is needed. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        col("version"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_from"), "yyyy-MM-dd"),
+                 lit("9999-12-31")).as("valid_to"),
+        col("next_from").isNull.as("is_current"),
+        rnd(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("custkey"), col("version"))
+  }
+
+  /** CDC merge-apply: collapse a change stream of I/U/D operations to
+    * final table state — the batch core of every lake CDC pipeline
+    * (Debezium→merge, Delta/Iceberg MERGE INTO). The op code is
+    * synthesized deterministically from the orderkey's md5 (10/16 U,
+    * 4/16 I, 2/16 D) so the oracle can rebuild the stream; orders are
+    * the per-key event sequence as in etl_undo_batch. Per key the LAST
+    * event decides liveness (D ⇒ deleted, else active with that
+    * version) — the same max-struct single-aggregate trick as
+    * etl_undo_batch: no window sort, no self-join, ONE map-side-
+    * combined hash aggregate carries the latest event AND the I/U/D
+    * tallies, so the change stream shuffles once at any scale. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val nib = conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val ops = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      when(nib < 10, "U").when(nib < 14, "I").otherwise("D").as("op"))
+    ops.groupBy(col("o_custkey"))
+      .agg(
+        max(struct(col("o_orderdate"), col("o_orderkey"), col("op"))).as("last"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+      .select(
+        col("o_custkey").as("custkey"),
+        col("last.o_orderkey").as("last_orderkey"),
+        col("last.op").as("last_op"),
+        when(col("last.op") === "D", "deleted").otherwise("active").as("state"),
+        col("n_inserts"), col("n_updates"), col("n_deletes"))
+      .orderBy(col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2" -> (scd2 _),
+    "etl_cdc_apply" -> (cdcApply _),
     "etl_job_history" -> (jobHistory _),
     "etl_undo_batch" -> (undoBatch _),
     "etl_entity_match" -> (entityMatch _),
@@ -243,6 +311,49 @@ object Etl {
     "etl_ingest_stats"    -> (ingestStats _))
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2" ->
+      """WITH v AS (
+           SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                  CAST(row_number() OVER w AS BIGINT) AS version,
+                  o_orderdate,
+                  lead(o_orderdate) OVER w AS next_from,
+                  o_totalprice
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey))
+         SELECT custkey, orderkey, version,
+                strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                coalesce(strftime(next_from, '%Y-%m-%d'), '9999-12-31')
+                  AS valid_to,
+                next_from IS NULL AS is_current,
+                floor(o_totalprice * 100 + 0.5) / 100 AS price
+         FROM v ORDER BY custkey, version""",
+    "etl_cdc_apply" ->
+      """WITH s AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  CASE WHEN nib < 10 THEN 'U'
+                       WHEN nib < 14 THEN 'I' ELSE 'D' END AS op
+           FROM (SELECT *, CAST(('0x' || substr(md5(CAST(o_orderkey AS
+                   VARCHAR)), 1, 1)) AS INTEGER) AS nib FROM orders)),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM s),
+         c AS (
+           SELECT o_custkey,
+                  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_inserts,
+                  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_updates,
+                  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_deletes
+           FROM s GROUP BY o_custkey)
+         SELECT r.o_custkey AS custkey, r.o_orderkey AS last_orderkey,
+                r.op AS last_op,
+                CASE WHEN r.op = 'D' THEN 'deleted' ELSE 'active' END AS state,
+                c.n_inserts, c.n_updates, c.n_deletes
+         FROM r JOIN c ON r.o_custkey = c.o_custkey
+         WHERE r.rn = 1 ORDER BY custkey""",
     "etl_job_history" ->
       """SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
                      AS BIGINT) AS job_id,

@@ -33,6 +33,25 @@ object Events {
       .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** SLIDING-window aggregation (1 h windows every 15 min) through the
+    * native `window()` generator — the overlapping-window twin of
+    * windowHourly (tumbling): each event lands in size/slide = 4
+    * windows, the smoothed load curve a dashboard plots. The explode
+    * is map-side (4 rows per event BEFORE the partial agg, so the
+    * shuffle carries only per-(window, partition) partials — O(windows)
+    * wire bytes, never 4× the events); this exact formulation carries
+    * to Structured Streaming verbatim (same window() call under a
+    * watermark). Oracle: DuckDB rebuilds the window set with
+    * time_bucket − k·15 min, k ∈ 0..3 (both engines' grids are
+    * epoch-aligned, so the buckets coincide exactly). */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), rnd(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"))
+
   /** Gap-based sessionization: a >30-min silence starts a new session.
     * lag + running-sum over one user_id partitioning (single shuffle). */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
@@ -336,6 +355,7 @@ object Events {
     "evt_active_users"  -> (activeUsers _),
     "evt_anomalies"     -> (anomalies _),
     "evt_window_hourly" -> (windowHourly _),
+    "evt_sliding_hourly" -> (slidingHourly _),
     "evt_sessionize"    -> (sessionize _),
     "evt_sessionize_sw" -> (sessionizeSessionWindow _),
     "evt_asof_enrich"   -> (asofEnrich _),
@@ -437,6 +457,17 @@ object Events {
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
                 count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "evt_sliding_hourly" ->
+      """WITH w AS (
+           SELECT time_bucket(INTERVAL '15 minutes', ts)
+                    - k.k * INTERVAL '15 minutes' AS ws,
+                  value
+           FROM events
+           CROSS JOIN (SELECT unnest(range(4)) AS k) k)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start,
+                count(*) AS n_events,
+                floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+         FROM w GROUP BY 1 ORDER BY win_start""",
     "evt_sessionize" ->
       """WITH t AS (
            SELECT user_id, event_id, epoch_us(ts) AS us,

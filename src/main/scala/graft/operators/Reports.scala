@@ -144,6 +144,38 @@ object Reports {
            count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Robust outlier sweep via median absolute deviation — the
+    * outlier-detection twin of evt_anomalies that a heavy-tailed value
+    * column needs (z-scores break when the mean/stddev are themselves
+    * dragged by the outliers; median/MAD are 50%-breakdown robust).
+    * Per priority group: med = median(price), MAD = median(|price −
+    * med|), outlier ⇔ |price − med| > 3·1.4826·MAD (1.4826 scales MAD
+    * to σ under normality — the standard consistency constant). Two
+    * exact percentile passes with the tiny per-group stats broadcast
+    * back between them; both deviation and threshold are rounded to
+    * 4 dp on BOTH engines before the compare so boundary rows can't
+    * flip on float noise. approx_percentile is the documented 100 TB
+    * swap-in exactly as for rpt_percentiles. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val withDev = o.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = withDev.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        rnd(first(col("med")), 2).as("median_price"),
+        rnd(first(col("mad")), 2).as("mad_price"),
+        sum(when(rnd(col("adev"), 4) > rnd(col("mad") * 3 * 1.4826, 4), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Approximate percentiles — the 100 TB swap-in for rpt_percentiles
     * that SURVEY §2 promises: exact `percentile` buffers every value per
     * group, while `approx_percentile` (Greenwald–Khanna sketch) is a
@@ -247,6 +279,7 @@ object Reports {
     "rpt_skew_audit"        -> (skewAudit _),
     "rpt_order_size_profile" -> (orderSizeProfile _),
     "rpt_percentiles"       -> (percentiles _),
+    "rpt_mad_outliers"      -> (madOutliers _),
     "rpt_approx_percentiles" -> (approxPercentiles _),
     "rpt_summary"           -> (summary _),
     "rpt_status_dist"       -> (statusDist _),
@@ -298,6 +331,27 @@ object Reports {
                      FROM lineitem GROUP BY 1)
          SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
          FROM po GROUP BY 1 ORDER BY n_lines""",
+    "rpt_mad_outliers" ->
+      """WITH med AS (
+           SELECT o_orderpriority,
+                  quantile_cont(o_totalprice, 0.5) AS med
+           FROM orders GROUP BY 1),
+         dev AS (
+           SELECT o.o_orderpriority, o.o_totalprice, med.med,
+                  abs(o.o_totalprice - med.med) AS adev
+           FROM orders o JOIN med USING (o_orderpriority)),
+         mad AS (
+           SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT dev.o_orderpriority,
+                floor((any_value(dev.med)) * 100 + 0.5) / 100 AS median_price,
+                floor((any_value(mad.mad)) * 100 + 0.5) / 100 AS mad_price,
+                CAST(sum(CASE WHEN floor(dev.adev * 10000 + 0.5) / 10000 >
+                       floor(mad.mad * 3 * 1.4826 * 10000 + 0.5) / 10000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                count(*) AS n_orders
+         FROM dev JOIN mad USING (o_orderpriority)
+         GROUP BY dev.o_orderpriority ORDER BY o_orderpriority""",
     "rpt_percentiles" ->
       """SELECT o_orderstatus,
                 floor((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS p50_price,

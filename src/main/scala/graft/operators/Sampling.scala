@@ -150,6 +150,46 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
 
+  /** Temperature-based language rebalancing (the mT5/XLM-R mixture
+    * rule): sample languages proportionally to p_l^α (α = 0.5) instead
+    * of p_l, boosting low-resource languages without flattening the mix
+    * entirely — the principled generalization of `mixture`'s hand-set
+    * rates. Per-language keep rate r_l = min(1, S·q_l/n_l) with
+    * q_l ∝ n_l^α and target sample size S = N/2; the md5 coin (first 6
+    * nibbles → uniform [0,1)) makes selection reproducible and
+    * engine-portable, and rates round to 6 dp on both engines so
+    * boundary docs can't flip.
+    *
+    * Scale: the rate table is one map-side-combined count per language
+    * (O(langs) rows — its window normalization runs on that tiny frame,
+    * never the corpus), broadcast back; selection is a row-local
+    * predicate, accounting one partial-agg shuffle. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // O(langs) frame: the empty-partition window is a deliberate
+    // single-task pass over ~5 rows, not a corpus-global sort
+    val W = org.apache.spark.sql.expressions.Window
+    val all = W.partitionBy()
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow(col("n_docs").cast("double"), 0.5))
+      .withColumn("keep_rate", rnd(
+        least(lit(1.0),
+          sum(col("n_docs")).over(all) * 0.5 *
+            (col("w") / sum(col("w")).over(all)) / col("n_docs")), 6))
+      .select(col("lang"), col("n_docs"), col("keep_rate"))
+    val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(coin < col("keep_rate"))
+      .groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+           first(col("keep_rate")).as("keep_rate"),
+           count(lit(1)).as("n_kept"),
+           sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Soft dedup — down-WEIGHT duplicate clusters instead of dropping
     * them (the mixing-stage alternative to dedup_canonical: repeated
     * content contributes one "effective copy" of training signal
@@ -221,6 +261,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_shard_shuffle" -> (shardShuffle _),
+    "sample_temperature"   -> (temperatureMixture _),
     "sample_soft_dedup"    -> (softDedup _),
     "sample_domain_cap"    -> (domainCap _),
     "sample_mixture"       -> (mixture _),
@@ -231,6 +272,24 @@ object Sampling {
     "split_kfold"          -> (kfold _))
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         r AS (
+           SELECT lang, n_docs,
+                  floor(least(1.0,
+                    (SELECT sum(n_docs) FROM c) * 0.5 *
+                    (pow(CAST(n_docs AS DOUBLE), 0.5) /
+                     (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.5)) FROM c))
+                    / n_docs) * 1000000 + 0.5) / 1000000 AS keep_rate
+           FROM c)
+         SELECT d.lang, any_value(r.n_docs) AS n_docs,
+                any_value(r.keep_rate) AS keep_rate,
+                count(*) AS n_kept,
+                CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) / 16777216.0 < r.keep_rate
+         GROUP BY d.lang ORDER BY d.lang""",
     "sample_shard_shuffle" ->
       """WITH h AS (
            SELECT doc_id,

@@ -700,7 +700,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency boilerplate LINE removal (the CCNet/RefinedWeb
+    * line-dedup pass): a line that repeats across many documents
+    * (headers, footers, cookie banners, nav text) is boilerplate and is
+    * dropped from EVERY doc — unlike dedup_paragraphs'
+    * first-occurrence-wins, which keeps one copy. The synthetic corpus
+    * is one line of word soup per doc, so lines are a deterministic
+    * seeded fixture (the dedup_paragraphs convention): four lines per
+    * doc — one from a FREQUENT pool of 59 keys (doc-frequency ≈ N/59 ≈
+    * 8 > threshold ⇒ dropped), one from a RARE shared pool (df ≤ 2 ⇒
+    * kept — shared is not the same as boilerplate), two globally
+    * unique. A line is boilerplate when it appears in > 6 distinct
+    * docs. Mechanism verified is the real one:
+    * per-line doc-frequency as ONE map-side-combined count on the line
+    * content key, tiny frequent-line set joined back, per-doc rollup —
+    * no step corpus-global, lines partition by content hash at 100 TB. */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    val DfThreshold = 6
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("line_idx"))
+      .withColumn("line_key",
+        when(col("line_idx") === 0, col("doc_id") % 59)
+          .when(col("line_idx") === 1, lit(1000) + col("doc_id") % 499)
+          .otherwise(lit(100000) + col("doc_id") * 4 + col("line_idx")))
+    val lineDf = lines.groupBy(col("line_key"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(lineDf, Seq("line_key"))
+      .withColumn("is_boiler", (col("df") > DfThreshold).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("is_boiler")).cast("long").as("n_boiler"),
+           rnd(sum(col("is_boiler")) / count(lit(1)).cast("double"), 4)
+             .as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate_lines" -> (boilerplateLines _),
     "text_dup_ngram_frac" -> (dupNgramFrac _),
     "text_normalize" -> (normalizeText _),
     "text_length_hist" -> (lengthHistogram _),
@@ -728,6 +764,22 @@ object TextOps {
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
+    "text_boilerplate_lines" ->
+      """WITH l AS (
+           SELECT doc_id, i AS line_idx,
+                  CASE WHEN i = 0 THEN doc_id % 59
+                       WHEN i = 1 THEN 1000 + doc_id % 499
+                       ELSE 100000 + doc_id * 4 + i END AS line_key
+           FROM documents, (SELECT unnest(range(4)) AS i) ix),
+         f AS (
+           SELECT line_key, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+         SELECT l.doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN f.df > 6 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boiler,
+                floor((sum(CASE WHEN f.df > 6 THEN 1 ELSE 0 END) * 1.0
+                       / count(*)) * 10000 + 0.5) / 10000 AS boiler_frac
+         FROM l JOIN f USING (line_key)
+         GROUP BY l.doc_id ORDER BY doc_id""",
     "text_normalize" ->
       """WITH s AS (SELECT doc_id,
                            substr(text, 1, 40) || ' caf' || chr(101) || chr(769) AS raw

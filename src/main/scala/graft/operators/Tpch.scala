@@ -153,7 +153,35 @@ object Tpch {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity exceeds a threshold, with their customer. The HAVING
+    * aggregate runs FIRST and alone on lineitem (map-side partial
+    * combine, one orderkey shuffle) — the survivors are a tiny frame
+    * that then drives the orders/customer joins, so the fact-fact join
+    * is survivor-sized, not corpus-sized (the IN-subquery plan SQL
+    * engines pick for Q18). Top-100 is a TakeOrderedAndProject. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(rnd(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderdate"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name").as("name"), col("c_custkey").as("custkey"),
+              col("o_orderkey").as("orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+              rnd(col("o_totalprice"), 2).as("totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_big_orders"   -> (q18BigOrders _),
     "q4_priority"      -> (q4Priority _),
     "q10_returns"      -> (q10Returns _),
     "q6_forecast"      -> (q6Forecast _),
@@ -162,6 +190,21 @@ object Tpch {
     "q5_region_volume" -> (q5RegionVolume _))
 
   val oracles: Map[String, String] = Map(
+    "q18_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING floor((sum(l_quantity)) * 100 + 0.5) / 100 > 300.0)
+         SELECT c_name AS name, c_custkey AS custkey,
+                o_orderkey AS orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                floor(o_totalprice * 100 + 0.5) / 100 AS totalprice,
+                total_qty
+         FROM big
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, orderkey LIMIT 100""",
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
          FROM orders o

@@ -596,6 +596,70 @@ object Knn {
     rqTopK(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
 
+  /** Scalar-quantization ANN (the Faiss SQ8 index shape): every
+    * DIMENSION quantizes independently to 8 bits on a uniform
+    * [min_d, max_d] grid — dim bytes/vector with no codebook training
+    * at all, the standard memory/recall midpoint between raw floats
+    * and PQ. The per-dim min/max grid is a bounded model parameter
+    * (2×dim doubles from ONE map-side-combined posexplode aggregate,
+    * collected once — the k-means-codebook contract); the encode is a
+    * PURE MAP (two zip_withs against the literal grid arrays — no
+    * join, no aggregate, NO SHUFFLE, same scan-only contract as the PQ
+    * encode); scoring reconstructs lo_d + code_d·step_d in-row and
+    * dots the full-precision query against it (asymmetric distance)
+    * through the codegen'd DotProduct, ranked via TopKPerKey.
+    * Approximate (quantization error) → rows-only; SqSpec pins the
+    * planted-duplicate ADC maximum, code integrality/range, and the
+    * per-dim reconstruction bound |recon − x| ≤ step/2. */
+  def sq8(spark: SparkSession, dir: String): DataFrame =
+    sq8TopK(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
+
+  private[graft] def sq8TopK(spark: SparkSession, e: DataFrame, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // Per-dim [lo, hi]: O(dim) output rows, O(dim) collect — a bounded
+    // model parameter like the PQ/IVF codebooks, NOT a data loop.
+    val stats = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("d"))
+      .as[(Int, Float, Float)].collect()
+    require(stats.nonEmpty, "SQ8 grid fit saw an empty corpus")
+    val lo = stats.map(_._2.toDouble).toSeq
+    val step = stats.map { case (_, l, h) =>
+      val s = (h.toDouble - l.toDouble) / 255.0
+      if (s == 0.0) 1.0 else s   // constant dim: any code reconstructs lo
+    }.toSeq
+    val loLit = typedlit(lo)
+    val stepLit = typedlit(step)
+    val codes = e.select(col("vec_id"),
+      zip_with(
+        zip_with(col("embedding"), loLit, (x, l) => x - l),
+        stepLit, (t, s) =>
+          least(greatest(round(t / s), lit(0.0)), lit(255.0)))
+        .cast("array<smallint>").as("codes"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val recon = codes.withColumn("recon",
+      zip_with(
+        zip_with(col("codes"), stepLit, (c, s) => c * s),
+        loLit, (r, l) => r + l))
+    val scored = recon.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              VectorFunctions.dot(col("recon"), col("qv")).as("adc_raw"))
+    val top = graft.plans.TopKPerKey(scored, "query_id", "adc_raw", k,
+      tiebreak = Some("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"),
+              rnd(col("adc_raw"), 4).as("adc_score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** k-means cluster profile: fit k=8 centroids with ≤5 Lloyd rounds
     * (KMeans.fit — trained, closing the "codebooks are honest samples"
     * gap of ivf/pq/rq), then one map-only assignment pass and a
@@ -672,6 +736,7 @@ object Knn {
     "ann_lsh"           -> (lshBuckets _),
     "ann_ivf"           -> (ivf _),
     "ann_pq"            -> (pq _),
+    "ann_sq8"           -> (sq8 _),
     "ann_rq"            -> (rq _),
     "ann_kmeans"        -> (kmeansProfile _),
     "ann_ivf_trained"   -> (ivfTrained _),

@@ -140,6 +140,76 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_scd2 history chains: versions contiguous, exactly one current") {
+    val rows = operators.Etl.scd2(spark, Sf).collect()
+    rows.groupBy(_.getAs[Long]("custkey")).foreach { case (_, vs) =>
+      val versions = vs.map(_.getAs[Long]("version")).sorted.toSeq
+      assert(versions == (1L to versions.size.toLong))
+      assert(vs.count(_.getAs[Boolean]("is_current")) === 1)
+      // each non-current row's valid_to equals the next version's valid_from
+      val byV = vs.sortBy(_.getAs[Long]("version"))
+      byV.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(0).getAs[String]("valid_to") ===
+               pair(1).getAs[String]("valid_from"))
+      }
+    }
+  }
+
+  test("etl_cdc_apply op tallies partition the change stream") {
+    val total = Tables.orders(spark, Sf).count()
+    val rows = operators.Etl.cdcApply(spark, Sf).collect()
+    val sum = rows.map(r => r.getAs[Long]("n_inserts") +
+      r.getAs[Long]("n_updates") + r.getAs[Long]("n_deletes")).sum
+    assert(sum === total)
+    rows.foreach { r =>
+      assert((r.getAs[String]("state") == "deleted") ==
+             (r.getAs[String]("last_op") == "D"))
+    }
+  }
+
+  test("q18_big_orders returns only above-threshold orders") {
+    val rows = operators.Tpch.q18BigOrders(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 300.0))
+  }
+
+  test("evt_sliding_hourly window multiplicity is exactly size/slide") {
+    val nEvents = Tables.events(spark, Sf).count()
+    val windowed = operators.Events.slidingHourly(spark, Sf)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect().head.getLong(0)
+    assert(windowed === nEvents * 4) // 1 h windows every 15 min
+  }
+
+  test("rpt_mad_outliers flags a strict minority with nonnegative MAD") {
+    operators.Reports.madOutliers(spark, Sf).collect().foreach { r =>
+      assert(r.getAs[Double]("mad_price") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n_orders") / 2)
+    }
+  }
+
+  test("sample_temperature boosts low-resource languages") {
+    val rows = operators.Sampling.temperatureMixture(spark, Sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+                 r.getAs[Double]("keep_rate")))
+    rows.foreach { case (_, _, rate) => assert(rate > 0.0 && rate <= 1.0) }
+    // keep rate must be non-increasing in class size (p^(α-1) is decreasing)
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, na, ra), (_, nb, rb)) if na < nb => assert(ra >= rb)
+      case _ =>
+    }
+  }
+
+  test("text_boilerplate_lines drops frequent-pool lines, keeps the rest") {
+    val rows = operators.TextOps.boilerplateLines(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_lines") === 4L)
+      // frequent-pool line (df≈N/59>6) is always dropped; the rare
+      // shared line (df≤2) and the two unique lines never are
+      assert(r.getAs[Long]("n_boiler") === 1L)
+      assert(r.getAs[Double]("boiler_frac") === 0.25)
+    }
+  }
+
   test("multimodal_features is deterministic and aligned with payload size") {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
