@@ -31,6 +31,7 @@ object SparkEntry {
     dedup.Dedup.queries ++
     similarity.Knn.queries ++
     graph.PageRank.queries ++
+    graph.LabelProp.queries ++
     multimodal.BinaryPipeline.queries
 
   def oracleSql: Map[String, String] =
@@ -47,5 +48,6 @@ object SparkEntry {
     dedup.Dedup.oracles ++
     similarity.Knn.oracles ++
     graph.PageRank.oracles ++
+    graph.LabelProp.oracles ++
     multimodal.BinaryPipeline.oracles
 }

@@ -52,6 +52,30 @@ object Events {
               col("n_events"), col("sum_value"))
       .orderBy(col("win_start"))
 
+  /** Top event trigram paths — the sequence-mining rollup behind "what
+    * do users do next" product analytics (the reference's journey
+    * report one step deeper: order matters, not just stage counts).
+    * Two lead()s on the SAME (user, ts) window the sessionizer uses
+    * (one Exchange+Sort serves both), map-side-combined path counts,
+    * TakeOrderedAndProject top-15 with a full tiebreak. At 100 TB the
+    * shuffle is one user-keyed pass and the count's group space is
+    * |event_types|³ — tiny. */
+  def userPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(15)
+  }
+
   /** Gap-based sessionization: a >30-min silence starts a new session.
     * lag + running-sum over one user_id partitioning (single shuffle). */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
@@ -356,6 +380,7 @@ object Events {
     "evt_anomalies"     -> (anomalies _),
     "evt_window_hourly" -> (windowHourly _),
     "evt_sliding_hourly" -> (slidingHourly _),
+    "evt_user_paths" -> (userPaths _),
     "evt_sessionize"    -> (sessionize _),
     "evt_sessionize_sw" -> (sessionizeSessionWindow _),
     "evt_asof_enrich"   -> (asofEnrich _),
@@ -457,6 +482,17 @@ object Events {
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
                 count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "evt_user_paths" ->
+      """WITH s AS (
+           SELECT event_type,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                count(*) AS n
+         FROM s WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 15""",
     "evt_sliding_hourly" ->
       """WITH w AS (
            SELECT time_bucket(INTERVAL '15 minutes', ts)

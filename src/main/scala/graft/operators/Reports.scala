@@ -144,6 +144,32 @@ object Reports {
            count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * a finance/claims pipeline runs over amount columns: naturally
+    * occurring multi-scale amounts follow P(d) = log10(1 + 1/d); a flat
+    * or spiked first-digit histogram flags synthetic or tampered data.
+    * The first digit comes from the INTEGER part's string form (exact
+    * and engine-identical — deriving it via floor(log10) risks libm
+    * last-ulp drift at powers of ten), one map-side-combined count, the
+    * share against a lazy 1-row total broadcast, expected mass computed
+    * on the 9 literal digits. O(9) output at any scale. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+                        1, 1).as("digit"))
+    val total = o.agg(count(lit(1)).as("total"))
+    o.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        rnd(col("n") / col("total").cast("double"), 4).as("observed"),
+        rnd(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
+          .as("benford"),
+        rnd(abs(col("n") / col("total").cast("double") -
+                log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 4)
+          .as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
   /** Robust outlier sweep via median absolute deviation — the
     * outlier-detection twin of evt_anomalies that a heavy-tailed value
     * column needs (z-scores break when the mean/stddev are themselves
@@ -280,6 +306,7 @@ object Reports {
     "rpt_order_size_profile" -> (orderSizeProfile _),
     "rpt_percentiles"       -> (percentiles _),
     "rpt_mad_outliers"      -> (madOutliers _),
+    "rpt_benford"           -> (benford _),
     "rpt_approx_percentiles" -> (approxPercentiles _),
     "rpt_summary"           -> (summary _),
     "rpt_status_dist"       -> (statusDist _),
@@ -331,6 +358,21 @@ object Reports {
                      FROM lineitem GROUP BY 1)
          SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
          FROM po GROUP BY 1 ORDER BY n_lines""",
+    "rpt_benford" ->
+      """WITH d AS (
+           SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS digit
+           FROM orders),
+         t AS (SELECT count(*) AS total FROM d)
+         SELECT digit, count(*) AS n,
+                floor((count(*) * 1.0 / any_value(t.total)) * 10000 + 0.5)
+                  / 10000 AS observed,
+                floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000 + 0.5)
+                  / 10000 AS benford,
+                floor(abs(count(*) * 1.0 / any_value(t.total) -
+                          log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                      * 10000 + 0.5) / 10000 AS abs_dev
+         FROM d, t GROUP BY digit ORDER BY digit""",
     "rpt_mad_outliers" ->
       """WITH med AS (
            SELECT o_orderpriority,

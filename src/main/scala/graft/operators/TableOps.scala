@@ -331,7 +331,42 @@ object TableOps {
       .orderBy(col("column_name"))
   }
 
+  /** Snapshot diff / reconciliation — the data-ops regression check run
+    * after every pipeline change: full-outer join two table snapshots
+    * on the key, classify each key added / removed / changed /
+    * unchanged, roll up counts + a value-drift total. Snapshots are
+    * deterministic md5 1/16 splits of orders (A drops nibble 0, B
+    * drops nibble 1 and perturbs nibble 2's price by +1 — so all four
+    * verdicts occur), mirrored in the oracle. One co-partitioned
+    * key join (both sides shuffle once on the key), O(verdicts) output;
+    * the per-column compare extends to any width by adding struct
+    * fields. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val nib = conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), nib.as("nib"))
+    val a = o.filter(col("nib") =!= 0)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("val_a"))
+    val b = o.filter(col("nib") =!= 1)
+      .select(col("o_orderkey").as("key"),
+        (col("o_totalprice") +
+          when(col("nib") === 2, 1.0).otherwise(0.0)).as("val_b"))
+    a.join(b, Seq("key"), "full_outer")
+      .select(
+        when(col("val_a").isNull, "added")
+          .when(col("val_b").isNull, "removed")
+          .when(col("val_a") =!= col("val_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("val_b"), lit(0.0)) - coalesce(col("val_a"), lit(0.0)))
+      .toDF("status", "drift")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"), rnd(sum(col("drift")), 2).as("value_drift"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tbl_diff"             -> (snapshotDiff _),
     "tbl_profile"          -> (profile _),
     "tbl_profile_approx"   -> (profileApprox _),
     "tbl_catalog"          -> (catalogPage _),
@@ -347,6 +382,28 @@ object TableOps {
     "vw_service_demand"    -> (serviceDemand _))
 
   val oracles: Map[String, String] = Map(
+    "tbl_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice,
+                  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                       AS INTEGER) AS nib
+           FROM orders),
+         a AS (SELECT o_orderkey AS key, o_totalprice AS val_a
+               FROM o WHERE nib <> 0),
+         b AS (SELECT o_orderkey AS key,
+                      o_totalprice + CASE WHEN nib = 2 THEN 1.0 ELSE 0.0 END
+                        AS val_b
+               FROM o WHERE nib <> 1),
+         j AS (
+           SELECT CASE WHEN val_a IS NULL THEN 'added'
+                       WHEN val_b IS NULL THEN 'removed'
+                       WHEN val_a <> val_b THEN 'changed'
+                       ELSE 'unchanged' END AS status,
+                  coalesce(val_b, 0.0) - coalesce(val_a, 0.0) AS drift
+           FROM a FULL OUTER JOIN b USING (key))
+         SELECT status, count(*) AS n_keys,
+                floor((sum(drift)) * 100 + 0.5) / 100 AS value_drift
+         FROM j GROUP BY status ORDER BY status""",
     "tbl_profile" -> {
       // render type tags mirror profile's renderValue: dbl → fixed
       // 6-decimal, ts → second-resolution format, else bare varchar

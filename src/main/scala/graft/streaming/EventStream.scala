@@ -70,6 +70,20 @@ object EventStream {
                 .as("session_start"),
               col("n_events"))
 
+  /** Watermarked SLIDING windows — the streaming form of
+    * operators.Events.slidingHourly (the SAME window(size, slide)
+    * generator; that's the point of using it in batch): 1 h windows
+    * every 15 min, emitted on append once the watermark passes each
+    * window's close, so state is bounded by (horizon/slide) windows
+    * per key-space regardless of stream length. */
+  def slidingWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+              col("n_events"))
+
   /** Stream-stream interval join: attach to each purchase the clicks
     * the same user made in the preceding 30 minutes. Both sides are
     * watermarked so join state is bounded — the standard streaming

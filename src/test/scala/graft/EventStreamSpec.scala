@@ -135,6 +135,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming sliding windows match the batch window() twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.slidingWindows(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("slide_out").start()
+    input.addData(loadEvents())
+    q.processAllAvailable()
+    // flush event far in the future closes every real window under the
+    // watermark so append emits them; its own windows are filtered out
+    input.addData(Ev(999999L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+                     999999L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide_out")
+      .filter(col("win_start") < "2024-02-28")
+      .select("win_start", "n_events")
+      .orderBy("win_start").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = operators.Events.slidingHourly(spark, Sf)
+      .select("win_start", "n_events")
+      .orderBy("win_start").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming content dedup drops re-crawled duplicate documents") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -60,4 +60,32 @@ class GraphSpec extends AnyFunSuite {
   test("self-contained components keep distinct labels") {
     both(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L)))
   }
+
+  test("label propagation splits a bridged barbell CC cannot") {
+    import spark.implicits._
+    // two K4 cliques (internal weight 10) joined by ONE weight-1 bridge:
+    // connected as a graph (CC gives one component) but two communities
+    val clique = (ns: Seq[Long]) =>
+      for { a <- ns; b <- ns if a < b } yield (a, b, 10L)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+
+      ((4L, 5L, 1L))).toDF("src", "dst", "w")
+    val labels = graph.LabelProp.run(edges, iters = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val sideA = Seq(1L, 2L, 3L, 4L).map(labels)
+    val sideB = Seq(5L, 6L, 7L, 8L).map(labels)
+    assert(sideA.distinct.size === 1, s"A fragmented: $labels")
+    assert(sideB.distinct.size === 1, s"B fragmented: $labels")
+    assert(sideA.head !== sideB.head, s"bridge merged the sides: $labels")
+  }
+
+  test("label propagation is partition-invariant") {
+    import spark.implicits._
+    val edges = (for { a <- 1L to 6L; b <- 1L to 6L if a < b }
+      yield (a, b, ((a + b) % 3 + 1))).toDF("src", "dst", "w")
+    val one = graph.LabelProp.run(edges.coalesce(1), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val many = graph.LabelProp.run(edges.repartition(7), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(one === many)
+  }
 }

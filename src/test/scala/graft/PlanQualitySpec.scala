@@ -42,6 +42,34 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("evt_sliding_hourly expands windows map-side, below the partial agg") {
+    // the 4-row window expansion (Expand) must sit UNDER the partial
+    // HashAggregate and its Exchange: the shuffle then carries only
+    // per-(window, partition) partials — if Expand ever lands above the
+    // Exchange, the shuffle grows 4× with the events
+    val plan = operators.Events.slidingHourly(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val iExpand = plan.indexOf("Expand")
+    val iExchange = plan.indexOf("Exchange")
+    assert(iExpand >= 0 && iExchange >= 0, plan.take(2000))
+    // toString prints top-down, so "below" = larger index
+    assert(iExpand > iExchange, plan.take(2000))
+  }
+
+  test("etl_scd2's lead and row_number share one window Exchange+Sort") {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = operators.Etl.scd2(spark, Sf).queryExecution.executedPlan.toString
+      val windows = "\\bWindow\\b".r.findAllIn(plan).length
+      assert(windows == 1, s"expected ONE Window op\n${plan.take(2000)}")
+      // exactly 2 exchanges: the window key + the presentation orderBy
+      val exchanges = "Exchange hashpartitioning|Exchange rangepartitioning"
+        .r.findAllIn(plan).length
+      assert(exchanges == 2, s"expected 2 exchanges\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("vw_employee_workload pre-aggregates the fact side below the roster join") {
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -210,6 +210,41 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rpt_benford digit shares sum to one") {
+    val rows = operators.Reports.benford(spark, Sf).collect()
+    assert(rows.length <= 9)
+    val mass = rows.map(_.getAs[Double]("observed")).sum
+    assert(math.abs(mass - 1.0) < 0.01)
+    rows.foreach(r => assert(('1' to '9').map(_.toString)
+      .contains(r.getAs[String]("digit"))))
+  }
+
+  test("tbl_diff produces all four verdicts and tracks the planted drift") {
+    val rows = operators.TableOps.snapshotDiff(spark, Sf).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("value_drift"))).toMap
+    assert(rows.keySet === Set("added", "removed", "changed", "unchanged"))
+    // every changed key was perturbed by exactly +1.0
+    val (nChanged, drift) = rows("changed")
+    assert(drift === nChanged.toDouble)
+    assert(rows("unchanged")._2 === 0.0)
+  }
+
+  test("evt_user_paths is a descending bounded top-k of 3-step paths") {
+    val rows = operators.Events.userPaths(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sortBy(-_))
+    rows.foreach(r => assert(r.getAs[String]("path").count(_ == '>') === 2))
+  }
+
+  test("graph_label_prop labels every nation with a member community") {
+    val out = graph.LabelProp.nationCommunities(spark, Sf).collect()
+    assert(out.length === 25)
+    val communities = out.map(_.getAs[Long]("community")).toSet
+    assert(communities.nonEmpty && communities.size <= 25)
+  }
+
   test("multimodal_features is deterministic and aligned with payload size") {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
