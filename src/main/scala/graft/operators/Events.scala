@@ -76,6 +76,71 @@ object Events {
       .limit(15)
   }
 
+  /** Distinct-set OVERLAP between audience segments via KMV sketches
+    * (k-minimum-values, the theta-sketch family) — the question HLL
+    * cannot answer: approx_count_distinct unions but never INTERSECTS,
+    * while "how many click-users also purchase" needs |A∩B|. Each
+    * segment keeps only its k=64 smallest md5 hashes — built through
+    * the custom TopKPerKey operator (bounded per-key heaps, so a
+    * billion-user segment ships ≤ k rows per partition, the user set
+    * never shuffles); the pair stage then runs entirely on the
+    * O(segments × k) sketch rows: union sketch = k smallest of the two
+    * sketches merged, D̂ = (k−1)/h₍k₎, intersection via the standard
+    * c/k · D̂_union estimator, exact-count fallback when a segment
+    * holds fewer than k users (the sketch IS the set then).
+    *
+    * md5 is deterministic and h₍k₎ is a dyadic rational (13 nibbles /
+    * 2⁵²), so unlike HLL the whole ESTIMATE is reproducible bit-exact
+    * across engines — a sketch entry with a full DuckDB oracle. */
+  def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val users = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("double") / lit(4503599627370496.0)) // 16^13 = 2^52, exact
+    val sk = graft.plans.TopKPerKey(
+        users.withColumn("neg", -col("h")), "event_type", "neg", K,
+        tiebreak = Some("user_id"))
+      .select(col("event_type"), col("user_id"), col("h"))
+    val est = when(col("n") < K, col("n").cast("double"))
+      .otherwise(lit((K - 1).toDouble) / col("hk"))
+    val perSeg = sk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("event_type"), rnd(est, 2).as("est"))
+    val segs = sk.select(col("event_type")).distinct()
+    val pairs = segs.select(col("event_type").as("seg_a"))
+      .crossJoin(segs.select(col("event_type").as("seg_b")))
+      .filter(col("seg_a") < col("seg_b"))
+    val tagged = pairs.join(sk,
+        col("event_type") === col("seg_a") ||
+        col("event_type") === col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"), col("h"))
+      .agg(max(when(col("event_type") === col("seg_a"), 1).otherwise(0))
+             .as("in_a"),
+           max(when(col("event_type") === col("seg_b"), 1).otherwise(0))
+             .as("in_b"))
+    val byPair = Window.partitionBy(col("seg_a"), col("seg_b"))
+      .orderBy(col("h"))
+    val unionEst = when(col("ku") < K, col("ku").cast("double"))
+      .otherwise(lit((K - 1).toDouble) / col("hk"))
+    tagged.withColumn("rn", row_number().over(byPair))
+      .filter(col("rn") <= K)
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("ku"), max(col("h")).as("hk"),
+           sum(col("in_a") * col("in_b")).cast("long").as("c"))
+      .join(broadcast(perSeg.select(col("event_type").as("seg_a"),
+                                    col("est").as("est_a"))), Seq("seg_a"))
+      .join(broadcast(perSeg.select(col("event_type").as("seg_b"),
+                                    col("est").as("est_b"))), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("est_a"), col("est_b"),
+        rnd(unionEst, 2).as("est_union"),
+        rnd(col("c").cast("double") / col("ku") * unionEst, 2)
+          .as("est_intersect"),
+        rnd(col("c").cast("double") / col("ku"), 4).as("jaccard_est"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
   /** Gap-based sessionization: a >30-min silence starts a new session.
     * lag + running-sum over one user_id partitioning (single shuffle). */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
@@ -381,6 +446,7 @@ object Events {
     "evt_window_hourly" -> (windowHourly _),
     "evt_sliding_hourly" -> (slidingHourly _),
     "evt_user_paths" -> (userPaths _),
+    "evt_segment_overlap" -> (segmentOverlap _),
     "evt_sessionize"    -> (sessionize _),
     "evt_sessionize_sw" -> (sessionizeSessionWindow _),
     "evt_asof_enrich"   -> (asofEnrich _),
@@ -482,6 +548,61 @@ object Events {
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
                 count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "evt_segment_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         hh AS (
+           SELECT event_type, user_id,
+                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) / 4503599627370496.0 AS h
+           FROM du),
+         sk AS (
+           SELECT event_type, user_id, h FROM (
+             SELECT hh.*, row_number() OVER (PARTITION BY event_type
+                            ORDER BY h, user_id) AS rn
+             FROM hh)
+           WHERE rn <= 64),
+         seg AS (
+           SELECT event_type,
+                  floor((CASE WHEN count(*) < 64
+                         THEN count(*) * 1.0
+                         ELSE 63.0 / max(h) END) * 100 + 0.5) / 100 AS est
+           FROM sk GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS seg_a, b.event_type AS seg_b
+           FROM (SELECT DISTINCT event_type FROM sk) a,
+                (SELECT DISTINCT event_type FROM sk) b
+           WHERE a.event_type < b.event_type),
+         t AS (
+           SELECT p.seg_a, p.seg_b, s.h,
+                  max(CASE WHEN s.event_type = p.seg_a THEN 1 ELSE 0 END)
+                    AS in_a,
+                  max(CASE WHEN s.event_type = p.seg_b THEN 1 ELSE 0 END)
+                    AS in_b
+           FROM p JOIN sk s
+             ON s.event_type = p.seg_a OR s.event_type = p.seg_b
+           GROUP BY 1, 2, 3),
+         km AS (
+           SELECT * FROM (
+             SELECT t.*, row_number() OVER (PARTITION BY seg_a, seg_b
+                           ORDER BY h) AS rn
+             FROM t)
+           WHERE rn <= 64),
+         st AS (
+           SELECT seg_a, seg_b, count(*) AS ku, max(h) AS hk,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS c
+           FROM km GROUP BY 1, 2)
+         SELECT st.seg_a, st.seg_b, ea.est AS est_a, eb.est AS est_b,
+                floor((CASE WHEN ku < 64 THEN ku * 1.0
+                       ELSE 63.0 / hk END) * 100 + 0.5) / 100 AS est_union,
+                floor((c * 1.0 / ku *
+                       CASE WHEN ku < 64 THEN ku * 1.0
+                            ELSE 63.0 / hk END) * 100 + 0.5) / 100
+                  AS est_intersect,
+                floor((c * 1.0 / ku) * 10000 + 0.5) / 10000 AS jaccard_est
+         FROM st
+         JOIN seg ea ON ea.event_type = st.seg_a
+         JOIN seg eb ON eb.event_type = st.seg_b
+         ORDER BY seg_a, seg_b""",
     "evt_user_paths" ->
       """WITH s AS (
            SELECT event_type,

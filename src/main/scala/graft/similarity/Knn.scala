@@ -324,9 +324,14 @@ object Knn {
   /** PQ search against an explicit per-subspace codebook —
     * cbooks(m)(cw) is the cw-th codeword of subspace m (see pqTopK for
     * the sampled codebook, pqTrained for the k-means one; both inline
-    * the bounded model as literals). */
+    * the bounded model as literals). When `cells` is given
+    * ((vec_id, cluster) from a coarse quantizer), candidates score
+    * ONLY inside the query's cell — the IVF-PQ composition: the ADC
+    * join picks up a cluster equality, so the candidate set shrinks
+    * from the corpus to ~N/K_coarse before any scoring work. */
   private def pqSearch(spark: SparkSession, e: DataFrame, k: Int,
-      cbooks: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+      cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
+      cells: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     val M = cbooks.length
     val subDim = cbooks.head.head.length
@@ -343,15 +348,17 @@ object Knn {
         struct(VectorFunctions.dot(sv, cv).as("d"),
                lit(-(i + 1)).as("negcw"))
       }: _*)).getField("negcw")
-    val codes = e
+    val codes0 = e
       .select(col("vec_id"), explode(array((0 until M).map { m =>
         struct(lit(m).as("m"),
                bestCode(sub(col("embedding"), m), m).as("code"))
       }: _*)).as("mc"))
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    val codes = cells.map(cf => codes0.join(cf, Seq("vec_id")))
+      .getOrElse(codes0)
     // Query LUT: every (subspace, codeword) dot product per query —
     // M×K tiny rows per query, broadcast.
-    val lut = e.filter(isQuery)
+    val lut0 = e.filter(isQuery)
       .select(col("vec_id").as("query_id"),
         explode(array((for { m <- 0 until M; i <- cbooks.head.indices } yield
           struct(lit(m).as("m"), lit(i + 1).as("cw"),
@@ -359,9 +366,15 @@ object Knn {
                    .as("contrib"))): _*)).as("x"))
       .select(col("query_id"), col("x.m").as("m"), col("x.cw").as("cw"),
               col("x.contrib").as("contrib"))
+    val lut = cells.map(cf => lut0.join(
+        cf.select(col("vec_id").as("query_id"),
+                  col("cluster").as("q_cluster")), Seq("query_id")))
+      .getOrElse(lut0)
     val scored = codes.join(broadcast(lut),
         codes("m") === lut("m") && col("code") === col("cw") &&
-        col("vec_id") =!= col("query_id"))
+        col("vec_id") =!= col("query_id") &&
+        (if (cells.isDefined) col("cluster") === col("q_cluster")
+         else lit(true)))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("contrib")).as("adc_raw"))
     val top = graft.plans.TopKPerKey(scored, "query_id", "adc_raw", k,
@@ -596,6 +609,41 @@ object Knn {
     rqTopK(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
 
+  /** IVF-PQ — the composition production ANN indexes actually ship
+    * (Faiss IndexIVFPQ, non-residual variant): a TRAINED coarse
+    * k-means quantizer partitions the corpus into cells, and within
+    * the query's cell candidates are scored from PQ codes via the
+    * broadcast ADC LUT — compressed storage AND a candidate set
+    * bounded at ~N/K_coarse, where flat PQ still touches every code.
+    * Both models are bounded literals, so the cell assignment and the
+    * PQ encode are PURE MAPS (scan-only at 100 TB; the cell equality
+    * rides the existing ADC join — no extra shuffle). Approximate
+    * (cell-boundary misses + quantization) → rows-only; PqSpec extends
+    * the planted-duplicate maximum invariant to this path (an exact
+    * duplicate lands in the query's cell by argmin determinism and
+    * must win its ADC). */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqOn(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
+
+  private[graft] def ivfPqOn(spark: SparkSession, e: DataFrame, k: Int)
+      : DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    VectorFunctions.register(spark)
+    val M = 4; val subDim = 16; val K = 16; val CoarseK = 8
+    val (coarse, _) = KMeans.fit(e, CoarseK, 3)
+    val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
+    val cbooks = Await.result(
+      Future.sequence((0 until M).map { m => Future {
+        KMeans.fit(e.select(col("vec_id"),
+          slice(col("embedding"), m * subDim + 1, subDim).as("embedding")),
+          K, 3)._1
+      }}), Duration.Inf).toIndexedSeq
+    pqSearch(spark, e, k, cbooks, cells = Some(cells))
+  }
+
   /** Scalar-quantization ANN (the Faiss SQ8 index shape): every
     * DIMENSION quantizes independently to 8 bits on a uniform
     * [min_d, max_d] grid — dim bytes/vector with no codebook training
@@ -737,6 +785,7 @@ object Knn {
     "ann_ivf"           -> (ivf _),
     "ann_pq"            -> (pq _),
     "ann_sq8"           -> (sq8 _),
+    "ann_ivf_pq"        -> (ivfPq _),
     "ann_rq"            -> (rq _),
     "ann_kmeans"        -> (kmeansProfile _),
     "ann_ivf_trained"   -> (ivfTrained _),

@@ -51,6 +51,23 @@ class PqSpec extends AnyFunSuite {
       s"duplicate scored $dupScore, max was $maxScore")
   }
 
+  test("IVF-PQ keeps the planted-duplicate maximum invariant in-cell") {
+    // an exact duplicate lands in the query's coarse cell (argmin is
+    // deterministic on identical vectors), so it must appear among the
+    // cell-restricted candidates AND win the ADC
+    val e = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val dup = e.filter(col("vec_id") === 3L)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val rows = similarity.Knn.ivfPqOn(spark, e.union(dup), 10).collect()
+    val q3 = rows.filter(_.getAs[Long]("query_id") == 3L)
+    assert(q3.nonEmpty)
+    val dupScore = q3.find(_.getAs[Long]("neighbor_id") == 9999L)
+      .map(_.getAs[Double]("adc_score"))
+    val maxScore = q3.map(_.getAs[Double]("adc_score")).max
+    assert(dupScore.contains(maxScore),
+      s"duplicate scored $dupScore, max was $maxScore")
+  }
+
   test("ADC ordering agrees with scores within each query") {
     planted.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
       val byRank = rows.sortBy(_.getAs[Long]("rank"))
