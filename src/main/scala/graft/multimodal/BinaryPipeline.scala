@@ -147,6 +147,109 @@ object BinaryPipeline {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** Payload producer for the phash entry: hash-MIXED pixels (unlike
+    * pngPayload's linear gradients, whose dHash degenerates to
+    * near-all-ones bits and floods the band buckets) — each pixel is a
+    * Weyl/xor mix of (id, x, y), so distinct ids give ~Bernoulli(1/2)
+    * gradient bits and band collisions are the 2^-14 the banding math
+    * assumes. */
+  private[graft] def phashPayload(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        def mix(salt: Long): Int = {
+          // splitmix64 finalizer: full avalanche, so pixels (and hence
+          // gradient bits) are effectively i.i.d. across ids
+          var z = (id * 512 + salt * 64 + x * 8 + y) + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          ((z ^ (z >>> 31)) & 0xFF).toInt
+        }
+        img.setRGB(x, y, (mix(1) << 16) | (mix(2) << 8) | mix(3))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual-hash image near-dup pairs — dedup extended to the
+    * image modality: re-encoded/re-crawled images with identical pixels
+    * (or near-identical after lossless transforms) hash to the same
+    * 56-bit dHash (per-row horizontal luma gradients on the decoded
+    * grid), then band-bucket + verify EXACTLY like dedup_simhash —
+    * 4×14-bit bands generate candidates, full hamming ≤ 4 verifies, an
+    * oversized bucket star-expands to its min id (mass-duplicate guard).
+    * The decode is the REAL ImageIO codec in bounded batches with
+    * cluster-sourced parallelism (the multimodal_image_features
+    * lessons); everything after the hash is the simhash relational
+    * skeleton, so a 100 TB image corpus shuffles (band, value) keys,
+    * never pixels. Payloads plant doc_id % 250 duplicates (the
+    * re-crawl case); codec output isn't SQL-expressible → rows-only,
+    * MultimodalSpec pins planted-pair recovery at hamming 0 and
+    * precision on the planted corpus. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id => ImagePayload(id, phashPayload(id % 250))))
+    val hashes = payloads.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { p =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p.png))
+          def luma(x: Int, y: Int): Double = {
+            val rgb = img.getRGB(x, y)
+            0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+          }
+          var hash = 0L; var bit = 0; var y = 0
+          while (y < 8) {
+            var x = 0
+            var prev = luma(0, y)
+            while (x < 7) {
+              val nxt = luma(x + 1, y)
+              if (nxt > prev) hash |= (1L << bit)
+              prev = nxt; bit += 1; x += 1
+            }
+            y += 1
+          }
+          PHash(p.doc_id, hash)
+        }
+      }
+    }.toDF()
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+             j -> struct(j AS band_idx,
+                         (shiftright(phash, j * 14) & 16383) AS band_val))"""))
+        .as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band_val"))
+    banded.groupBy(col("band_idx"), col("band_val"))
+      .agg(min(col("doc_id")).as("min_id"),
+           collect_list(struct(col("doc_id"), col("phash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("min_id"), (size(col("ds")) > 32).as("big"),
+              explode(col("ds")).as("a"), col("ds"))
+      .filter(!col("big") || col("a.doc_id") === col("min_id"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+                .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cached sampled-audio SPI providers. `AudioSystem.getAudioInputStream`
     * and `.write` re-run a ServiceLoader provider scan on EVERY call —
     * under a 32-thread decode the loader's classloading locks convoy and
@@ -263,6 +366,7 @@ object BinaryPipeline {
     "multimodal_meta"           -> (meta _),
     "multimodal_features"       -> (features _),
     "multimodal_image_features" -> (imageFeatures _),
+    "multimodal_phash_dedup"    -> (phashDedup _),
     "multimodal_audio_features" -> (audioFeatures _))
 
   val oracles: Map[String, String] = Map(

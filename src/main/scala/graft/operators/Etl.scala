@@ -295,7 +295,43 @@ object Etl {
       .orderBy(col("custkey"))
   }
 
+  /** Distribution-drift audit between load batches via the population
+    * stability index — tbl_diff catches KEY-level drift, this catches
+    * DISTRIBUTION drift (a retrained upstream model or a changed
+    * upstream filter shifts the value mix with zero key churn; PSI
+    * > 0.1 investigate / > 0.25 act is the standard monitoring rule).
+    * Batches are the md5 1/16 lineage split (current = nibble 0, the
+    * round's load; baseline = the rest); values bin into fixed
+    * equi-width price buckets so bin boundaries are engine-exact
+    * (quantile bins would be the data-adaptive variant —
+    * rpt_percentiles shows the machinery). PSI per bucket =
+    * (p_cur − p_base)·ln(p_cur/p_base) with add-half Laplace smoothing
+    * against empty bins, all from ONE map-side-combined (bucket ×
+    * split) count — O(buckets) everything after the scan. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val nib = conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val binned = Tables.orders(spark, dir).select(
+      least(floor(col("o_totalprice") / 50000.0), lit(5.0)).cast("long")
+        .as("bucket"),
+      (nib === 0).as("is_cur"))
+    val counts = binned.groupBy(col("bucket"))
+      .agg(sum(when(col("is_cur"), 1L).otherwise(0L)).as("n_cur"),
+           sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_base"))
+    val tot = counts.agg(sum(col("n_cur")).as("t_cur"),
+                         sum(col("n_base")).as("t_base"))
+    // add-half smoothing keeps ln() finite when a bin is empty on one side
+    val pCur = (col("n_cur") + 0.5) / (col("t_cur") + 3.0)
+    val pBase = (col("n_base") + 0.5) / (col("t_base") + 3.0)
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_cur"), col("n_base"),
+        rnd(pCur, 6).as("p_cur"), rnd(pBase, 6).as("p_base"),
+        rnd((pCur - pBase) * log(pCur / pBase), 6).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_psi_drift" -> (psiDrift _),
     "etl_scd2" -> (scd2 _),
     "etl_cdc_apply" -> (cdcApply _),
     "etl_job_history" -> (jobHistory _),
@@ -311,6 +347,33 @@ object Etl {
     "etl_ingest_stats"    -> (ingestStats _))
 
   val oracles: Map[String, String] = Map(
+    "etl_psi_drift" ->
+      """WITH b AS (
+           SELECT CAST(least(floor(o_totalprice / 50000.0), 5.0) AS BIGINT)
+                    AS bucket,
+                  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                       AS INTEGER) = 0 AS is_cur
+           FROM orders),
+         c AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_cur,
+                  CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_base
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t_cur,
+                      CAST(sum(n_base) AS BIGINT) AS t_base FROM c)
+         SELECT bucket, n_cur, n_base,
+                floor(((n_cur + 0.5) / (t_cur + 3.0)) * 1000000 + 0.5)
+                  / 1000000 AS p_cur,
+                floor(((n_base + 0.5) / (t_base + 3.0)) * 1000000 + 0.5)
+                  / 1000000 AS p_base,
+                floor((((n_cur + 0.5) / (t_cur + 3.0)
+                        - (n_base + 0.5) / (t_base + 3.0))
+                       * ln((n_cur + 0.5) / (t_cur + 3.0)
+                            / ((n_base + 0.5) / (t_base + 3.0))))
+                      * 1000000 + 0.5) / 1000000 AS psi_term
+         FROM c, t ORDER BY bucket""",
     "etl_scd2" ->
       """WITH v AS (
            SELECT o_custkey AS custkey, o_orderkey AS orderkey,

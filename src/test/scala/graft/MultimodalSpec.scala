@@ -51,6 +51,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash dedup recovers every planted duplicate pair at hamming 0") {
+    val pairs = BinaryPipeline.phashDedup(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Long]("hamming")))
+    // payloads are doc_id % 250: docs 250..499 re-encode 0..249
+    val planted = pairs.filter { case (a, b, _) => b == a + 250 }
+    assert(planted.length === 250, s"recovered ${planted.length}/250")
+    planted.foreach { case (_, _, h) => assert(h === 0L) }
+    // precision on this corpus: identical pixels ⇔ same %250 class
+    pairs.foreach { case (a, b, h) =>
+      if (h == 0L) assert(a % 250 === b % 250, s"false dup ($a,$b)")
+    }
+  }
+
   test("decode kernels are deterministic across runs") {
     def sig(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).toSeq

@@ -245,6 +245,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(communities.nonEmpty && communities.size <= 25)
   }
 
+  test("etl_psi_drift: per-side shares each sum to ~1 and PSI is small on a random split") {
+    val rows = operators.Etl.psiDrift(spark, Sf).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("p_cur")).sum - 1.0) < 0.01)
+    assert(math.abs(rows.map(_.getAs[Double]("p_base")).sum - 1.0) < 0.01)
+    // the md5 lineage split is distribution-neutral: total PSI must sit
+    // far below the 0.1 "investigate" line
+    assert(rows.map(_.getAs[Double]("psi_term")).sum < 0.1)
+  }
+
+  test("evt_segment_overlap estimates bound sanely") {
+    operators.Events.segmentOverlap(spark, Sf).collect().foreach { r =>
+      val (a, b) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"))
+      val (u, i) = (r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))
+      assert(u >= math.max(a, b) * 0.5, s"union $u vs max($a,$b)") // sketch noise slack
+      assert(i <= u + 1e-9)
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("multimodal_features is deterministic and aligned with payload size") {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
