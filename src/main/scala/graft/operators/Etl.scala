@@ -318,12 +318,16 @@ object Etl {
     val counts = binned.groupBy(col("bucket"))
       .agg(sum(when(col("is_cur"), 1L).otherwise(0L)).as("n_cur"),
            sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_base"))
-    val tot = counts.agg(sum(col("n_cur")).as("t_cur"),
-                         sum(col("n_base")).as("t_base"))
+    // totals as windows over the O(buckets) AGGREGATE (single-task pass
+    // over ≤6 rows) — a separate total branch would re-scan orders
+    val W = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // add-half smoothing keeps ln() finite when a bin is empty on one side
     val pCur = (col("n_cur") + 0.5) / (col("t_cur") + 3.0)
     val pBase = (col("n_base") + 0.5) / (col("t_base") + 3.0)
-    counts.crossJoin(broadcast(tot))
+    counts
+      .withColumn("t_cur", sum(col("n_cur")).over(W))
+      .withColumn("t_base", sum(col("n_base")).over(W))
       .select(col("bucket"), col("n_cur"), col("n_base"),
         rnd(pCur, 6).as("p_cur"), rnd(pBase, 6).as("p_base"),
         rnd((pCur - pBase) * log(pCur / pBase), 6).as("psi_term"))
