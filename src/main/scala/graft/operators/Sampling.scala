@@ -42,6 +42,29 @@ object Sampling {
            countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
 
+  /** GROUP-aware (leakage-safe) train/val/test split: the md5 coin
+    * keys on the SOURCE, not the doc, so an entire domain lands in one
+    * split — per-doc splitting (split_train_test) lets near-duplicates
+    * and templated siblings from the same crawl domain straddle
+    * train/test, inflating eval (the leakage every serious LLM data
+    * pipeline splits by group/domain/url-host to avoid). Same 13/1/2
+    * nibble bands as the per-doc split; map-only assignment (the coin
+    * is a row-local function of the source column — no group table,
+    * no join), one partial-agg shuffle for the audit rollup. */
+  def splitGroupAware(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("b",
+        conv(substring(md5(col("source")), 1, 1), 16, 10).cast("int"))
+      .withColumn("split",
+        when(col("b") < 13, "train")
+          .when(col("b") < 14, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+           count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+
   /** Deterministic k-fold cross-validation assignment (k=5): fold =
     * md5-derived value mod k — a pure function of the id, so every
     * re-run (and every engine) deals the same folds; map-only plus one
@@ -269,6 +292,7 @@ object Sampling {
     "sample_stratified"    -> (stratifiedBalance _),
     "shard_by_budget"      -> (shardByBudget _),
     "split_train_test"     -> (splitDocs _),
+    "split_group_aware"    -> (splitGroupAware _),
     "split_kfold"          -> (kfold _))
 
   val oracles: Map[String, String] = Map(
@@ -394,6 +418,18 @@ object Sampling {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
                     AS INTEGER) < 4
          ORDER BY doc_id""",
+    "split_group_aware" ->
+      """WITH b AS (
+           SELECT source, n_chars,
+                  CAST(('0x' || substr(md5(source), 1, 1)) AS INTEGER) AS bk
+           FROM documents)
+         SELECT CASE WHEN bk < 13 THEN 'train'
+                     WHEN bk < 14 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(DISTINCT source) AS n_sources,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM b GROUP BY 1 ORDER BY split""",
     "split_train_test" ->
       """WITH b AS (
            SELECT lang,

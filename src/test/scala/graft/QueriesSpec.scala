@@ -265,6 +265,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("split_group_aware never lets a source straddle splits") {
+    val docs = Tables.documents(spark, Sf)
+    val rows = operators.Sampling.splitGroupAware(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // per-split distinct sources sum to the global distinct count iff
+    // the split partitions the source set (no leakage across splits)
+    assert(rows.map(_.getAs[Long]("n_sources")).sum ===
+           docs.select("source").distinct().count())
+  }
+
   test("multimodal_features is deterministic and aligned with payload size") {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
