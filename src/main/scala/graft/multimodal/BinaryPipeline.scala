@@ -25,6 +25,14 @@ import graft.Tables
   */
 object BinaryPipeline {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // call materializes a temp FILE even when the source/sink is an
+  // in-memory byte array, and a 32-thread decode stage turns that into
+  // filesystem churn (same JDK-trap family as the AudioSystem SPI
+  // rescan below). One JVM-wide switch; loads with the class on every
+  // executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata over a binary payload column (oracle-checked). */
   def meta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
