@@ -173,6 +173,32 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each doc draws key u^(1/w) from its md5-uniform
+    * coin u and weight w; the N largest keys are distributed exactly
+    * as sequential weighted draws without replacement — the one-pass,
+    * shuffle-free answer to "sample 100 docs proportional to length/
+    * quality" (sample_importance reweights but keeps everything;
+    * sample_deterministic is unweighted). Global top-N executes as
+    * TakeOrderedAndProject (per-partition heads, driver merges N rows)
+    * so nothing corpus-global ever sorts; the md5 coin keeps the draw
+    * reproducible on any cluster layout and in the oracle. The raw
+    * libm pow key stays INTERNAL (last-ulp drift across engines would
+    * poison a hash check) — membership is decided by the key, output
+    * carries only the sampled rows. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val N = 100
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // (i+0.5)/2^52 ∈ (0,1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              pow(u, lit(1.0) / col("n_chars").cast("double")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(N)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-based language rebalancing (the mT5/XLM-R mixture
     * rule): sample languages proportionally to p_l^α (α = 0.5) instead
     * of p_l, boosting low-resource languages without flattening the mix
@@ -285,6 +311,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_shard_shuffle" -> (shardShuffle _),
     "sample_temperature"   -> (temperatureMixture _),
+    "sample_weighted"      -> (weightedSample _),
     "sample_soft_dedup"    -> (softDedup _),
     "sample_domain_cap"    -> (domainCap _),
     "sample_mixture"       -> (mixture _),
@@ -296,6 +323,16 @@ object Sampling {
     "split_kfold"          -> (kfold _))
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 13)) AS BIGINT) + 0.5)
+                        / 4503599627370496.0,
+                      1.0 / n_chars) AS es_key
+           FROM documents
+           ORDER BY es_key DESC, doc_id LIMIT 100)
+         ORDER BY doc_id""",
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          r AS (

@@ -275,6 +275,19 @@ class QueriesSpec extends AnyFunSuite {
            docs.select("source").distinct().count())
   }
 
+  test("sample_weighted skews toward heavy documents and is reproducible") {
+    val docs = Tables.documents(spark, Sf)
+    val corpusMean = docs
+      .agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .collect().head.getDouble(0)
+    val a = operators.Sampling.weightedSample(spark, Sf).collect()
+    val b = operators.Sampling.weightedSample(spark, Sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.length === 100)
+    val sampleMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    assert(sampleMean > corpusMean, s"sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("multimodal_features is deterministic and aligned with payload size") {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
