@@ -92,22 +92,38 @@ object Events {
     * md5 is deterministic and h₍k₎ is a dyadic rational (13 nibbles /
     * 2⁵²), so unlike HLL the whole ESTIMATE is reproducible bit-exact
     * across engines — a sketch entry with a full DuckDB oracle. */
-  def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val K = 64
-    val users = Tables.events(spark, dir)
+  /** KMV sketch size shared by the batch and streaming forms. */
+  private[graft] val KmvK = 64
+
+  /** Per-segment KMV sketch: the k smallest md5 user-hashes, built
+    * through TopKPerKey's bounded heaps (shared by segmentOverlap and
+    * the streaming parity spec). */
+  private[graft] def kmvSketch(events: DataFrame): DataFrame = {
+    val users = events
       .select(col("event_type"), col("user_id")).distinct()
       .withColumn("h",
         conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
           .cast("double") / lit(4503599627370496.0)) // 16^13 = 2^52, exact
-    val sk = graft.plans.TopKPerKey(
-        users.withColumn("neg", -col("h")), "event_type", "neg", K,
+    graft.plans.TopKPerKey(
+        users.withColumn("neg", -col("h")), "event_type", "neg", KmvK,
         tiebreak = Some("user_id"))
       .select(col("event_type"), col("user_id"), col("h"))
-    val est = when(col("n") < K, col("n").cast("double"))
-      .otherwise(lit((K - 1).toDouble) / col("hk"))
-    val perSeg = sk.groupBy(col("event_type"))
+  }
+
+  /** Per-segment distinct estimates off the KMV sketch (exact when the
+    * segment holds fewer than k users — the sketch IS the set then). */
+  private[graft] def kmvEstimates(sk: DataFrame): DataFrame = {
+    val est = when(col("n") < KmvK, col("n").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) / col("hk"))
+    sk.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
       .select(col("event_type"), rnd(est, 2).as("est"))
+  }
+
+  def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val K = KmvK
+    val sk = kmvSketch(Tables.events(spark, dir))
+    val perSeg = kmvEstimates(sk)
     val segs = sk.select(col("event_type")).distinct()
     val pairs = segs.select(col("event_type").as("seg_a"))
       .crossJoin(segs.select(col("event_type").as("seg_b")))

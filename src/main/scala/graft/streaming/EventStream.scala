@@ -84,6 +84,43 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
               col("n_events"))
 
+  case class KmvEstimate(event_type: String, n_sketch: Int, est: Double)
+
+  /** Streaming KMV distinct sketch per segment — the stream-native twin
+    * of the batch evt_segment_overlap sketch: keyed state holds each
+    * segment's ≤ k smallest md5 user-hashes (O(segments × k) state
+    * forever, the FreqItemsStream contract), and every batch emits the
+    * refreshed distinct estimate. The hash is the SAME md5 13-nibble /
+    * 2⁵² coin as the batch sketch, so a sketch maintained on the stream
+    * is byte-interchangeable with one rebuilt in batch — the parity
+    * spec pins the estimates equal. Downstream overlap math is the
+    * batch pair stage over these sketches. */
+  def kmvDistinctStream(events: DataFrame): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    val k = graft.operators.Events.KmvK
+    events.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Double], KmvEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (seg: String, rows: Iterator[(String, Long)],
+         state: GroupState[Seq[Double]]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def coin(uid: Long): Double = {
+            md.reset()
+            val hex = md.digest(uid.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(13)
+            java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+          }
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => coin(r._2))).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.size < k) merged.size.toDouble
+            else math.floor((k - 1).toDouble / merged.last * 100 + 0.5) / 100
+          KmvEstimate(seg, merged.size, est)
+      }
+  }
+
   /** Stream-stream interval join: attach to each purchase the clicks
     * the same user made in the preceding 30 minutes. Both sides are
     * watermarked so join state is bounded — the standard streaming

@@ -162,6 +162,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming KMV sketch estimates match the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.kmvDistinctStream(input.toDF()).writeStream
+      .outputMode("update").format("memory").queryName("kmv_out").start()
+    val evs = loadEvents()
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    // (n_sketch, est) grows monotonically (minima only accumulate; once
+    // full, a smaller kth-min raises (k−1)/h_k), so the max struct per
+    // segment IS the final state
+    val streamed = spark.table("kmv_out")
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n_sketch"), col("est"))).as("s"))
+      .select(col("event_type"), col("s.est").as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = operators.Events
+      .kmvEstimates(operators.Events.kmvSketch(Tables.events(spark, Sf)))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming content dedup drops re-crawled duplicate documents") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -78,6 +78,33 @@ class GraphSpec extends AnyFunSuite {
     assert(sideA.head !== sideB.head, s"bridge merged the sides: $labels")
   }
 
+  test("label propagation matches an in-memory synchronous reference on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 8 + rng.nextInt(6)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rng.nextInt(3) == 0
+      } yield (a, b, (1 + rng.nextInt(5)).toLong)).toSeq
+      if (edges.nonEmpty) {
+        val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val nodes = sym.map(_._1).distinct
+        var labels = nodes.map(v => v -> v).toMap
+        (1 to 3).foreach { _ =>
+          labels = nodes.map { v =>
+            val votes = sym.filter(_._1 == v)
+              .groupBy(e => labels(e._2))
+              .view.mapValues(_.map(_._3).sum).toMap
+            v -> votes.toSeq.sortBy { case (l, w) => (-w, l) }.head._1
+          }.toMap
+        }
+        val dist = graph.LabelProp.run(edges.toDF("src", "dst", "w"), 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist === labels, s"trial $trial n=$n edges=$edges")
+      }
+    }
+  }
+
   test("label propagation is partition-invariant") {
     import spark.implicits._
     val edges = (for { a <- 1L to 6L; b <- 1L to 6L if a < b }
