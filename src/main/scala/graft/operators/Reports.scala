@@ -144,6 +144,42 @@ object Reports {
            count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Gini concentration index over customer revenue — the one-number
+    * inequality summary behind rpt_pareto's curve (how concentrated is
+    * revenue across the customer base): G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n
+    * over ascending value ranks. The global VALUE rank uses the same
+    * two-phase trick as shard_by_budget: coarse value bins give
+    * O(bins) offsets (running count over the tiny bin frame), ranks
+    * complete per-bin under a partitioned window — no corpus-global
+    * single-task sort; everything runs on the per-customer AGGREGATE
+    * (customers-sized), never order rows. Revenue is rounded before
+    * ranking so rank order (ties → custkey) is bit-stable across
+    * engines; the final moments round at 6 dp, far above float
+    * summation-order noise. */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(rnd(sum(col("o_totalprice")), 2).as("rev"))
+      .withColumn("bin", floor(col("rev") / 10000.0).cast("long"))
+    val offsets = per.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(W.orderBy(col("bin"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("offset"))
+    val inBin = W.partitionBy(col("bin")).orderBy(col("rev"), col("o_custkey"))
+    per.withColumn("r", row_number().over(inBin))
+      .join(broadcast(offsets), Seq("bin"))
+      .select(col("rev"), (col("offset") + col("r")).as("rank"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+           sum(col("rank") * col("rev")).as("rs"))
+      .select(
+        col("n").as("n_customers"),
+        rnd(col("s"), 2).as("total_revenue"),
+        rnd(lit(2.0) * col("rs") / (col("n") * col("s"))
+              - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen
     * a finance/claims pipeline runs over amount columns: naturally
     * occurring multi-scale amounts follow P(d) = log10(1 + 1/d); a flat
@@ -307,6 +343,7 @@ object Reports {
     "rpt_percentiles"       -> (percentiles _),
     "rpt_mad_outliers"      -> (madOutliers _),
     "rpt_benford"           -> (benford _),
+    "rpt_gini"              -> (giniRevenue _),
     "rpt_approx_percentiles" -> (approxPercentiles _),
     "rpt_summary"           -> (summary _),
     "rpt_status_dist"       -> (statusDist _),
@@ -358,6 +395,23 @@ object Reports {
                      FROM lineitem GROUP BY 1)
          SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
          FROM po GROUP BY 1 ORDER BY n_lines""",
+    "rpt_gini" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS rev
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT rev,
+                  row_number() OVER (ORDER BY rev, o_custkey) AS rnk
+           FROM per),
+         m AS (
+           SELECT count(*) AS n, sum(rev) AS s, sum(rnk * rev) AS rs
+           FROM r)
+         SELECT n AS n_customers,
+                floor(s * 100 + 0.5) / 100 AS total_revenue,
+                floor((2.0 * rs / (n * s) - (n + 1.0) / n) * 1000000 + 0.5)
+                  / 1000000 AS gini
+         FROM m""",
     "rpt_benford" ->
       """WITH d AS (
            SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
