@@ -288,6 +288,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean, s"sample $sampleMean vs corpus $corpusMean")
   }
 
+  test("rpt_gini stays in [0,1) and is zero on a uniform distribution limit") {
+    val r = operators.Reports.giniRevenue(spark, Sf).collect().head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    // revenue is spread over many customers — concentration must be
+    // far from the single-customer extreme
+    assert(g < 0.9)
+  }
+
   test("multimodal_features is deterministic and aligned with payload size") {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
