@@ -24,6 +24,7 @@ object SparkEntry {
     operators.TableOps.queries ++
     operators.Timelines.queries ++
     operators.Tpch.queries ++
+    operators.TpchExtra.queries ++
     operators.Events.queries ++
     operators.TextOps.queries ++
     operators.Sampling.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     operators.TableOps.oracles ++
     operators.Timelines.oracles ++
     operators.Tpch.oracles ++
+    operators.TpchExtra.oracles ++
     operators.Events.oracles ++
     operators.TextOps.oracles ++
     operators.Sampling.oracles ++
