@@ -33,6 +33,8 @@ object SparkEntry {
     similarity.Knn.queries ++
     graph.PageRank.queries ++
     graph.LabelProp.queries ++
+    graph.Triangles.queries ++
+    operators.Integrity.queries ++
     multimodal.BinaryPipeline.queries
 
   def oracleSql: Map[String, String] =
@@ -51,5 +53,7 @@ object SparkEntry {
     similarity.Knn.oracles ++
     graph.PageRank.oracles ++
     graph.LabelProp.oracles ++
+    graph.Triangles.oracles ++
+    operators.Integrity.oracles ++
     multimodal.BinaryPipeline.oracles
 }
