@@ -35,6 +35,8 @@ object SparkEntry {
     graph.LabelProp.queries ++
     graph.Triangles.queries ++
     operators.Integrity.queries ++
+    operators.Search.queries ++
+    operators.Stats.queries ++
     multimodal.BinaryPipeline.queries
 
   def oracleSql: Map[String, String] =
@@ -55,5 +57,7 @@ object SparkEntry {
     graph.LabelProp.oracles ++
     graph.Triangles.oracles ++
     operators.Integrity.oracles ++
+    operators.Search.oracles ++
+    operators.Stats.oracles ++
     multimodal.BinaryPipeline.oracles
 }

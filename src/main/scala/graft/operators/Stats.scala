@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num.rnd
+
+/** Statistical analyses the reference surfaces as one-off report
+  * endpoints (outcome rates, resolution-time summaries —
+  * reports/handlers.py) completed into the standard inferential forms:
+  * a declarative data-quality expectation suite (the Deequ shape),
+  * Kaplan–Meier time-to-event survival with right-censoring, and a
+  * two-proportion A/B z-test.
+  *
+  * Scale notes (100 TB):
+  *  - etl_expectations: ALL six constraint metrics ship in ONE
+  *    aggregate pass over the fact (one scan, map-side combined); the
+  *    stack() to constraint rows operates on the 1-row result. The
+  *    only non-streaming metric is the exact PK count_distinct — a
+  *    single distinct aggregate (no Expand multiplication; the
+  *    documented approx swap-in is tbl_profile_approx's pattern).
+  *  - rpt_kaplan_meier: the event table collapses to one row per
+  *    DISTINCT duration (bounded: days, not rows) before any window
+  *    runs; the at-risk/survival windows therefore order a frame of
+  *    ~hundreds of rows regardless of fact size. The single-partition
+  *    window is safe for the same reason rpt_running_total's is — the
+  *    frame is post-aggregate and bounded by the value domain.
+  *  - rpt_ab_test: two-stage aggregate — per-user conversion flags
+  *    (one shuffle on user_id, map-side combined), then a 1-row
+  *    conditional aggregate; z-statistic arithmetic happens on the
+  *    1-row frame.
+  */
+object Stats {
+
+  /** Declarative expectation suite over `orders` — completeness,
+    * PK uniqueness, value range, set membership, format regex, date
+    * sanity — evaluated in a single scan, emitted as one row per
+    * constraint with the observed metric, threshold, and verdict. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("nn"),
+      countDistinct(col("o_orderkey")).as("dk"),
+      sum(when(col("o_totalprice") > 0.0 && col("o_totalprice") <= 1000000.0,
+               1L).otherwise(0L)).as("rng"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("st"),
+      sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))
+        .as("pri"),
+      sum(when(to_date(col("o_orderdate"))
+                 .between(lit("1992-01-01").cast("date"),
+                          lit("2002-12-31").cast("date")), 1L).otherwise(0L))
+        .as("dt"))
+    val n = col("n").cast("double")
+    val m = a.select(
+      rnd(col("nn").cast("double") / n, 6).as("m_comp"),
+      rnd(col("dk").cast("double") / n, 6).as("m_uniq"),
+      rnd(col("rng").cast("double") / n, 6).as("m_rng"),
+      rnd(col("st").cast("double") / n, 6).as("m_set"),
+      rnd(col("pri").cast("double") / n, 6).as("m_re"),
+      rnd(col("dt").cast("double") / n, 6).as("m_dt"))
+    m.selectExpr(
+      """stack(6,
+           'completeness:o_custkey',  m_comp, CAST(1.0  AS DOUBLE),
+           'unique_pk:o_orderkey',    m_uniq, CAST(1.0  AS DOUBLE),
+           'range:o_totalprice',      m_rng,  CAST(0.99 AS DOUBLE),
+           'set:o_orderstatus',       m_set,  CAST(1.0  AS DOUBLE),
+           'regex:o_orderpriority',   m_re,   CAST(1.0  AS DOUBLE),
+           'range:o_orderdate',       m_dt,   CAST(1.0  AS DOUBLE))
+         AS (expectation, observed, threshold)""")
+      .withColumn("passed", col("observed") >= col("threshold"))
+      .orderBy(col("expectation"))
+  }
+
+  /** Kaplan–Meier survival over order→ship latency: duration =
+    * days(o_orderdate → l_shipdate) per line, event = line FINISHED
+    * (l_linestatus = 'F'), right-censored = still open ('O'). The
+    * product-limit estimator is computed as exp(Σ ln(1 − d/n)) so the
+    * oracle can express the running product with a window sum. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("t"),
+        when(col("l_linestatus") === "F", 1L).otherwise(0L).as("ev"))
+      // the synthetic ship/order dates are uncorrelated; the cohort is
+      // the well-ordered half (shipped on/after order) — documented
+      .filter(col("t") >= 0L)
+    // one row per distinct duration: d = events, c = censored
+    val g = base.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), (count(lit(1)) - sum(col("ev"))).as("c"))
+    val total = g.agg(sum(col("d") + col("c")).as("total"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("survival",
+        exp(sum(log(lit(1.0) -
+          col("d").cast("double") / col("n_risk").cast("double"))).over(wCum)))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_days"), col("n_risk"),
+              col("d").as("d_events"), rnd(col("survival"), 6).as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** Two-proportion A/B test on user conversion: variant = user_id
+    * parity (a deterministic hash-bucket assignment), conversion =
+    * user fired ≥14 `purchase` events (the corpus median — "ever
+    * purchased" saturates at 100% in this event stream). Pooled
+    * z-statistic, 5% two-sided significance. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val u = ev.groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                  >= 14L, 1L).otherwise(0L)
+        .as("conv"))
+    val a = u.agg(
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("user_id") % 2 === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("user_id") % 2 === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) /
+      sqrt(p * (lit(1.0) - p) *
+           (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))
+    a.select(col("n_a"), col("conv_a"), rnd(pa, 6).as("rate_a"),
+             col("n_b"), col("conv_b"), rnd(pb, 6).as("rate_b"),
+             rnd(z, 4).as("z_score"),
+             (abs(rnd(z, 4)) >= 1.96).as("significant"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_expectations" -> (expectations _),
+    "rpt_kaplan_meier" -> (kaplanMeier _),
+    "rpt_ab_test"      -> (abTest _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_expectations" ->
+      """WITH a AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(count(o_custkey) AS DOUBLE) AS nn,
+                  CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS dk,
+                  CAST(sum(CASE WHEN o_totalprice > 0.0
+                                 AND o_totalprice <= 1000000.0
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS rng,
+                  CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS st,
+                  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS pri,
+                  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                                     BETWEEN DATE '1992-01-01'
+                                         AND DATE '2002-12-31'
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS dt
+           FROM orders),
+         rows AS (
+           SELECT 'completeness:o_custkey' AS expectation,
+                  floor((nn / n) * 1000000 + 0.5) / 1000000 AS observed,
+                  CAST(1.0 AS DOUBLE) AS threshold FROM a
+           UNION ALL SELECT 'unique_pk:o_orderkey',
+                  floor((dk / n) * 1000000 + 0.5) / 1000000,
+                  CAST(1.0 AS DOUBLE) FROM a
+           UNION ALL SELECT 'range:o_totalprice',
+                  floor((rng / n) * 1000000 + 0.5) / 1000000,
+                  CAST(0.99 AS DOUBLE) FROM a
+           UNION ALL SELECT 'set:o_orderstatus',
+                  floor((st / n) * 1000000 + 0.5) / 1000000,
+                  CAST(1.0 AS DOUBLE) FROM a
+           UNION ALL SELECT 'regex:o_orderpriority',
+                  floor((pri / n) * 1000000 + 0.5) / 1000000,
+                  CAST(1.0 AS DOUBLE) FROM a
+           UNION ALL SELECT 'range:o_orderdate',
+                  floor((dt / n) * 1000000 + 0.5) / 1000000,
+                  CAST(1.0 AS DOUBLE) FROM a)
+         SELECT expectation, observed, threshold,
+                observed >= threshold AS passed
+         FROM rows ORDER BY expectation""",
+    "rpt_kaplan_meier" ->
+      """WITH base AS (
+           SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) >= 0),
+         g AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                      CAST(count(*) - sum(ev) AS BIGINT) AS c
+               FROM base GROUP BY t),
+         r AS (SELECT t, d, c,
+                      (SELECT CAST(sum(d + c) AS BIGINT) FROM g) -
+                      coalesce(CAST(sum(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT), 0) AS n_risk
+               FROM g),
+         s AS (SELECT t, n_risk, d,
+                      exp(sum(ln(1.0 - CAST(d AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE)))
+                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS surv
+               FROM r)
+         SELECT t AS t_days, n_risk, d AS d_events,
+                floor(surv * 1000000 + 0.5) / 1000000 AS survival
+         FROM s WHERE d > 0 ORDER BY t_days""",
+    "rpt_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+                  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 14
+                       THEN 1 ELSE 0 END AS conv
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+                       AS BIGINT) AS conv_a,
+                  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+                       AS BIGINT) AS conv_b
+           FROM u),
+         d AS (
+           SELECT n_a, conv_a, n_b, conv_b,
+                  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                  CAST(conv_a + conv_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE) AS p
+           FROM a),
+         zc AS (
+           SELECT *,
+                  floor(((pa - pb) /
+                         sqrt(p * (1.0 - p) *
+                              (1.0 / CAST(n_a AS DOUBLE) +
+                               1.0 / CAST(n_b AS DOUBLE))))
+                        * 10000 + 0.5) / 10000 AS z_score
+           FROM d)
+         SELECT n_a, conv_a,
+                floor(pa * 1000000 + 0.5) / 1000000 AS rate_a,
+                n_b, conv_b,
+                floor(pb * 1000000 + 0.5) / 1000000 AS rate_b,
+                z_score,
+                abs(z_score) >= 1.96 AS significant
+         FROM zc""")
+}

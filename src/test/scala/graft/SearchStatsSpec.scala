@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic + plan-shape checks for the retrieval (operators/Search)
+  * and inferential-stats (operators/Stats) waves. Value parity vs
+  * DuckDB is the driver's job; these pin the invariants the oracle
+  * can't see and the plan shapes that decide 100 TB viability. */
+class SearchStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("rag_bm25 ranks are contiguous and scores non-increasing per query") {
+    val rows = operators.Search.bm25(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+             (1L to sorted.length).toSeq, "ranks must be 1..n")
+      val scores = sorted.map(_.getAs[Double]("score_bm25")).toSeq
+      assert(scores === scores.sorted.reverse, "scores non-increasing")
+      assert(scores.forall(_ > 0.0), "BM25 of a matched doc is positive")
+    }
+  }
+
+  test("rag_bm25 only returns documents containing at least one query term") {
+    val hits = operators.Search.bm25(spark, Sf)
+      .select(col("doc_id")).distinct()
+    val docs = Tables.documents(spark, Sf)
+    val withTerm = docs.filter(
+      col("text").rlike("\\b(spark|merge|window|hash|join|customer|filter|scan|stream)\\b"))
+      .select(col("doc_id"))
+    assert(hits.join(withTerm, Seq("doc_id"), "left_anti").count() === 0,
+      "every hit must contain a query term")
+  }
+
+  test("rag_bm25 ranks through TopKPerKey with a map-side partial pass") {
+    val plan = operators.Search.bm25(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
+  }
+
+  test("rag_hybrid_rrf score is exactly the recomputed RRF combiner") {
+    val rows = operators.Search.hybridRrf(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rd = r.getAs[Long]("r_dense")
+      val rs = r.getAs[Long]("r_sparse")
+      val expect = (if (rd > 0) 1.0 / (60 + rd) else 0.0) +
+                   (if (rs > 0) 1.0 / (60 + rs) else 0.0)
+      val got = r.getAs[Double]("rrf_score")
+      assert(math.abs(got - expect) < 1e-6, s"row $r expected $expect")
+      assert(rd > 0 || rs > 0, "a fused doc must appear in some list")
+    }
+    // a doc present in BOTH lists at rank 1 would score 2/61; any
+    // single-list doc caps at 1/61 — fusion must order accordingly
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Double]("rrf_score")).toSeq
+      assert(sorted === sorted.sorted.reverse, "fused scores non-increasing")
+    }
+  }
+
+  test("etl_expectations emits one verdict row per declared constraint") {
+    val rows = operators.Stats.expectations(spark, Sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val obs = r.getAs[Double]("observed")
+      assert(obs >= 0.0 && obs <= 1.0, s"metric out of range: $r")
+    }
+    val uniq = rows.find(_.getAs[String]("expectation") == "unique_pk:o_orderkey").get
+    assert(uniq.getAs[Boolean]("passed"), "synthetic orders PK must be unique")
+    val comp = rows.find(_.getAs[String]("expectation") == "completeness:o_custkey").get
+    assert(comp.getAs[Double]("observed") === 1.0)
+  }
+
+  test("rpt_kaplan_meier survival is a proper non-increasing curve from (0,1]") {
+    val rows = operators.Stats.kaplanMeier(spark, Sf)
+      .orderBy(col("t_days")).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Double]("survival")).toSeq
+    assert(surv === surv.sorted.reverse, "survival must be non-increasing")
+    assert(surv.head <= 1.0 && surv.forall(s => s >= 0.0 && s <= 1.0))
+    // first event row: S = 1 - d/n exactly
+    val first = rows.head
+    val manual = 1.0 - first.getAs[Long]("d_events").toDouble /
+                       first.getAs[Long]("n_risk").toDouble
+    assert(math.abs(first.getAs[Double]("survival") - manual) < 1e-6)
+    // at-risk counts strictly decrease over event times
+    val risk = rows.map(_.getAs[Long]("n_risk")).toSeq
+    assert(risk === risk.sorted.reverse)
+  }
+
+  test("rpt_ab_test arms partition the user universe and z is finite") {
+    val r = operators.Stats.abTest(spark, Sf).collect().head
+    val users = Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    val z = r.getAs[Double]("z_score")
+    assert(!z.isNaN && !z.isInfinite)
+    val pooledSig = math.abs(z) >= 1.96
+    assert(r.getAs[Boolean]("significant") === pooledSig)
+  }
+
+  test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
+    val plan = operators.Stats.expectations(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+}
