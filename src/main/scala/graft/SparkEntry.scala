@@ -37,6 +37,7 @@ object SparkEntry {
     operators.Integrity.queries ++
     operators.Search.queries ++
     operators.Stats.queries ++
+    operators.Trend.queries ++
     multimodal.BinaryPipeline.queries
 
   def oracleSql: Map[String, String] =
@@ -59,5 +60,6 @@ object SparkEntry {
     operators.Integrity.oracles ++
     operators.Search.oracles ++
     operators.Stats.oracles ++
+    operators.Trend.oracles ++
     multimodal.BinaryPipeline.oracles
 }

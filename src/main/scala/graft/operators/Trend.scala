@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num.rnd
+
+/** Trend and engagement analytics over the monthly rollups — the
+  * forecasting/robust-stats layer the reference's timeline endpoints
+  * (handlers.py TimelineReports) stop short of: exponential smoothing,
+  * per-group OLS trend + projection, DAU/MAU stickiness, and
+  * winsorized/trimmed robust means.
+  *
+  * Scale notes (100 TB):
+  *  - Everything here runs on a MONTHLY (or per-group) aggregate the
+  *    fact collapses to first — one map-side-combined shuffle — so the
+  *    quadratic EWMA weight join and the OLS moment arithmetic touch
+  *    O(months) / O(groups) rows at any fact size.
+  *  - rpt_ewma's weighted self-join is O(months²) BY DESIGN on the
+  *    bounded monthly frame (~80 rows → 6.4k pairs): the recursive
+  *    S_t = αx_t + (1−α)S_{t−1} cannot be a plain window sum (weights
+  *    depend on t−i), and the explicit pair sum avoids the
+  *    pow(α,−i)-rescaling trick whose 1e12-magnitude intermediates
+  *    would cost the cross-engine digits we hash on.
+  *  - rpt_trend_forecast mirrors rpt_corr_measures' numeric discipline:
+  *    month indexes are CENTERED per group (x − min x) before the
+  *    moment sums so the n·Σxy − Σx·Σy cancellation stays small, and
+  *    sums round to 2 dp before the slope arithmetic so both engines
+  *    derive identical doubles.
+  *  - evt_stickiness is two distinct-aggregates (per-day, per-month
+  *    users) joined on the O(months) frame; at 100 TB the exact
+  *    count_distincts swap to approx_count_distinct exactly as
+  *    rpt_approx_distinct demonstrates.
+  *  - rpt_winsorized is the standard two-pass robust mean: exact
+  *    per-group percentile cutoffs (tiny frame) broadcast back over
+  *    the fact for one clamp/filter aggregate; cutoffs round to 2 dp
+  *    first so the clamp boundary is bit-identical cross-engine.
+  */
+object Trend {
+
+  private val Alpha = 0.3 // EWMA smoothing factor
+
+  /** rpt_ewma: exponentially weighted moving average of monthly order
+    * revenue (α=0.3, S₁=x₁ initialization). */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(rnd(sum(col("o_totalprice")), 2).as("rev"))
+    val r = m.withColumn("t",
+      row_number().over(Window.orderBy(col("month"))).cast("long"))
+    val a = r.select(col("month"), col("rev"), col("t"))
+    val b = r.select(col("t").as("i"), col("rev").as("rev_i"))
+    // S_t = 0.7^(t-1)·x₁ + Σ_{i=2..t} 0.3·0.7^(t-i)·x_i  (exact
+    // unrolling of the recursion; the join frame is O(months²))
+    val term = when(col("i") === 1L, pow(lit(1 - Alpha), col("t") - 1))
+      .otherwise(lit(Alpha) * pow(lit(1 - Alpha), col("t") - col("i"))) *
+      col("rev_i")
+    a.join(b, col("i") <= col("t"))
+      .groupBy(col("month"), col("rev"))
+      .agg(rnd(sum(term), 2).as("ewma"))
+      .orderBy(col("month"))
+  }
+
+  /** rpt_trend_forecast: per-priority OLS trend over monthly revenue —
+    * slope, intercept, R², and the next-month projection, all derived
+    * from one moment pass over the monthly rollup. Revenue is in
+    * MILLIONS: with raw dollars the Σy² moment at large SF exceeds
+    * 2^53/100 and the floor-rounding that guarantees cross-engine hash
+    * equality silently becomes a no-op; million-units keep every
+    * moment in the exactly-representable range at any realistic SF. */
+  def trendForecast(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"))
+      .agg(rnd(sum(col("o_totalprice")) / lit(1000000.0), 4).as("rev"))
+    // center the month index per group: x = mi − min(mi) keeps the
+    // n·Σxy − Σx·Σy cancellation at O(months²·rev), not O(epoch²·rev)
+    val centered = monthly.withColumn("x",
+      (col("mi") - min(col("mi"))
+        .over(Window.partitionBy(col("o_orderpriority")))).cast("double"))
+    val mo = centered.groupBy(col("o_orderpriority")).agg(
+      count(lit(1)).cast("double").as("n"),
+      rnd(sum(col("x")), 2).as("sx"),
+      rnd(sum(col("rev")), 2).as("sy"),
+      rnd(sum(col("x") * col("x")), 2).as("sxx"),
+      rnd(sum(col("x") * col("rev")), 2).as("sxy"),
+      rnd(sum(col("rev") * col("rev")), 2).as("syy"),
+      max(col("x")).as("xmax"))
+    val det   = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
+    val icept = (col("sy") - slope * col("sx")) / col("n")
+    val r2num = col("n") * col("sxy") - col("sx") * col("sy")
+    val r2    = (r2num * r2num) /
+      (det * (col("n") * col("syy") - col("sy") * col("sy")))
+    mo.select(col("o_orderpriority"),
+        col("n").cast("long").as("n_months"),
+        rnd(slope, 4).as("slope_musd"),
+        rnd(icept, 2).as("intercept_musd"),
+        rnd(r2, 6).as("r2"),
+        rnd(icept + slope * (col("xmax") + 1), 2).as("forecast_next_musd"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** evt_stickiness: monthly DAU/MAU engagement ratio — avg daily
+    * distinct users over monthly distinct users. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("ts"), col("user_id"))
+    val daily = ev
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("du"))
+    val dau = daily
+      .groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(rnd(avg(col("du")), 4).as("dau_avg"))
+    val mau = ev
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("month"))
+      .select(col("month"), col("dau_avg"), col("mau"),
+              rnd(col("dau_avg") / col("mau").cast("double"), 4)
+                .as("stickiness"))
+      .orderBy(col("month"))
+  }
+
+  /** rpt_winsorized: robust per-status means — p05/p95 cutoffs, the
+    * winsorized mean (values clamped to the cutoffs), and the trimmed
+    * mean (values outside dropped). */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+    val cuts = o.groupBy(col("o_orderstatus"))
+      .agg(rnd(expr("percentile(o_totalprice, 0.05)"), 2).as("p05"),
+           rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+    val clamped = greatest(least(col("o_totalprice"), col("p95")), col("p05"))
+    o.join(broadcast(cuts), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           first(col("p05")).as("p05"),
+           first(col("p95")).as("p95"),
+           rnd(avg(clamped), 2).as("mean_winsorized"),
+           rnd(avg(when(col("o_totalprice").between(col("p05"), col("p95")),
+                        col("o_totalprice"))), 2).as("mean_trimmed"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_ewma"           -> (ewma _),
+    "rpt_trend_forecast" -> (trendForecast _),
+    "evt_stickiness"     -> (stickiness _),
+    "rpt_winsorized"     -> (winsorized _))
+
+  val oracles: Map[String, String] = Map(
+    "rpt_ewma" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+                    FROM orders GROUP BY 1),
+         r AS (SELECT month, rev,
+                      CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS t
+               FROM m),
+         e AS (SELECT a.month, a.rev,
+                      sum(CASE WHEN b.t = 1 THEN pow(0.7, a.t - 1)
+                               ELSE 0.3 * pow(0.7, a.t - b.t) END
+                          * b.rev) AS s
+               FROM r a JOIN r b ON b.t <= a.t
+               GROUP BY a.month, a.rev)
+         SELECT month, rev, floor(s * 100 + 0.5) / 100 AS ewma
+         FROM e ORDER BY month""",
+    "rpt_trend_forecast" ->
+      """WITH monthly AS (
+           SELECT o_orderpriority,
+                  (CAST(strftime(o_orderdate, '%Y') AS BIGINT) - 1995) * 12 +
+                  CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS mi,
+                  floor((sum(o_totalprice) / 1000000.0) * 10000 + 0.5) / 10000
+                    AS rev
+           FROM orders GROUP BY 1, 2),
+         centered AS (
+           SELECT o_orderpriority, rev,
+                  CAST(mi - min(mi) OVER (PARTITION BY o_orderpriority)
+                       AS DOUBLE) AS x
+           FROM monthly),
+         mo AS (
+           SELECT o_orderpriority,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  floor(sum(x) * 100 + 0.5) / 100 AS sx,
+                  floor(sum(rev) * 100 + 0.5) / 100 AS sy,
+                  floor(sum(x * x) * 100 + 0.5) / 100 AS sxx,
+                  floor(sum(x * rev) * 100 + 0.5) / 100 AS sxy,
+                  floor(sum(rev * rev) * 100 + 0.5) / 100 AS syy,
+                  max(x) AS xmax
+           FROM centered GROUP BY 1),
+         d AS (
+           SELECT o_orderpriority, n, sx, sy, sxx, sxy, syy, xmax,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           FROM mo),
+         d2 AS (
+           SELECT *, (sy - slope * sx) / n AS icept,
+                  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                  ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+           FROM d)
+         SELECT o_orderpriority,
+                CAST(n AS BIGINT) AS n_months,
+                floor(slope * 10000 + 0.5) / 10000 AS slope_musd,
+                floor(icept * 100 + 0.5) / 100 AS intercept_musd,
+                floor(r2 * 1000000 + 0.5) / 1000000 AS r2,
+                floor((icept + slope * (xmax + 1)) * 100 + 0.5) / 100
+                  AS forecast_next_musd
+         FROM d2 ORDER BY o_orderpriority""",
+    "evt_stickiness" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS du
+           FROM events GROUP BY 1),
+         dau AS (
+           SELECT substr(day, 1, 7) AS month,
+                  floor(avg(du) * 10000 + 0.5) / 10000 AS dau_avg
+           FROM daily GROUP BY 1),
+         mau AS (
+           SELECT strftime(ts, '%Y-%m') AS month,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+           FROM events GROUP BY 1)
+         SELECT d.month, d.dau_avg, m.mau,
+                floor((d.dau_avg / CAST(m.mau AS DOUBLE)) * 10000 + 0.5)
+                  / 10000 AS stickiness
+         FROM dau d JOIN mau m ON m.month = d.month
+         ORDER BY d.month""",
+    "rpt_winsorized" ->
+      """WITH cuts AS (
+           SELECT o_orderstatus,
+                  floor(quantile_cont(o_totalprice, 0.05) * 100 + 0.5) / 100
+                    AS p05,
+                  floor(quantile_cont(o_totalprice, 0.95) * 100 + 0.5) / 100
+                    AS p95
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderstatus,
+                count(*) AS n_rows,
+                first(c.p05) AS p05,
+                first(c.p95) AS p95,
+                floor(avg(greatest(least(o.o_totalprice, c.p95), c.p05))
+                      * 100 + 0.5) / 100 AS mean_winsorized,
+                floor(avg(CASE WHEN o.o_totalprice BETWEEN c.p05 AND c.p95
+                               THEN o.o_totalprice END) * 100 + 0.5) / 100
+                  AS mean_trimmed
+         FROM orders o JOIN cuts c ON c.o_orderstatus = o.o_orderstatus
+         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""")
+}
