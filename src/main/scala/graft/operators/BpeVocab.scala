@@ -52,6 +52,13 @@ object BpeVocab {
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
+    // lineage is truncated every CkptEvery rounds, not every round: an
+    // eager localCheckpoint is a full vocab materialization, while a
+    // ≤CkptEvery-deep chain of map()s recomputes in-task for pennies —
+    // the balance point of ConnectedComponents' iterative regime
+    val CkptEvery = 4
+    var base = dict // the last checkpointed frame (owns cached blocks)
+    var depth = 0   // map() links since `base`
     while (rank <= k && !exhausted) {
       // weighted adjacent-pair counts over the dictionary (vocab-sized)
       val best = dict.flatMap { ws =>
@@ -80,9 +87,12 @@ object BpeVocab {
             } else { out += s(i); i += 1 }
           }
           WordSyms(ws.count, out.result())
-        }.localCheckpoint(true) // truncate per-round lineage
-        dict.unpersist(blocking = false)
-        dict = next
+        }
+        if (depth + 1 >= CkptEvery) {
+          val nb = next.localCheckpoint(true)
+          base.unpersist(blocking = false)
+          base = nb; dict = nb; depth = 0
+        } else { dict = next; depth += 1 }
         rank += 1
       }
     }

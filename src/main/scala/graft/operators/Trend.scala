@@ -145,11 +145,60 @@ object Trend {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** evt_retention_days: classic day-N retention — cohort users by
+    * first-seen day, report the share still active 1/7/14 days later.
+    * The (user, day) frame is DISTINCT by construction, so each
+    * offset's "retained" count is a plain conditional count (one row
+    * per user per day — no Expand-multiplying conditional distincts),
+    * and the whole curve is two user-keyed aggregates + one user-keyed
+    * join before an O(days) rollup. */
+  def retentionDays(spark: SparkSession, dir: String): DataFrame = {
+    val ua = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = ua.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val j = ua.join(first, Seq("user_id"))
+      .select(col("d0"), datediff(col("day"), col("d0")).as("off"))
+    j.groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"))
+      .agg(count(when(col("off") === 0, 1)).as("cohort_users"),
+           count(when(col("off") === 1, 1)).as("d1"),
+           count(when(col("off") === 7, 1)).as("d7"),
+           count(when(col("off") === 14, 1)).as("d14"))
+      .select(col("cohort_day"), col("cohort_users"),
+        rnd(col("d1").cast("double") / col("cohort_users").cast("double"), 4)
+          .as("d1_rate"),
+        rnd(col("d7").cast("double") / col("cohort_users").cast("double"), 4)
+          .as("d7_rate"),
+        rnd(col("d14").cast("double") / col("cohort_users").cast("double"), 4)
+          .as("d14_rate"))
+      .orderBy(col("cohort_day"))
+  }
+
+  /** rpt_seasonality: month-of-year seasonal index — each calendar
+    * month's average monthly revenue over the all-months average
+    * (index > 1 = seasonally strong). Runs entirely on the O(months)
+    * monthly rollup; the grand mean rides a broadcast 1-row agg. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(rnd(sum(col("o_totalprice")) / lit(1000000.0), 4).as("rev"))
+    val byMoy = monthly
+      .groupBy(substring(col("ym"), 6, 2).as("moy"))
+      .agg(count(lit(1)).as("n_months"), rnd(avg(col("rev")), 4).as("avg_rev_musd"))
+    val overall = monthly.agg(rnd(avg(col("rev")), 4).as("grand_avg"))
+    byMoy.crossJoin(broadcast(overall))
+      .select(col("moy"), col("n_months"), col("avg_rev_musd"),
+        rnd(col("avg_rev_musd") / col("grand_avg"), 4).as("seasonal_index"))
+      .orderBy(col("moy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rpt_ewma"           -> (ewma _),
     "rpt_trend_forecast" -> (trendForecast _),
     "evt_stickiness"     -> (stickiness _),
-    "rpt_winsorized"     -> (winsorized _))
+    "rpt_winsorized"     -> (winsorized _),
+    "evt_retention_days" -> (retentionDays _),
+    "rpt_seasonality"    -> (seasonality _))
 
   val oracles: Map[String, String] = Map(
     "rpt_ewma" ->
@@ -243,5 +292,43 @@ object Trend {
                                THEN o.o_totalprice END) * 100 + 0.5) / 100
                   AS mean_trimmed
          FROM orders o JOIN cuts c ON c.o_orderstatus = o.o_orderstatus
-         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""")
+         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""",
+    "evt_retention_days" ->
+      """WITH ua AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+         f AS (SELECT user_id, min(day) AS d0 FROM ua GROUP BY 1),
+         j AS (SELECT f.d0, date_diff('day', f.d0, ua.day) AS off
+               FROM ua JOIN f ON f.user_id = ua.user_id),
+         g AS (SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+                      count(CASE WHEN off = 0 THEN 1 END) AS cohort_users,
+                      count(CASE WHEN off = 1 THEN 1 END) AS d1,
+                      count(CASE WHEN off = 7 THEN 1 END) AS d7,
+                      count(CASE WHEN off = 14 THEN 1 END) AS d14
+               FROM j GROUP BY 1)
+         SELECT cohort_day, cohort_users,
+                floor((CAST(d1 AS DOUBLE) / CAST(cohort_users AS DOUBLE))
+                      * 10000 + 0.5) / 10000 AS d1_rate,
+                floor((CAST(d7 AS DOUBLE) / CAST(cohort_users AS DOUBLE))
+                      * 10000 + 0.5) / 10000 AS d7_rate,
+                floor((CAST(d14 AS DOUBLE) / CAST(cohort_users AS DOUBLE))
+                      * 10000 + 0.5) / 10000 AS d14_rate
+         FROM g ORDER BY cohort_day""",
+    "rpt_seasonality" ->
+      """WITH monthly AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                  floor((sum(o_totalprice) / 1000000.0) * 10000 + 0.5) / 10000
+                    AS rev
+           FROM orders GROUP BY 1),
+         bym AS (
+           SELECT substr(ym, 6, 2) AS moy,
+                  count(*) AS n_months,
+                  floor(avg(rev) * 10000 + 0.5) / 10000 AS avg_rev_musd
+           FROM monthly GROUP BY 1),
+         o AS (SELECT floor(avg(rev) * 10000 + 0.5) / 10000 AS grand_avg
+               FROM monthly)
+         SELECT b.moy, b.n_months, b.avg_rev_musd,
+                floor((b.avg_rev_musd / o.grand_avg) * 10000 + 0.5) / 10000
+                  AS seasonal_index
+         FROM bym b CROSS JOIN o
+         ORDER BY b.moy""")
 }

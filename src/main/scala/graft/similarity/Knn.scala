@@ -633,14 +633,18 @@ object Knn {
     import scala.concurrent.ExecutionContext.Implicits.global
     VectorFunctions.register(spark)
     val M = 4; val subDim = 16; val K = 16; val CoarseK = 8
-    val (coarse, _) = KMeans.fit(e, CoarseK, 3)
-    val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
-    val cbooks = Await.result(
-      Future.sequence((0 until M).map { m => Future {
+    // the coarse quantizer and the M sub-codebooks are independent
+    // trainings — run all M+1 Lloyd fits concurrently (separate Spark
+    // jobs share the session) so the critical path is ONE fit, not two
+    val coarseF = Future { KMeans.fit(e, CoarseK, 3)._1 }
+    val cbooksF = Future.sequence((0 until M).map { m => Future {
         KMeans.fit(e.select(col("vec_id"),
           slice(col("embedding"), m * subDim + 1, subDim).as("embedding")),
           K, 3)._1
-      }}), Duration.Inf).toIndexedSeq
+      }})
+    val coarse = Await.result(coarseF, Duration.Inf)
+    val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
+    val cbooks = Await.result(cbooksF, Duration.Inf).toIndexedSeq
     pqSearch(spark, e, k, cbooks, cells = Some(cells))
   }
 

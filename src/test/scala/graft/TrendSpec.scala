@@ -83,6 +83,32 @@ class TrendSpec extends AnyFunSuite {
     assert(total === Tables.orders(spark, Sf).count())
   }
 
+  test("evt_retention_days rates are bounded and day-0 defines the cohort") {
+    val rows = operators.Trend.retentionDays(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cohort_users") > 0)
+      Seq("d1_rate", "d7_rate", "d14_rate").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range in $r")
+      }
+    }
+    // cohorts partition the user base: Σ cohort_users = distinct users
+    val users = Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("cohort_users")).sum === users)
+  }
+
+  test("rpt_seasonality indexes average to ~1 weighted by month counts") {
+    val rows = operators.Trend.seasonality(spark, Sf).collect()
+    assert(rows.length === 12)
+    val wsum = rows.map(r =>
+      r.getAs[Long]("n_months") * r.getAs[Double]("seasonal_index")).sum
+    val n = rows.map(_.getAs[Long]("n_months")).sum
+    assert(math.abs(wsum / n - 1.0) < 0.01,
+      s"weighted mean seasonal index should be ~1, got ${wsum / n}")
+  }
+
   test("rpt_winsorized broadcasts the per-group cutoffs (no fact shuffle for the join)") {
     val plan = operators.Trend.winsorized(spark, Sf)
       .queryExecution.executedPlan.toString
