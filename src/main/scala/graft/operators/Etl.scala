@@ -263,6 +263,52 @@ object Etl {
       .orderBy(col("custkey"), col("version"))
   }
 
+  /** Point-in-time-correct feature join (the leakage-safe enrichment
+    * every feature-store / training-data pipeline needs): each fact
+    * line is enriched with the customer's SCD2 version state AS OF its
+    * ship date — never a later version, which would leak the future
+    * into training features. Composition: the scd2 history collapses
+    * to one end-of-day state per (custkey, date) — making the as-of
+    * timestamp UNIQUE per key, the documented Joins.asOf determinism
+    * contract — then Joins.asOf attaches the latest state with
+    * from_days ≤ ship_days in ONE custkey shuffle + shared Sort (no
+    * per-row subquery, no range-predicate nested-loop join). Facts
+    * whose ship date precedes the customer's first version surface
+    * NULL state (no history yet), exactly what a leakage-safe backfill
+    * must produce. Bounded to custkey < 50 so the dumped result stays
+    * comparison-sized; the filter reaches both parquet scans. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val epochDays = (c: org.apache.spark.sql.Column) =>
+      datediff(to_date(c), lit("1970-01-01")).cast("long")
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 50L)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // end-of-day SCD2 state: the max version per (custkey, date)
+    val states = o
+      .withColumn("version", row_number().over(w).cast("long"))
+      .groupBy(col("o_custkey").as("custkey"),
+               epochDays(col("o_orderdate")).as("from_days"))
+      .agg(max_by(struct(col("version"),
+                         rnd(col("o_totalprice"), 2).as("price")),
+                  col("version")).as("s"))
+      .select(col("custkey"), col("from_days"),
+              col("s.version").as("version"), col("s.price").as("price"))
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_custkey").as("custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"),
+              col("l_linenumber").as("linenumber"), col("custkey"),
+              date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+              epochDays(col("l_shipdate")).as("ship_days"))
+    Joins.asOf(facts, states, key = "custkey",
+        leftTs = "ship_days", rightTs = "from_days",
+        rightVals = Seq("version", "price"))
+      .select(col("orderkey"), col("linenumber"), col("custkey"),
+              col("ship_day"), col("version"), col("price"))
+      .orderBy(col("orderkey"), col("linenumber"))
+  }
+
   /** CDC merge-apply: collapse a change stream of I/U/D operations to
     * final table state — the batch core of every lake CDC pipeline
     * (Debezium→merge, Delta/Iceberg MERGE INTO). The op code is
@@ -337,6 +383,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_psi_drift" -> (psiDrift _),
     "etl_scd2" -> (scd2 _),
+    "etl_pit_join" -> (pitJoin _),
     "etl_cdc_apply" -> (cdcApply _),
     "etl_job_history" -> (jobHistory _),
     "etl_undo_batch" -> (undoBatch _),
@@ -378,6 +425,39 @@ object Etl {
                             / ((n_base + 0.5) / (t_base + 3.0))))
                       * 1000000 + 0.5) / 1000000 AS psi_term
          FROM c, t ORDER BY bucket""",
+    "etl_pit_join" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey < 50),
+         v AS (SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT)
+                        AS from_days,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS version
+               FROM o),
+         states AS (SELECT custkey, from_days,
+                           CAST(max_by(version, version) AS BIGINT) AS version,
+                           max_by(floor(o_totalprice * 100 + 0.5) / 100,
+                                  version) AS price
+                    FROM v GROUP BY custkey, from_days),
+         facts AS (SELECT l.l_orderkey AS orderkey,
+                          l.l_linenumber AS linenumber,
+                          o.o_custkey AS custkey,
+                          strftime(l.l_shipdate, '%Y-%m-%d') AS ship_day,
+                          CAST(date_diff('day', DATE '1970-01-01',
+                                         CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                            AS ship_days
+                   FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey),
+         m AS (SELECT f.orderkey, f.linenumber, f.custkey, f.ship_day,
+                      max(s.from_days) AS mfrom
+               FROM facts f
+               LEFT JOIN states s
+                 ON s.custkey = f.custkey AND s.from_days <= f.ship_days
+               GROUP BY f.orderkey, f.linenumber, f.custkey, f.ship_day)
+         SELECT m.orderkey, m.linenumber, m.custkey, m.ship_day,
+                s2.version, s2.price
+         FROM m LEFT JOIN states s2
+           ON s2.custkey = m.custkey AND s2.from_days = m.mfrom
+         ORDER BY m.orderkey, m.linenumber""",
     "etl_scd2" ->
       """WITH v AS (
            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
