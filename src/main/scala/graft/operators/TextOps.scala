@@ -536,6 +536,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-evaluation lift & gains curve over the in-plan quality
+    * model (rpt_lift_curve) — the calibration report every
+    * classifier-driven data-selection step needs before its keep
+    * threshold means anything: documents bucket by ROUNDED model score
+    * (10 equal-width bins — value bins, not global rank deciles, so no
+    * corpus-wide sort), label = lang='en' as the deterministic ground
+    * truth. Per bin: count, positives, rate, lift vs the base rate,
+    * and top-down cumulative gain. The corpus collapses to the O(10)
+    * bin frame before ANY window runs; the grand totals ride the same
+    * bounded frame. */
+  def liftCurve(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // temperature-scaled score (T = 1/12): the raw model's logits sit
+    // in ±0.45, so sigmoid(logit) collapses into 3 of the 10 bins —
+    // the gain spreads the SAME ranking across the full curve. Derived
+    // from the ROUNDED logit, so both engines bin identically.
+    val scored = qualityModel(spark, dir).select(col("doc_id"),
+      rnd(lit(1.0) / (lit(1.0) + exp(lit(-12.0) * col("logit"))), 4)
+        .as("prob"))
+    val labeled = scored.join(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+                when(col("lang") === "en", 1L).otherwise(0L).as("label")),
+      Seq("doc_id"))
+    val bins = labeled
+      .groupBy(least(floor(col("prob") * 10), lit(9.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
+    val wAll = W.orderBy(col("bin").desc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val wCum = W.orderBy(col("bin").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    bins
+      .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+      .withColumn("total_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        rnd(col("n_pos").cast("double") / col("n_docs").cast("double"), 4)
+          .as("pos_rate"),
+        rnd((col("n_pos").cast("double") / col("n_docs").cast("double")) /
+            (col("total_pos").cast("double") / col("total_docs").cast("double")),
+            4).as("lift"),
+        rnd(col("cum_pos").cast("double") / col("total_pos").cast("double"), 4)
+          .as("cum_gain"))
+      .orderBy(col("bin").desc)
+  }
+
   /** Character-level Shannon entropy per document — the exactly-
     * verifiable twin of the zlib compressibility gate (compress_ratio):
     * degenerate/repetitive text scores low, natural prose sits in a
@@ -742,6 +788,7 @@ object TextOps {
     "text_length_hist" -> (lengthHistogram _),
     "text_entropy" -> (entropy _),
     "text_quality_model" -> (qualityModel _),
+    "rpt_lift_curve" -> (liftCurve _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_compress_ratio" -> (compressRatio _),
     "sample_importance" -> (importanceSample _),
@@ -855,6 +902,57 @@ object TextOps {
                    AS prob,
                  floor(logit_raw * 10000 + 0.5) / 10000 >= 0 AS keep
           FROM agg ORDER BY doc_id"""
+    },
+    "rpt_lift_curve" -> {
+      val ws = QmWeights.map(w => f"$w%.3f").mkString("[", ", ", "]")
+      s"""WITH terms AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents),
+          model AS (SELECT CAST($ws AS DOUBLE[]) AS ws),
+          scored AS (
+            SELECT doc_id,
+                   ws[(CAST(('0x' || substr(md5(term), 1, 2)) AS INTEGER)
+                       % ${QmWeights.size}) + 1] AS w
+            FROM terms CROSS JOIN model),
+          agg AS (
+            SELECT doc_id, avg(w) + 0.1 AS logit_raw
+            FROM scored GROUP BY doc_id),
+          lg AS (
+            SELECT doc_id,
+                   floor(logit_raw * 10000 + 0.5) / 10000 AS logit
+            FROM agg),
+          probs AS (
+            SELECT doc_id,
+                   floor((1.0 / (1.0 + exp(-12.0 * logit))) * 10000 + 0.5)
+                     / 10000 AS prob
+            FROM lg),
+          lab AS (
+            SELECT p.doc_id, p.prob,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+            FROM probs p JOIN documents d ON d.doc_id = p.doc_id),
+          bins AS (
+            SELECT CAST(least(floor(prob * 10), 9.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(label) AS BIGINT) AS n_pos
+            FROM lab GROUP BY 1),
+          wf AS (
+            SELECT bin, n_docs, n_pos,
+                   sum(n_docs) OVER () AS total_docs,
+                   sum(n_pos) OVER () AS total_pos,
+                   sum(n_pos) OVER (ORDER BY bin DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_pos
+            FROM bins)
+          SELECT bin, n_docs, n_pos,
+                 floor((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       * 10000 + 0.5) / 10000 AS pos_rate,
+                 floor(((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) /
+                        (CAST(total_pos AS DOUBLE) / CAST(total_docs AS DOUBLE)))
+                       * 10000 + 0.5) / 10000 AS lift,
+                 floor((CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE))
+                       * 10000 + 0.5) / 10000 AS cum_gain
+          FROM wf ORDER BY bin DESC"""
     },
     "text_heavy_hitters" ->
       """WITH seeded AS (

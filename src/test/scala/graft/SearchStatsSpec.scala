@@ -104,6 +104,21 @@ class SearchStatsSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("significant") === pooledSig)
   }
 
+  test("rpt_lift_curve gains reach 1.0 and doc counts cover the corpus") {
+    val rows = operators.TextOps.liftCurve(spark, Sf)
+      .orderBy(col("bin").desc).collect()
+    assert(rows.nonEmpty)
+    // cumulative gain is monotone non-decreasing top-down and ends at 1
+    val gains = rows.map(_.getAs[Double]("cum_gain")).toSeq
+    assert(gains === gains.sorted)
+    assert(math.abs(gains.last - 1.0) < 1e-9)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, Sf).count())
+    // count-weighted mean lift is 1 by construction
+    val wl = rows.map(r => r.getAs[Long]("n_docs") * r.getAs[Double]("lift")).sum
+    assert(math.abs(wl / total - 1.0) < 0.01)
+  }
+
   test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
     val plan = operators.Stats.expectations(spark, Sf)
       .queryExecution.executedPlan.toString
