@@ -582,6 +582,41 @@ object TextOps {
       .orderBy(col("bin").desc)
   }
 
+  /** ROC AUC of the quality model against the language ground truth
+    * (rpt_auc) — the threshold-free twin of rpt_lift_curve's binned
+    * view, via the Mann–Whitney rank-sum identity with the standard
+    * average-rank tie correction: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻).
+    * The corpus collapses to one row per DISTINCT rounded score before
+    * any window runs — ≤10⁴ rows at ANY corpus size (4-dp scores in
+    * (0,1)), so the rank arithmetic is a bounded-frame computation,
+    * never a corpus-global sort. Scores are the ROUNDED model probs,
+    * so tie groups are identical cross-engine. */
+  def auc(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val labeled = qualityModel(spark, dir).select(col("doc_id"), col("prob"))
+      .join(Tables.documents(spark, dir)
+              .select(col("doc_id"),
+                      when(col("lang") === "en", 1L).otherwise(0L).as("label")),
+            Seq("doc_id"))
+    val byScore = labeled.groupBy(col("prob"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+    val wPrev = W.orderBy(col("prob")).rowsBetween(W.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("cum_before", coalesce(sum(col("n")).over(wPrev), lit(0L)))
+      // average rank of a tie group (1-based): before + (n+1)/2
+      .withColumn("avg_rank",
+        col("cum_before").cast("double") +
+          (col("n").cast("double") + lit(1.0)) / 2)
+    ranked.agg(
+        sum(col("n_pos")).as("np"),
+        sum(col("n") - col("n_pos")).as("nn"),
+        sum(col("n_pos").cast("double") * col("avg_rank")).as("rpos"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        rnd((col("rpos") -
+             col("np").cast("double") * (col("np").cast("double") + lit(1.0)) / 2) /
+            (col("np").cast("double") * col("nn").cast("double")), 6).as("auc"))
+  }
+
   /** Character-level Shannon entropy per document — the exactly-
     * verifiable twin of the zlib compressibility gate (compress_ratio):
     * degenerate/repetitive text scores low, natural prose sits in a
@@ -789,6 +824,7 @@ object TextOps {
     "text_entropy" -> (entropy _),
     "text_quality_model" -> (qualityModel _),
     "rpt_lift_curve" -> (liftCurve _),
+    "rpt_auc" -> (auc _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_compress_ratio" -> (compressRatio _),
     "sample_importance" -> (importanceSample _),
@@ -953,6 +989,52 @@ object TextOps {
                  floor((CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE))
                        * 10000 + 0.5) / 10000 AS cum_gain
           FROM wf ORDER BY bin DESC"""
+    },
+    "rpt_auc" -> {
+      val ws = QmWeights.map(w => f"$w%.3f").mkString("[", ", ", "]")
+      s"""WITH terms AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents),
+          model AS (SELECT CAST($ws AS DOUBLE[]) AS ws),
+          scored AS (
+            SELECT doc_id,
+                   ws[(CAST(('0x' || substr(md5(term), 1, 2)) AS INTEGER)
+                       % ${QmWeights.size}) + 1] AS w
+            FROM terms CROSS JOIN model),
+          agg AS (
+            SELECT doc_id, avg(w) + 0.1 AS logit_raw
+            FROM scored GROUP BY doc_id),
+          probs AS (
+            SELECT doc_id,
+                   floor((1.0 / (1.0 + exp(-logit_raw))) * 10000 + 0.5) / 10000
+                     AS prob
+            FROM agg),
+          lab AS (
+            SELECT p.prob,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+            FROM probs p JOIN documents d ON d.doc_id = p.doc_id),
+          bys AS (
+            SELECT prob, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos
+            FROM lab GROUP BY prob),
+          rk AS (
+            SELECT n, n_pos,
+                   CAST(coalesce(CAST(sum(n) OVER (ORDER BY prob
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS DOUBLE) +
+                   (CAST(n AS DOUBLE) + 1.0) / 2 AS avg_rank
+            FROM bys),
+          t AS (
+            SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+                   CAST(sum(n - n_pos) AS BIGINT) AS nn,
+                   sum(CAST(n_pos AS DOUBLE) * avg_rank) AS rpos
+            FROM rk)
+          SELECT np AS n_pos, nn AS n_neg,
+                 floor(((rpos - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2)
+                        / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000 AS auc
+          FROM t"""
     },
     "text_heavy_hitters" ->
       """WITH seeded AS (

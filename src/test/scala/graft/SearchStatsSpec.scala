@@ -119,6 +119,29 @@ class SearchStatsSpec extends AnyFunSuite {
     assert(math.abs(wl / total - 1.0) < 0.01)
   }
 
+  test("rpt_auc equals a driver-side Mann-Whitney computation") {
+    val row = operators.TextOps.auc(spark, Sf).collect().head
+    val data = operators.TextOps.qualityModel(spark, Sf)
+      .select(col("doc_id"), col("prob"))
+      .join(Tables.documents(spark, Sf).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+      .select(col("prob"), (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getAs[Double]("prob"), r.getAs[Boolean]("pos")))
+    // average ranks with ties, 1-based ascending
+    val sorted = data.sortBy(_._1)
+    val rankOf = sorted.zipWithIndex.groupBy(_._1._1).map { case (p, g) =>
+      p -> (g.map(_._2 + 1).sum.toDouble / g.length)
+    }
+    val np = data.count(_._2).toLong
+    val nn = data.length - np
+    val rpos = data.filter(_._2).map(d => rankOf(d._1)).sum
+    val want = (rpos - np * (np + 1.0) / 2) / (np.toDouble * nn)
+    assert(row.getAs[Long]("n_pos") === np)
+    assert(row.getAs[Long]("n_neg") === nn)
+    assert(math.abs(row.getAs[Double]("auc") - want) < 1e-6,
+      s"AUC mismatch: got ${row.getAs[Double]("auc")}, want $want")
+  }
+
   test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
     val plan = operators.Stats.expectations(spark, Sf)
       .queryExecution.executedPlan.toString
