@@ -143,10 +143,79 @@ object Stats {
              (abs(rnd(z, 4)) >= 1.96).as("significant"))
   }
 
+  /** Chi-square independence test over the priority × status
+    * contingency table: are order priority and status independent?
+    * The fact collapses to the O(|P|×|S|) cell frame in ONE
+    * map-side-combined count; expected counts derive from broadcast
+    * row/column marginals; χ² = Σ(o−e)²/e on the bounded frame. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("p"), col("o_orderstatus").as("s"))
+    val cells = o.groupBy(col("p"), col("s")).agg(count(lit(1)).as("c"))
+    val rowT = cells.groupBy(col("p")).agg(sum(col("c")).as("rt"))
+    val colT = cells.groupBy(col("s")).agg(sum(col("c")).as("ct"))
+    val tot  = cells.agg(sum(col("c")).as("n"),
+                         countDistinct(col("p")).as("np"),
+                         countDistinct(col("s")).as("ns"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double")
+    cells.join(broadcast(rowT), Seq("p"))
+      .join(broadcast(colT), Seq("s"))
+      .crossJoin(broadcast(tot))
+      .select(((col("c").cast("double") - e) * (col("c").cast("double") - e) / e)
+                .as("term"),
+              col("n"), col("np"), col("ns"))
+      .groupBy(col("n"), col("np"), col("ns"))
+      .agg(rnd(sum(col("term")), 4).as("chi2"))
+      .select(col("n").as("n_rows"),
+              ((col("np") - 1) * (col("ns") - 1)).as("dof"),
+              col("chi2"),
+              // chi2 critical value at alpha=0.05 for dof=8 is 15.507;
+              // emit the comparison only for the fixed 5x3 table shape
+              (col("chi2") >= 15.507).as("significant"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance on a value GRID — the
+    * distribution-shift test between the even/odd order-key
+    * populations. Exact KS needs a corpus-global sort; the grid form
+    * (prices bucketed to 10k-wide bins — rpt_histogram's CDF
+    * machinery) bounds the ECDF frame at O(bins) at any scale and is
+    * the PSI-dashboard companion: PSI scores overall drift, grid-KS
+    * locates the worst single gap. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 10000.0).cast("long").as("bin"),
+              (col("o_orderkey") % 2 === 0).as("isA"))
+    val g = o.groupBy(col("bin"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
+           sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"))
+    val wCum = W.orderBy(col("bin")).rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val d = g
+      .withColumn("ta", sum(col("na")).over(wAll))
+      .withColumn("tb", sum(col("nb")).over(wAll))
+      .withColumn("gap", abs(
+        sum(col("na")).over(wCum).cast("double") / col("ta").cast("double") -
+        sum(col("nb")).over(wCum).cast("double") / col("tb").cast("double")))
+      .groupBy(col("ta"), col("tb"))
+      .agg(rnd(max(col("gap")), 6).as("ks_d"))
+    // two-sided alpha=0.05: reject if D > 1.358*sqrt((na+nb)/(na*nb))
+    val crit = lit(1.358) * sqrt(
+      (col("ta") + col("tb")).cast("double") /
+      (col("ta").cast("double") * col("tb").cast("double")))
+    d.select(col("ta").as("n_a"), col("tb").as("n_b"), col("ks_d"),
+             rnd(crit, 6).as("critical_05"),
+             (col("ks_d") > rnd(crit, 6)).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_expectations" -> (expectations _),
     "rpt_kaplan_meier" -> (kaplanMeier _),
-    "rpt_ab_test"      -> (abTest _))
+    "rpt_ab_test"      -> (abTest _),
+    "rpt_chi_square"   -> (chiSquare _),
+    "rpt_ks_test"      -> (ksTest _))
 
   val oracles: Map[String, String] = Map(
     "etl_expectations" ->
@@ -214,6 +283,70 @@ object Stats {
          SELECT t AS t_days, n_risk, d AS d_events,
                 floor(surv * 1000000 + 0.5) / 1000000 AS survival
          FROM s WHERE d > 0 ORDER BY t_days""",
+    "rpt_chi_square" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS p, o_orderstatus AS s,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         rt AS (SELECT p, CAST(sum(c) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT s, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                        CAST(count(DISTINCT p) AS BIGINT) AS np,
+                        CAST(count(DISTINCT s) AS BIGINT) AS ns
+                 FROM cells),
+         terms AS (
+           SELECT (CAST(cl.c AS DOUBLE) -
+                   CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE)
+                     / CAST(t.n AS DOUBLE)) *
+                  (CAST(cl.c AS DOUBLE) -
+                   CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE)
+                     / CAST(t.n AS DOUBLE)) /
+                  (CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE)
+                     / CAST(t.n AS DOUBLE)) AS term,
+                  t.n, t.np, t.ns
+           FROM cells cl
+           JOIN rt r ON r.p = cl.p
+           JOIN ct co ON co.s = cl.s
+           CROSS JOIN tot t),
+         agg AS (
+           SELECT n, np, ns,
+                  floor(sum(term) * 10000 + 0.5) / 10000 AS chi2
+           FROM terms GROUP BY n, np, ns)
+         SELECT n AS n_rows, (np - 1) * (ns - 1) AS dof, chi2,
+                chi2 >= 15.507 AS significant
+         FROM agg""",
+    "rpt_ks_test" ->
+      """WITH o AS (
+           SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin,
+                  o_orderkey % 2 = 0 AS isa
+           FROM orders),
+         g AS (SELECT bin,
+                      CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                        AS na,
+                      CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+                        AS nb
+               FROM o GROUP BY 1),
+         w AS (SELECT bin, na, nb,
+                      CAST(sum(na) OVER () AS BIGINT) AS ta,
+                      CAST(sum(nb) OVER () AS BIGINT) AS tb,
+                      CAST(sum(na) OVER (ORDER BY bin ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+                      CAST(sum(nb) OVER (ORDER BY bin ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+               FROM g),
+         d AS (SELECT ta, tb,
+                      floor(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) -
+                                    CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))
+                            * 1000000 + 0.5) / 1000000 AS ks_d
+               FROM w GROUP BY ta, tb),
+         cr AS (SELECT ta, tb, ks_d,
+                       floor((1.358 * sqrt(CAST(ta + tb AS DOUBLE) /
+                               (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))))
+                             * 1000000 + 0.5) / 1000000 AS critical_05
+                FROM d)
+         SELECT ta AS n_a, tb AS n_b, ks_d, critical_05,
+                ks_d > critical_05 AS significant
+         FROM cr""",
     "rpt_ab_test" ->
       """WITH u AS (
            SELECT user_id,

@@ -142,6 +142,36 @@ class SearchStatsSpec extends AnyFunSuite {
       s"AUC mismatch: got ${row.getAs[Double]("auc")}, want $want")
   }
 
+  test("rpt_chi_square equals a driver-side contingency computation") {
+    val row = operators.Stats.chiSquare(spark, Sf).collect().head
+    val cells = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    val n = cells.values.sum.toDouble
+    val rowT = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum.toDouble }
+    val colT = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum.toDouble }
+    val want = cells.map { case ((p, s), c) =>
+      val e = rowT(p) * colT(s) / n
+      (c - e) * (c - e) / e
+    }.sum
+    assert(row.getAs[Long]("n_rows").toDouble === n)
+    assert(row.getAs[Long]("dof") ===
+      (rowT.size - 1).toLong * (colT.size - 1).toLong)
+    assert(math.abs(row.getAs[Double]("chi2") - want) < 1e-3,
+      s"chi2 mismatch: got ${row.getAs[Double]("chi2")}, want $want")
+  }
+
+  test("rpt_ks_test distance is a bounded ECDF gap and populations partition orders") {
+    val row = operators.Stats.ksTest(spark, Sf).collect().head
+    val d = row.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(row.getAs[Double]("critical_05") > 0.0)
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") ===
+      Tables.orders(spark, Sf).count())
+    assert(row.getAs[Boolean]("significant") === (d > row.getAs[Double]("critical_05")))
+  }
+
   test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
     val plan = operators.Stats.expectations(spark, Sf)
       .queryExecution.executedPlan.toString
