@@ -210,12 +210,56 @@ object Stats {
              (col("ks_d") > rnd(crit, 6)).as("significant"))
   }
 
+  /** Deterministic Poisson bootstrap CI for the mean order value — the
+    * BIG-DATA bootstrap: classic resampling needs n draws per
+    * replicate (a corpus-global shuffle per replicate); the Poisson
+    * form gives every row an independent Poisson(1) weight per
+    * replicate, so ALL B replicates compute in ONE pass as B weighted
+    * aggregates over an explode(B) that map-side combines. The
+    * Poisson draw inverts the CDF on the library's standard md5
+    * 13-nibble/2⁵² uniform (the evt_segment_overlap coin), so the
+    * entire bootstrap is bit-reproducible — a resampling procedure
+    * with a FULL cross-engine oracle. Replicate means round numerator
+    * before the divide (the corr_measures discipline). */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val u = conv(substring(md5(concat(
+        col("o_orderkey").cast("string"), lit(":"), col("b").cast("string"))),
+        1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    val reps = o
+      .select(col("o_orderkey"), col("o_totalprice"),
+              explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w",
+        when(col("u") < 0.367879441, 0.0)
+          .when(col("u") < 0.735758882, 1.0)
+          .when(col("u") < 0.919698603, 2.0)
+          .when(col("u") < 0.981011843, 3.0)
+          .when(col("u") < 0.996340153, 4.0)
+          .otherwise(5.0))
+    val repMeans = reps.groupBy(col("b"))
+      .agg(rnd(rnd(sum(col("w") * col("o_totalprice")), 2) / sum(col("w")), 2)
+        .as("m"))
+    val base = o.agg(count(lit(1)).as("n_rows"),
+                     rnd(avg(col("o_totalprice")), 2).as("mean"))
+    val ci = repMeans.agg(
+      count(lit(1)).as("b_replicates"),
+      rnd(expr("percentile(m, 0.025)"), 2).as("ci_lo"),
+      rnd(expr("percentile(m, 0.975)"), 2).as("ci_hi"))
+    base.crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("mean"), col("ci_lo"), col("ci_hi"),
+              col("b_replicates"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_expectations" -> (expectations _),
     "rpt_kaplan_meier" -> (kaplanMeier _),
     "rpt_ab_test"      -> (abTest _),
     "rpt_chi_square"   -> (chiSquare _),
-    "rpt_ks_test"      -> (ksTest _))
+    "rpt_ks_test"      -> (ksTest _),
+    "rpt_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
     "etl_expectations" ->
@@ -283,6 +327,37 @@ object Stats {
          SELECT t AS t_days, n_risk, d AS d_events,
                 floor(surv * 1000000 + 0.5) / 1000000 AS survival
          FROM s WHERE d > 0 ORDER BY t_days""",
+    "rpt_bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+         reps AS (SELECT o.o_orderkey, o.o_totalprice, t.b
+                  FROM o CROSS JOIN generate_series(0, 31) AS t(b)),
+         uu AS (SELECT o_totalprice, b,
+                       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                                || ':' ||
+                                                CAST(b AS VARCHAR)), 1, 13))
+                            AS BIGINT) / 4503599627370496.0 AS u
+                FROM reps),
+         ww AS (SELECT b, o_totalprice,
+                       CASE WHEN u < 0.367879441 THEN 0.0
+                            WHEN u < 0.735758882 THEN 1.0
+                            WHEN u < 0.919698603 THEN 2.0
+                            WHEN u < 0.981011843 THEN 3.0
+                            WHEN u < 0.996340153 THEN 4.0
+                            ELSE 5.0 END AS w
+                FROM uu),
+         rm AS (SELECT b,
+                       floor((floor(sum(w * o_totalprice) * 100 + 0.5) / 100)
+                             / sum(w) * 100 + 0.5) / 100 AS m
+                FROM ww GROUP BY b),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                         floor(avg(o_totalprice) * 100 + 0.5) / 100 AS mean
+                  FROM o),
+         ci AS (SELECT CAST(count(*) AS BIGINT) AS b_replicates,
+                       floor(quantile_cont(m, 0.025) * 100 + 0.5) / 100 AS ci_lo,
+                       floor(quantile_cont(m, 0.975) * 100 + 0.5) / 100 AS ci_hi
+                FROM rm)
+         SELECT n_rows, mean, ci_lo, ci_hi, b_replicates
+         FROM base CROSS JOIN ci""",
     "rpt_chi_square" ->
       """WITH cells AS (
            SELECT o_orderpriority AS p, o_orderstatus AS s,

@@ -172,6 +172,24 @@ class SearchStatsSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("significant") === (d > row.getAs[Double]("critical_05")))
   }
 
+  test("rpt_bootstrap_ci brackets the mean at roughly the analytic width") {
+    val row = operators.Stats.bootstrapCi(spark, Sf).collect().head
+    val mean = row.getAs[Double]("mean")
+    val (lo, hi) = (row.getAs[Double]("ci_lo"), row.getAs[Double]("ci_hi"))
+    assert(lo < mean && mean < hi, s"CI must bracket the mean: $row")
+    assert(row.getAs[Long]("b_replicates") === 32L)
+    // percentile CI width should be the same order as the normal
+    // approximation 2*1.96*sd/sqrt(n) (loose band: B=32 is noisy)
+    val st = Tables.orders(spark, Sf)
+      .agg(stddev(col("o_totalprice")).as("sd"), count(lit(1)).as("n"))
+      .collect().head
+    val analytic = 2 * 1.96 * st.getAs[Double]("sd") /
+      math.sqrt(st.getAs[Long]("n").toDouble)
+    val width = hi - lo
+    assert(width > analytic / 3 && width < analytic * 3,
+      s"CI width $width vs analytic $analytic out of band")
+  }
+
   test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
     val plan = operators.Stats.expectations(spark, Sf)
       .queryExecution.executedPlan.toString
