@@ -154,9 +154,89 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** rag_mmr: Maximal-Marginal-Relevance diversified reranking
+    * (Carbonell & Goldstein 1998) — the standard fix for RAG result
+    * lists that return five near-copies of the same passage: greedily
+    * pick argmax λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), so
+    * each pick balances query relevance against redundancy with what
+    * is already chosen.
+    *
+    * Scale shape: the corpus-sized work is the SAME bounded-heap
+    * cosine top-20 as every retrieval leg (TopKPerKey, embeddings
+    * never shuffle beyond the per-key heaps); the inherently
+    * sequential greedy loop then runs per query over its ≤20
+    * candidates inside mapGroups — O(k²·dim) arithmetic on a bounded
+    * group, distributed across queries. Rows-only by declared design
+    * (the greedy loop is not SQL); SearchStatsSpec plants a
+    * near-duplicate pair and pins that MMR demotes it while plain
+    * cosine ranking does not. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrOn(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k = 10, lambda = 0.7)
+
+  private[graft] def mmrOn(spark: SparkSession, e: DataFrame,
+                           k: Int, lambda: Double): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id").as("doc_id"), col("embedding").as("nv"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+              rnd(VectorFunctions.cosine(col("qv"), col("nv")), 4).as("sim_q"),
+              col("nv"))
+    val top = graft.plans.TopKPerKey(scored, "query_id", "sim_q", 20,
+        tiebreak = Some("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("sim_q"), col("nv"))
+      .as[(Long, Long, Double, Seq[Float])]
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    top.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Float])]) =>
+        // deterministic candidate order: sim desc, doc_id asc
+        val cands = it.toVector.sortBy(c => (-c._3, c._2))
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Double)] // (qid, rank, doc, score)
+        val chosen = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[Float])]
+        var rank = 1L
+        val remaining = scala.collection.mutable.LinkedHashSet(cands: _*)
+        while (rank <= k && remaining.nonEmpty) {
+          val best = remaining.minBy { c =>
+            val red = if (chosen.isEmpty) 0.0
+              else chosen.iterator.map(s => cos(c._4, s._2)).max
+            val score = lambda * c._3 - (1 - lambda) * red
+            (-score, c._2) // max score, ties to lowest doc_id
+          }
+          val red = if (chosen.isEmpty) 0.0
+            else chosen.iterator.map(s => cos(best._4, s._2)).max
+          val score = lambda * best._3 - (1 - lambda) * red
+          selected += ((qid, rank, best._2,
+            math.floor(score * 10000 + 0.5) / 10000))
+          chosen += ((best._2, best._4))
+          remaining -= best
+          rank += 1
+        }
+        selected.iterator
+      }
+      .toDF("query_id", "rank", "doc_id", "mmr_score")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rag_bm25"       -> (bm25 _),
-    "rag_hybrid_rrf" -> (hybridRrf _))
+    "rag_hybrid_rrf" -> (hybridRrf _),
+    "rag_mmr"        -> (mmrRerank _))
 
   private val BaseCtes =
     """WITH q(query_id, term) AS (VALUES

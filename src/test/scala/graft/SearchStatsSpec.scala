@@ -190,6 +190,42 @@ class SearchStatsSpec extends AnyFunSuite {
       s"CI width $width vs analytic $analytic out of band")
   }
 
+  test("rag_mmr demotes a planted exact duplicate that plain cosine ranks second") {
+    import spark.implicits._
+    val d10 = Seq(0.99f, 0.141f, 0f, 0f)
+    val planted = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),  // the query vector
+      (10L, d10),                 // most relevant
+      (11L, d10),                 // EXACT copy of 10 — redundant
+      (12L, Seq(0.8f, 0f, 0.6f, 0f))) // relevant and diverse
+      .toDF("vec_id", "embedding")
+    val out = operators.Search.mmrOn(spark, planted, k = 3, lambda = 0.5)
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    // greedy: 10 first (ties to lowest id), then the DIVERSE 12 beats
+    // the exact copy 11 (whose redundancy penalty is maximal)
+    assert(out === Seq(10L, 12L, 11L), s"got $out")
+  }
+
+  test("rag_mmr rank-1 is the plain cosine top-1 and ranks are contiguous") {
+    val mmr = operators.Search.mmrRerank(spark, Sf).collect()
+    assert(mmr.nonEmpty)
+    mmr.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq)
+    }
+    // with no prior selection the rank-1 pick maximizes lambda*sim — the
+    // same argmax as cosine top-1
+    val top1 = similarity.Knn.topK(spark, Sf).collect()
+      .filter(r => r.getAs[Long]("rank") == 1L &&
+        Set(1L, 2L, 3L).contains(r.getAs[Long]("query_id")))
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    mmr.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(top1(r.getAs[Long]("query_id")) === r.getAs[Long]("doc_id"),
+        s"rank-1 must equal cosine top-1: $r")
+    }
+  }
+
   test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
     val plan = operators.Stats.expectations(spark, Sf)
       .queryExecution.executedPlan.toString
