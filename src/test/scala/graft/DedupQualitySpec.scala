@@ -133,6 +133,27 @@ class DedupQualitySpec extends AnyFunSuite {
       "n_hot_doc_entries") === 30L)
   }
 
+  test("containment flags a planted excerpt at 1.0 where jaccard stays diluted") {
+    import spark.implicits._
+    val longWords = (0 until 100).map(j => s"c$j")
+    val excerpt = longWords.slice(10, 30) // 20 words copied verbatim
+    val docs = Seq(
+      (1L, longWords.mkString(" ")),
+      (2L, excerpt.mkString(" ")),
+      (3L, (0 until 30).map(j => s"z$j").mkString(" "))).toDF("doc_id", "text")
+    val cont = dedup.Dedup.containmentOn(docs).collect()
+    val hit = cont.find(r => r.getAs[Long]("doc_contained") == 2L &&
+                             r.getAs[Long]("doc_container") == 1L)
+    assert(hit.isDefined, s"excerpt pair missing: ${cont.mkString(";")}")
+    assert(hit.get.getAs[Double]("containment") === 1.0,
+      "a verbatim excerpt must be fully contained")
+    // the symmetric measure dilutes the same pair below 0.25
+    val jac = dedup.Dedup.jaccardPairsOn(docs).collect()
+      .find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(jac.isDefined && jac.get.getAs[Double]("jaccard") < 0.25,
+      s"jaccard should dilute the excerpt: $jac")
+  }
+
   test("winnow drops hot-fingerprint buckets and audits the drop") {
     import spark.implicits._
     // a shared 12-token run fingerprints identically in all 30 docs
