@@ -253,13 +253,46 @@ object Stats {
               col("b_replicates"))
   }
 
+  /** One-way ANOVA F-test: does mean order value differ across the
+    * five priorities? F = (SSB/(k−1)) / (SSW/(n−k)) derived entirely
+    * from per-group moment sums — ONE map-side-combined pass over the
+    * fact, then arithmetic on the O(groups) frame. Values are in
+    * THOUSANDS so Σx² stays inside double's exact-integer range at
+    * any SF (the rpt_trend_forecast discipline); group sums round
+    * 2 dp before the F arithmetic. The 0.05 critical value 2.372 is
+    * F(4, ∞) — valid for this fixed 5-group shape with large n. */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice") / 1000.0
+    val g = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_g"),
+           rnd(sum(x), 2).as("s_g"),
+           rnd(sum(x * x), 2).as("ss_g"))
+    val t = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"),
+      sum(col("ss_g")).as("ss"),
+      sum(col("s_g") * col("s_g") / col("n_g").cast("double")).as("a"))
+    val ssb = col("a") - col("s") * col("s") / col("n").cast("double")
+    val ssw = col("ss") - col("a")
+    val f = (ssb / (col("k") - 1).cast("double")) /
+            (ssw / (col("n") - col("k")).cast("double"))
+    t.select(col("k").as("k_groups"), col("n").as("n_rows"),
+             rnd(f, 4).as("f_stat"),
+             (col("k") - 1).as("dof_between"),
+             (col("n") - col("k")).as("dof_within"),
+             (rnd(f, 4) >= 2.372).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_expectations" -> (expectations _),
     "rpt_kaplan_meier" -> (kaplanMeier _),
     "rpt_ab_test"      -> (abTest _),
     "rpt_chi_square"   -> (chiSquare _),
     "rpt_ks_test"      -> (ksTest _),
-    "rpt_bootstrap_ci" -> (bootstrapCi _))
+    "rpt_bootstrap_ci" -> (bootstrapCi _),
+    "rpt_anova"        -> (anova _))
 
   val oracles: Map[String, String] = Map(
     "etl_expectations" ->
@@ -327,6 +360,30 @@ object Stats {
          SELECT t AS t_days, n_risk, d AS d_events,
                 floor(surv * 1000000 + 0.5) / 1000000 AS survival
          FROM s WHERE d > 0 ORDER BY t_days""",
+    "rpt_anova" ->
+      """WITH g AS (
+           SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_g,
+                  floor(sum(o_totalprice / 1000.0) * 100 + 0.5) / 100 AS s_g,
+                  floor(sum((o_totalprice / 1000.0) * (o_totalprice / 1000.0))
+                        * 100 + 0.5) / 100 AS ss_g
+           FROM orders GROUP BY 1),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(n_g) AS BIGINT) AS n,
+                  sum(s_g) AS s, sum(ss_g) AS ss,
+                  sum(s_g * s_g / CAST(n_g AS DOUBLE)) AS a
+           FROM g),
+         f AS (
+           SELECT k, n,
+                  floor((((a - s * s / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                         / ((ss - a) / CAST(n - k AS DOUBLE)))
+                        * 10000 + 0.5) / 10000 AS f_stat
+           FROM t)
+         SELECT k AS k_groups, n AS n_rows, f_stat,
+                k - 1 AS dof_between, n - k AS dof_within,
+                f_stat >= 2.372 AS significant
+         FROM f""",
     "rpt_bootstrap_ci" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
          reps AS (SELECT o.o_orderkey, o.o_totalprice, t.b

@@ -617,6 +617,47 @@ object TextOps {
             (col("np").cast("double") * col("nn").cast("double")), 6).as("auc"))
   }
 
+  /** Zipf-law fit over the corpus vocabulary (text_zipf_fit) — the
+    * one-number sanity check on corpus naturalness (natural language
+    * sits near slope −1; template/boilerplate corpora flatten, random
+    * noise steepens): log-log OLS of frequency on rank over the top
+    * 200 terms. The vocabulary reduces by TakeOrderedAndProject
+    * (top-k, never a global sort of the term frame); ranks and the
+    * regression run on the O(200) survivors. Per-term logs round 6 dp
+    * before the moment sums so libm ulp drift can't reach the hashed
+    * digits (the corr_measures discipline, applied one level down). */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitOn(Tables.documents(spark, dir))
+
+  private[graft] def zipfFitOn(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tc = docs
+      .select(explode(reTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val top = tc.orderBy(col("c").desc, col("term")).limit(200)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(W.orderBy(col("c").desc, col("term"))).cast("long"))
+      .select(rnd(log(col("rank").cast("double")), 6).as("x"),
+              rnd(log(col("c").cast("double")), 6).as("y"))
+    val m = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      rnd(sum(col("x")), 4).as("sx"), rnd(sum(col("y")), 4).as("sy"),
+      rnd(sum(col("x") * col("x")), 4).as("sxx"),
+      rnd(sum(col("x") * col("y")), 4).as("sxy"),
+      rnd(sum(col("y") * col("y")), 4).as("syy"))
+    val det   = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
+    val icept = (col("sy") - slope * col("sx")) / col("n")
+    val r2num = col("n") * col("sxy") - col("sx") * col("sy")
+    val r2    = (r2num * r2num) /
+      (det * (col("n") * col("syy") - col("sy") * col("sy")))
+    m.select(col("n").cast("long").as("n_terms"),
+             rnd(slope, 4).as("zipf_slope"),
+             rnd(icept, 4).as("intercept"),
+             rnd(r2, 6).as("r2"))
+  }
+
   /** Character-level Shannon entropy per document — the exactly-
     * verifiable twin of the zlib compressibility gate (compress_ratio):
     * degenerate/repetitive text scores low, natural prose sits in a
@@ -825,6 +866,7 @@ object TextOps {
     "text_quality_model" -> (qualityModel _),
     "rpt_lift_curve" -> (liftCurve _),
     "rpt_auc" -> (auc _),
+    "text_zipf_fit" -> (zipfFit _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_compress_ratio" -> (compressRatio _),
     "sample_importance" -> (importanceSample _),
@@ -1036,6 +1078,38 @@ object TextOps {
                        * 1000000 + 0.5) / 1000000 AS auc
           FROM t"""
     },
+    "text_zipf_fit" ->
+      """WITH terms AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM terms GROUP BY term),
+         top AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT 200),
+         ranked AS (
+           SELECT floor(ln(CAST(row_number() OVER (ORDER BY c DESC, term)
+                                AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+                  floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+           FROM top),
+         m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  floor(sum(x) * 10000 + 0.5) / 10000 AS sx,
+                  floor(sum(y) * 10000 + 0.5) / 10000 AS sy,
+                  floor(sum(x * x) * 10000 + 0.5) / 10000 AS sxx,
+                  floor(sum(x * y) * 10000 + 0.5) / 10000 AS sxy,
+                  floor(sum(y * y) * 10000 + 0.5) / 10000 AS syy
+           FROM ranked),
+         d AS (
+           SELECT n, sx, sy, sxx, sxy, syy,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           FROM m)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+                floor(slope * 10000 + 0.5) / 10000 AS zipf_slope,
+                floor(((sy - slope * sx) / n) * 10000 + 0.5) / 10000
+                  AS intercept,
+                floor((((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                       ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                      * 1000000 + 0.5) / 1000000 AS r2
+         FROM d""",
     "text_heavy_hitters" ->
       """WITH seeded AS (
            SELECT doc_id,

@@ -226,6 +226,41 @@ class SearchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_zipf_fit recovers slope ~ -1 on a planted Zipfian corpus") {
+    import spark.implicits._
+    // term i appears floor(2000/i) times: frequency ∝ 1/rank exactly
+    val words = (1 to 50).flatMap(i => Seq.fill(2000 / i)(s"term$i"))
+    val docs = words.grouped(200).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val row = operators.TextOps.zipfFitOn(docs).collect().head
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope should be ~ -1")
+    assert(row.getAs[Double]("r2") > 0.99, s"r2 ${row.getAs[Double]("r2")}")
+  }
+
+  test("rpt_anova agrees with group/total variance recomputed on the driver") {
+    val row = operators.Stats.anova(spark, Sf).collect().head
+    val data = Tables.orders(spark, Sf)
+      .select(col("o_orderpriority"), (col("o_totalprice") / 1000.0).as("x"))
+      .collect().map(r => (r.getString(0), r.getAs[Double]("x")))
+    val n = data.length.toDouble
+    val k = data.map(_._1).distinct.length
+    val grand = data.map(_._2).sum / n
+    val ssb = data.groupBy(_._1).map { case (_, g) =>
+      val m = g.map(_._2).sum / g.length
+      g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = data.groupBy(_._1).map { case (_, g) =>
+      val m = g.map(_._2).sum / g.length
+      g.map(v => (v._2 - m) * (v._2 - m)).sum
+    }.sum
+    val want = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(row.getAs[Long]("k_groups") === k.toLong)
+    assert(math.abs(row.getAs[Double]("f_stat") - want) < 0.01,
+      s"F mismatch: got ${row.getAs[Double]("f_stat")}, want $want")
+  }
+
   test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
     val plan = operators.Stats.expectations(spark, Sf)
       .queryExecution.executedPlan.toString
