@@ -261,6 +261,28 @@ class SearchStatsSpec extends AnyFunSuite {
       s"F mismatch: got ${row.getAs[Double]("f_stat")}, want $want")
   }
 
+  test("rag_bm25 prunes the documents scan to doc_id + text") {
+    val plan = operators.Search.bm25(spark, Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val reads = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("struct<doc_id:bigint,text:string>"),
+      s"documents scan must prune to the two used columns:\n$reads")
+    assert(!reads.contains("lang") && !reads.contains("source"),
+      s"unused metadata columns leaked into the scan:\n$reads")
+  }
+
+  test("etl_pit_join pushes the custkey bound into both parquet scans") {
+    val plan = operators.Etl.pitJoin(spark, Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("LessThan(o_custkey,50)"),
+      s"custkey filter must reach the orders scan:\n$pushed")
+  }
+
   test("etl_expectations is a single-scan aggregate (one Expand at most, no joins)") {
     val plan = operators.Stats.expectations(spark, Sf)
       .queryExecution.executedPlan.toString
