@@ -192,7 +192,34 @@ object Trend {
       .orderBy(col("moy"))
   }
 
+  /** evt_slo_burn: SLO error-budget burn monitoring (the SRE
+    * multiwindow shape): hourly error rate vs a 20% budget, plus the
+    * 6-hour rolling burn rate that pages before a single bad hour
+    * does. The stream collapses to the O(hours) hourly frame in one
+    * map-side-combined pass; the rolling window runs over that frame
+    * only (ROWS frame — the synthetic stream has no empty hours;
+    * production gaps would use a RANGE frame as in rpt_rolling_7d). */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L))
+             .as("n_errors"))
+    val w6 = W.orderBy(col("hour")).rowsBetween(-5, 0)
+    val roll = sum(col("n_errors")).over(w6).cast("double") /
+               sum(col("n_events")).over(w6).cast("double")
+    hourly
+      .withColumn("err_rate",
+        rnd(col("n_errors").cast("double") / col("n_events").cast("double"), 6))
+      .withColumn("roll_rate_6h", rnd(roll, 6))
+      .withColumn("burn_rate", rnd(col("roll_rate_6h") / 0.20, 4))
+      .withColumn("breach", col("burn_rate") >= 1.2)
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_slo_burn"       -> (sloBurn _),
     "rpt_ewma"           -> (ewma _),
     "rpt_trend_forecast" -> (trendForecast _),
     "evt_stickiness"     -> (stickiness _),
@@ -201,6 +228,30 @@ object Trend {
     "rpt_seasonality"    -> (seasonality _))
 
   val oracles: Map[String, String] = Map(
+    "evt_slo_burn" ->
+      """WITH hourly AS (
+           SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_errors
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT hour, n_events, n_errors,
+                  floor((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                        * 1000000 + 0.5) / 1000000 AS err_rate,
+                  floor((CAST(sum(n_errors) OVER w6 AS DOUBLE) /
+                         CAST(sum(n_events) OVER w6 AS DOUBLE))
+                        * 1000000 + 0.5) / 1000000 AS roll_rate_6h
+           FROM hourly
+           WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING
+                         AND CURRENT ROW)),
+         b AS (
+           SELECT *, floor((roll_rate_6h / 0.20) * 10000 + 0.5) / 10000
+                       AS burn_rate
+           FROM r)
+         SELECT hour, n_events, n_errors, err_rate, roll_rate_6h,
+                burn_rate, burn_rate >= 1.2 AS breach
+         FROM b ORDER BY hour""",
     "rpt_ewma" ->
       """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
                            floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev

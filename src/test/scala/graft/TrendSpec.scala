@@ -109,6 +109,21 @@ class TrendSpec extends AnyFunSuite {
       s"weighted mean seasonal index should be ~1, got ${wsum / n}")
   }
 
+  test("evt_slo_burn accounts for every event and flags breaches consistently") {
+    val rows = operators.Trend.sloBurn(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, Sf)
+    assert(rows.map(_.getAs[Long]("n_events")).sum === ev.count())
+    assert(rows.map(_.getAs[Long]("n_errors")).sum ===
+      ev.filter(col("event_type") === "error").count())
+    rows.foreach { r =>
+      val roll = r.getAs[Double]("roll_rate_6h")
+      assert(roll >= 0.0 && roll <= 1.0)
+      assert(r.getAs[Boolean]("breach") ===
+        (r.getAs[Double]("burn_rate") >= 1.2), r.toString)
+    }
+  }
+
   test("rpt_winsorized broadcasts the per-group cutoffs (no fact shuffle for the join)") {
     val plan = operators.Trend.winsorized(spark, Sf)
       .queryExecution.executedPlan.toString
