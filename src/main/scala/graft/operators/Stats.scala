@@ -79,7 +79,10 @@ object Stats {
     * days(o_orderdate → l_shipdate) per line, event = line FINISHED
     * (l_linestatus = 'F'), right-censored = still open ('O'). The
     * product-limit estimator is computed as exp(Σ ln(1 − d/n)) so the
-    * oracle can express the running product with a window sum. */
+    * oracle can express the running product with a window sum; the
+    * terminal d == n_risk factor (KM S=0) is special-cased in BOTH
+    * engines because ln(0) diverges (DuckDB throws, Spark yields NULL
+    * which sum() would silently skip — survival > 0 where KM says 0). */
   def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
@@ -104,9 +107,17 @@ object Stats {
     g.crossJoin(broadcast(total))
       .withColumn("n_risk",
         col("total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      // terminal factor: when d == n_risk (all remaining at-risk rows
+      // are events — necessarily the last distinct duration) the KM
+      // product is exactly 0; log(1 - d/n) would be log(0). Sum only
+      // the d < n_risk factors and special-case S=0, mirrored in the
+      // oracle's CASE so both expression trees stay identical.
       .withColumn("survival",
-        exp(sum(log(lit(1.0) -
-          col("d").cast("double") / col("n_risk").cast("double"))).over(wCum)))
+        when(col("d") === col("n_risk"), lit(0.0)).otherwise(
+          exp(sum(when(col("d") < col("n_risk"),
+            log(lit(1.0) -
+              col("d").cast("double") / col("n_risk").cast("double"))))
+            .over(wCum))))
       .filter(col("d") > 0)
       .select(col("t").as("t_days"), col("n_risk"),
               col("d").as("d_events"), rnd(col("survival"), 6).as("survival"))
@@ -352,10 +363,12 @@ object Stats {
                         AS BIGINT), 0) AS n_risk
                FROM g),
          s AS (SELECT t, n_risk, d,
-                      exp(sum(ln(1.0 - CAST(d AS DOUBLE)
-                                       / CAST(n_risk AS DOUBLE)))
-                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW)) AS surv
+                      CASE WHEN d = n_risk THEN 0.0 ELSE
+                        exp(sum(CASE WHEN d < n_risk THEN
+                                  ln(1.0 - CAST(d AS DOUBLE)
+                                           / CAST(n_risk AS DOUBLE)) END)
+                            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)) END AS surv
                FROM r)
          SELECT t AS t_days, n_risk, d AS d_events,
                 floor(surv * 1000000 + 0.5) / 1000000 AS survival
