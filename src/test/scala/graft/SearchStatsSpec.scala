@@ -27,8 +27,11 @@ class SearchStatsSpec extends AnyFunSuite {
     val hits = operators.Search.bm25(spark, Sf)
       .select(col("doc_id")).distinct()
     val docs = Tables.documents(spark, Sf)
+    // match against the tokenizer's normalization (lowercase) so a doc
+    // carrying only capitalized forms still counts as containing the term
     val withTerm = docs.filter(
-      col("text").rlike("\\b(spark|merge|window|hash|join|customer|filter|scan|stream)\\b"))
+      lower(col("text"))
+        .rlike("\\b(spark|merge|window|hash|join|customer|filter|scan|stream)\\b"))
       .select(col("doc_id"))
     assert(hits.join(withTerm, Seq("doc_id"), "left_anti").count() === 0,
       "every hit must contain a query term")
