@@ -284,7 +284,151 @@ object TpchExtra {
       .orderBy(col("n_name"))
   }
 
+  /** Deterministically DERIVED partsupp — closes the last TPC-H gap
+    * (Q2/Q11/Q20 need per-(part, supplier) inventory the testdata
+    * lacks). Each part gets 4 suppliers via the stride formula
+    * `(p + i·(S div 4)) mod S` (distinct for S ≥ 4 because
+    * i·(S div 4) < S for i ≤ 3 — the classic TPC-H dbgen spreading
+    * idea); availqty and supply cost are pure integer arithmetic on
+    * (partkey, suppkey), so BOTH engines derive bit-identical rows
+    * from the same parquet inputs — the oracle mirrors this CTE
+    * verbatim. Cost is carried as integer CENTS: Q11's sums and
+    * threshold compare stay in exact BIGINT arithmetic (a double sum
+    * is order-dependent across engines; an integer sum is not).
+    *
+    * Scale: the derivation is one scan of `part` + a 4-row explode —
+    * a pure map, no shuffle (the 1-row supplier count broadcasts).
+    * At 100 TB a real partsupp is a catalog table and this def is the
+    * one line that changes. */
+  private[graft] def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    val sCount = Tables.supplier(spark, dir).agg(count(lit(1)).as("s"))
+    val stride = floor(col("s") / lit(4)).cast("long")
+    val sk = (col("p_partkey") + col("i") * stride) % col("s")
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .crossJoin(broadcast(sCount))
+      .select(col("p_partkey"), col("s"),
+              explode(array((0 to 3).map(i => lit(i.toLong)): _*)).as("i"))
+      .select(col("p_partkey").as("ps_partkey"), sk.as("ps_suppkey"),
+        ((col("p_partkey") * 7 + sk * 3) % 9999 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 31 + sk * 7) % 10000 + 100).as("ps_cost_cents"))
+  }
+
+  /** Shared DuckDB CTE prefix deriving the same partsupp (see
+    * [[partsupp]] — the two expression trees are mirrored on purpose). */
+  private val PartsuppCte =
+    """WITH sc AS (SELECT count(*) AS s FROM supplier),
+       partsupp AS (
+         SELECT p_partkey AS ps_partkey,
+                (p_partkey + i.i * (sc.s // 4)) % sc.s AS ps_suppkey,
+                (p_partkey * 7 + ((p_partkey + i.i * (sc.s // 4)) % sc.s) * 3)
+                  % 9999 + 1 AS ps_availqty,
+                (p_partkey * 31 + ((p_partkey + i.i * (sc.s // 4)) % sc.s) * 7)
+                  % 10000 + 100 AS ps_cost_cents
+         FROM part CROSS JOIN sc
+         CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) i(i))"""
+
+  /** TPC-H Q2 shape: the minimum-cost regional supplier for each
+    * qualifying part. The per-part floor is a groupBy-min over the
+    * REGION-RESTRICTED partsupp slice joined back on
+    * (partkey, min-cost) — the standard decorrelation of Q2's
+    * correlated subquery; ties (two regional suppliers at the same
+    * cost) survive, exactly as in the subquery form. Part filter is
+    * applied BEFORE the min so the aggregate only sees qualifying
+    * parts (per-part mins are independent, so the early filter is
+    * semantics-preserving). The region dim chain is O(1) → broadcast;
+    * the part slice grows with SF → AQE decides (§4 convention). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === "ASIA").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val rs = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pslice = Tables.part(spark, dir)
+      .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), col("p_type"))
+    val rps = partsupp(spark, dir)
+      .join(pslice, col("ps_partkey") === col("p_partkey"))
+      .join(rs, col("ps_suppkey") === col("s_suppkey"))
+    val mc = rps.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_cost_cents")).as("min_cents"))
+    rps.join(mc, col("ps_partkey") === col("mc_partkey") &&
+                 col("ps_cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+              col("ps_partkey").as("p_partkey"), col("p_type"),
+              (col("ps_cost_cents").cast("double") / 100.0).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+               col("p_partkey"), col("ps_supplycost"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape: parts whose inventory value inside a nation
+    * group exceeds 2× the mean per-part share — the group-agg +
+    * scalar-threshold plan. TPC-H's literal `> total · 0.0001`
+    * fraction is SF-dependent (it empties at sf0.1); the mean-share
+    * form is scale-free. ALL value arithmetic is exact BIGINT
+    * (cents × qty; see [[partsupp]]): sums, the 1-row total, and the
+    * threshold compare `value·nparts > total·2` never touch a double,
+    * so engine sum-order cannot flip a row in or out. The 1-row total
+    * broadcasts back over the per-part aggregate — no second scan. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+              .filter(col("n_name").isin("NATION_2", "NATION_7", "NATION_12"))
+              .select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val nps = partsupp(spark, dir)
+      .join(ns, col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+              (col("ps_cost_cents") * col("ps_availqty")).as("v_cents"))
+    val tot = nps.agg(sum(col("v_cents")).as("total_cents"),
+                      countDistinct(col("ps_partkey")).as("nparts"))
+    nps.groupBy(col("ps_partkey"))
+      .agg(sum(col("v_cents")).as("value_cents"))
+      .crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("nparts") > col("total_cents") * 2)
+      .select(col("ps_partkey"),
+              (col("value_cents").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q20 shape: suppliers holding excess stock of a part they
+    * actually shipped in 1996 (availqty > half the year's shipped
+    * quantity), restricted to one region. The shipped-qty aggregate is
+    * exact (integral l_quantity sums are order-independent doubles);
+    * the candidate set reduces through a distinct BEFORE touching the
+    * supplier dim, and the membership test is a left-semi join — no
+    * row multiplication, the Q21/Q22 EXISTS convention. */
+  def q20PromotionSupp(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= "1996-01-01" &&
+              to_date(col("l_shipdate")) < "1997-01-01")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val cand = partsupp(spark, dir)
+      .join(qty, col("ps_partkey") === col("l_partkey") &&
+                 col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("double") > lit(0.5) * col("q"))
+      .select(col("ps_suppkey")).distinct()
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === "ASIA").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.supplier(spark, dir)
+      .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supp"   -> (q2MinCostSupplier _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q20_promotion_supp" -> (q20PromotionSupp _),
     "q7_trade_volume"  -> (q7TradeVolume _),
     "q8_market_share"  -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -299,6 +443,66 @@ object TpchExtra {
     "q22_dormant"      -> (q22Dormant _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supp" -> (PartsuppCte +
+      """,
+         rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'ASIA'),
+         rps AS (SELECT ps.ps_partkey, ps.ps_cost_cents, p.p_type,
+                        rs.s_name, rs.s_acctbal, rs.n_name
+                 FROM partsupp ps
+                 JOIN part p ON p.p_partkey = ps.ps_partkey
+                 JOIN rs ON rs.s_suppkey = ps.ps_suppkey
+                 WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'),
+         mc AS (SELECT ps_partkey, min(ps_cost_cents) AS min_cents
+                FROM rps GROUP BY 1)
+         SELECT r.s_acctbal, r.s_name, r.n_name,
+                r.ps_partkey AS p_partkey, r.p_type,
+                CAST(r.ps_cost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+         FROM rps r
+         JOIN mc ON mc.ps_partkey = r.ps_partkey
+               AND r.ps_cost_cents = mc.min_cents
+         ORDER BY r.s_acctbal DESC, r.n_name, r.s_name, p_partkey,
+                  ps_supplycost
+         LIMIT 100"""),
+    "q11_important_stock" -> (PartsuppCte +
+      """,
+         nps AS (SELECT ps.ps_partkey,
+                        ps.ps_cost_cents * ps.ps_availqty AS v_cents
+                 FROM partsupp ps
+                 JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+                 JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 WHERE n.n_name IN ('NATION_2','NATION_7','NATION_12')),
+         tot AS (SELECT sum(v_cents) AS total_cents,
+                        count(DISTINCT ps_partkey) AS nparts FROM nps),
+         grp AS (SELECT ps_partkey, sum(v_cents) AS value_cents
+                 FROM nps GROUP BY 1)
+         SELECT g.ps_partkey,
+                CAST(g.value_cents AS DOUBLE) / 100.0 AS value
+         FROM grp g CROSS JOIN tot t
+         WHERE g.value_cents * t.nparts > t.total_cents * 2
+         ORDER BY value DESC, g.ps_partkey"""),
+    "q20_promotion_supp" -> (PartsuppCte +
+      """,
+         qty AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+                 FROM lineitem
+                 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                   AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+                 GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT ps.ps_suppkey
+                  FROM partsupp ps
+                  JOIN qty ON qty.l_partkey = ps.ps_partkey
+                         AND qty.l_suppkey = ps.ps_suppkey
+                  WHERE CAST(ps.ps_availqty AS DOUBLE) > 0.5 * qty.q)
+         SELECT s.s_suppkey, s.s_name, n.n_name
+         FROM supplier s
+         JOIN cand ON cand.ps_suppkey = s.s_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'ASIA'
+         ORDER BY s.s_suppkey"""),
     "q7_trade_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                 CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,

@@ -112,4 +112,76 @@ class TpchExtraSpec extends AnyFunSuite {
            GROUP BY 1, 2, 3)""").collect().head.getLong(0)
     assert(rows.length.toLong === naive)
   }
+
+  test("derived partsupp: exactly 4 distinct in-range suppliers per part") {
+    val ps = operators.TpchExtra.partsupp(spark, Sf)
+    val nPart = Tables.part(spark, Sf).count()
+    val nSupp = Tables.supplier(spark, Sf).count()
+    assert(ps.count() === nPart * 4)
+    assert(ps.select(col("ps_partkey"), col("ps_suppkey")).distinct().count()
+      === nPart * 4, "the stride formula must never collide within a part")
+    val bad = ps.filter(col("ps_suppkey") < 0 || col("ps_suppkey") >= nSupp ||
+                        col("ps_availqty") < 1 || col("ps_cost_cents") < 100)
+      .count()
+    assert(bad === 0L, "suppkeys in [0, S), availqty ≥ 1, cost ≥ 100 cents")
+  }
+
+  test("q2_min_cost_supp rows are exactly their part's regional cost floor") {
+    val out = operators.TpchExtra.q2MinCostSupplier(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // every returned (part, cost) must equal the independently
+    // recomputed min over ASIA-region suppliers of that part
+    val asiaSupp = Tables.supplier(spark, Sf)
+      .join(broadcast(Tables.nation(spark, Sf)
+        .join(broadcast(Tables.region(spark, Sf)
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val mins = operators.TpchExtra.partsupp(spark, Sf)
+      .join(asiaSupp, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg((min(col("ps_cost_cents")).cast("double") / 100.0).as("floor_cost"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("ps_supplycost")
+        === mins(r.getAs[Long]("p_partkey")))
+    }
+  }
+
+  test("q11_important_stock: every row clears 2x the mean per-part share") {
+    val out = operators.TpchExtra.q11ImportantStock(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("value"))
+    assert(vals.sameElements(vals.sortBy(-_)), "sorted by value desc")
+    // independent recount of the threshold on the exact cents frame
+    val nat = Tables.nation(spark, Sf)
+      .filter(col("n_name").isin("NATION_2", "NATION_7", "NATION_12"))
+      .select("n_nationkey")
+    val nps = operators.TpchExtra.partsupp(spark, Sf)
+      .join(Tables.supplier(spark, Sf)
+              .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+              .select("s_suppkey"),
+            col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+              (col("ps_cost_cents") * col("ps_availqty")).as("v"))
+    val (total, nparts) = {
+      val r = nps.agg(sum(col("v")), countDistinct(col("ps_partkey")))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val expect = nps.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("vc"))
+      .filter(col("vc") * nparts > total * 2)
+      .count()
+    assert(rows.length.toLong === expect)
+  }
+
+  test("q20_promotion_supp plans the membership test as a left-semi join") {
+    val plan = operators.TpchExtra.q20PromotionSupp(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
 }
