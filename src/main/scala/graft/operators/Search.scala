@@ -109,7 +109,7 @@ object Search {
     * ids = the same 1..3 as the term queries; the embedding of doc i
     * is the dense view of the same item). Ranked on the rounded
     * cosine, self excluded — the ann_topk contract. */
-  private def denseTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def denseTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
@@ -127,16 +127,65 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"))
   }
 
+  /** Indexed dense leg — the 100 TB retrieval shape: candidates come
+    * from the IVF-PQ index (Knn.ivfPqOn — trained coarse quantizer
+    * prunes to the query's nprobe=3 nearest cells, ADC scores byte
+    * codes via the broadcast LUT; the corpus-sized work is a pure-map
+    * encode + one cell-bounded equi-join), then ONLY the ≤80
+    * shortlisted vectors are fetched for an exact cosine rerank (the
+    * rag_rerank contract:
+    * the bounded shortlist broadcasts against the embeddings scan, the
+    * corpus never shuffles and is never cross-joined). Contrast
+    * denseTopK, which scores EVERY embedding against each query — fine
+    * as the oracle baseline, a full-corpus scan per query batch at
+    * scale. SearchIndexedSpec locks the no-BroadcastNestedLoopJoin
+    * plan and the recall floor vs the brute-force leg. */
+  private[graft] def indexedDenseTopK(spark: SparkSession, dir: String,
+                                      k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val shortlist = graft.similarity.Knn.ivfPqOn(spark, e, 80, nprobe = 3)
+      .filter(col("query_id").isin(1L, 2L, 3L))
+      .select(col("query_id").as("sl_query"), col("neighbor_id").as("sl_nb"))
+    val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(shortlist), col("vec_id") === col("sl_nb"))
+      .join(broadcast(q), col("sl_query") === col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+              rnd(VectorFunctions.cosine(col("qv"), col("embedding")), 4)
+                .as("cos_sim"))
+    val top = graft.plans.TopKPerKey(scored, "query_id", "cos_sim", k,
+      tiebreak = Some("doc_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+
   /** rag_hybrid_rrf: reciprocal-rank fusion of the BM25 top-20 (sparse)
     * and cosine top-20 (dense) lists per query — score(d) =
     * Σ_lists 1/(60 + rank_list(d)), the standard RRF combiner. The
     * fused frame is ≤40 rows/query by construction, so the final
     * window ranks a bounded frame regardless of corpus size; absent
     * ranks surface as 0 (not NULL) to keep the schema hash-stable. */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val sparse = bm25TopK(spark, dir, 20)
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(denseTopK(spark, dir, 20), bm25TopK(spark, dir, 20))
+
+  /** rag_hybrid_rrf_indexed: the hybrid entry with its dense leg served
+    * from the IVF-PQ index (indexedDenseTopK) instead of the
+    * brute-force scan — the production default at 100 TB. Fusion,
+    * damping, and output contract are IDENTICAL to rag_hybrid_rrf;
+    * only the dense candidate generator changes. Approximate (IVF cell
+    * misses + PQ quantization in the shortlist) → rows-only;
+    * SearchIndexedSpec pins recall vs the brute-force hybrid. */
+  def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(indexedDenseTopK(spark, dir, 20), bm25TopK(spark, dir, 20))
+
+  /** Shared RRF combiner over two bounded rank lists. */
+  private def rrfFuse(denseIn: DataFrame, sparseIn: DataFrame): DataFrame = {
+    val sparse = sparseIn
       .select(col("query_id"), col("doc_id"), col("rank").as("r_sparse"))
-    val dense = denseTopK(spark, dir, 20)
+    val dense = denseIn
       .select(col("query_id"), col("doc_id"), col("rank").as("r_dense"))
     val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
@@ -177,7 +226,6 @@ object Search {
 
   private[graft] def mmrOn(spark: SparkSession, e: DataFrame,
                            k: Int, lambda: Double): DataFrame = {
-    import spark.implicits._
     VectorFunctions.register(spark)
     val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -189,6 +237,40 @@ object Search {
               col("nv"))
     val top = graft.plans.TopKPerKey(scored, "query_id", "sim_q", 20,
         tiebreak = Some("doc_id"))
+    mmrGreedy(spark, top, k, lambda)
+  }
+
+  /** rag_mmr_indexed: MMR with its candidate generator served from the
+    * IVF-PQ index — the ≤20 candidates per query come from
+    * indexedDenseTopK (cell-pruned ADC shortlist + exact rerank); the
+    * candidate vectors for the redundancy term are fetched by
+    * broadcasting the BOUNDED candidate list against the embeddings
+    * scan (the corpus never cross-joins). The greedy diversification
+    * is byte-identical to rag_mmr's. Approximate → rows-only. */
+  def mmrIndexed(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cand = indexedDenseTopK(spark, dir, 20)
+      .select(col("query_id").as("c_query"), col("doc_id").as("c_doc"))
+    val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = e.join(broadcast(cand), col("vec_id") === col("c_doc"))
+      .join(broadcast(q), col("c_query") === col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+              rnd(VectorFunctions.cosine(col("qv"), col("embedding")), 4)
+                .as("sim_q"),
+              col("embedding").as("nv"))
+    mmrGreedy(spark, top, k = 10, lambda = 0.7)
+  }
+
+  /** The sequential greedy MMR loop over a BOUNDED per-query candidate
+    * frame (query_id, doc_id, sim_q, nv) — shared by the brute-force
+    * and indexed entries; runs inside mapGroups, O(k²·dim) arithmetic
+    * per query. */
+  private def mmrGreedy(spark: SparkSession, candFrame: DataFrame,
+                        k: Int, lambda: Double): DataFrame = {
+    import spark.implicits._
+    val top = candFrame
       .select(col("query_id"), col("doc_id"), col("sim_q"), col("nv"))
       .as[(Long, Long, Double, Seq[Float])]
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
@@ -234,9 +316,11 @@ object Search {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rag_bm25"       -> (bm25 _),
-    "rag_hybrid_rrf" -> (hybridRrf _),
-    "rag_mmr"        -> (mmrRerank _))
+    "rag_bm25"               -> (bm25 _),
+    "rag_hybrid_rrf"         -> (hybridRrf _),
+    "rag_hybrid_rrf_indexed" -> (hybridRrfIndexed _),
+    "rag_mmr"                -> (mmrRerank _),
+    "rag_mmr_indexed"        -> (mmrIndexed _))
 
   private val BaseCtes =
     """WITH q(query_id, term) AS (VALUES

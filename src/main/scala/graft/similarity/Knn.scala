@@ -331,7 +331,8 @@ object Knn {
     * from the corpus to ~N/K_coarse before any scoring work. */
   private def pqSearch(spark: SparkSession, e: DataFrame, k: Int,
       cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
-      cells: Option[DataFrame] = None): DataFrame = {
+      cells: Option[DataFrame] = None,
+      probes: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     val M = cbooks.length
     val subDim = cbooks.head.head.length
@@ -366,9 +367,17 @@ object Knn {
                    .as("contrib"))): _*)).as("x"))
       .select(col("query_id"), col("x.m").as("m"), col("x.cw").as("cw"),
               col("x.contrib").as("contrib"))
-    val lut = cells.map(cf => lut0.join(
-        cf.select(col("vec_id").as("query_id"),
-                  col("cluster").as("q_cluster")), Seq("query_id")))
+    // Query-side cell scope: either the query's own cell (1 row) or —
+    // multi-probe — its nprobe nearest cells. The LUT replicates per
+    // probed cell, but the ADC join's cluster equality lets a
+    // candidate match ONLY the replica of its own cell, so scores are
+    // never double-counted.
+    val lut = cells.map { cf =>
+        val qc = probes.getOrElse(
+          cf.select(col("vec_id").as("query_id"),
+                    col("cluster").as("q_cluster")))
+        lut0.join(qc, Seq("query_id"))
+      }
       .getOrElse(lut0)
     val scored = codes.join(broadcast(lut),
         codes("m") === lut("m") && col("code") === col("cw") &&
@@ -626,8 +635,8 @@ object Knn {
     ivfPqOn(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
 
-  private[graft] def ivfPqOn(spark: SparkSession, e: DataFrame, k: Int)
-      : DataFrame = {
+  private[graft] def ivfPqOn(spark: SparkSession, e: DataFrame, k: Int,
+                             nprobe: Int = 1): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -645,7 +654,29 @@ object Knn {
     val coarse = Await.result(coarseF, Duration.Inf)
     val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
     val cbooks = Await.result(cbooksF, Duration.Inf).toIndexedSeq
-    pqSearch(spark, e, k, cbooks, cells = Some(cells))
+    val probes = if (nprobe <= 1) None
+      else Some(probeClusters(e.filter(isQuery), coarse, nprobe))
+    pqSearch(spark, e, k, cbooks, cells = Some(cells), probes = probes)
+  }
+
+  /** Top-nprobe nearest coarse cells per query — the ivfProbes recall
+    * knob carried into the IVF-PQ composition. Centroids are literals,
+    * so this is a PURE MAP over the (tiny) query set: score all K
+    * cells in-row, sort the K-element struct array, keep nprobe. Same
+    * argmin⇔argmax identity and tie-break as KMeans.assignLiteral, so
+    * nprobe=1 reproduces the assignment exactly. */
+  private[graft] def probeClusters(q: DataFrame,
+      cents: IndexedSeq[Array[Double]], nprobe: Int): DataFrame = {
+    def sqn(c: Array[Double]): Double = c.map(x => x * x).sum
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(2.0) * VectorFunctions.dot(col("embedding"), typedlit(c.toSeq))
+          - lit(sqn(c))).as("s"),
+        lit(-(i + 1)).as("negi"))
+    }: _*)
+    q.select(col("vec_id").as("query_id"),
+        explode(slice(reverse(array_sort(scored)), 1, nprobe)).as("p"))
+      .select(col("query_id"), (-col("p.negi")).as("q_cluster"))
   }
 
   /** Scalar-quantization ANN (the Faiss SQ8 index shape): every

@@ -19,9 +19,38 @@ object UpsertSink {
 
   /** Merge `updates` into the table at `tablePath` keyed by `keyCol`,
     * newest `versionCol` wins (ties: larger version col then input
-    * order is irrelevant — version must be totally ordered per key). */
+    * order is irrelevant — version must be totally ordered per key).
+    *
+    * Commit protocol (the LakeSink.stagedRewrite contract): write the
+    * merged table to a staging dir, then swap via rename(dst→backup) →
+    * rename(staging→dst) → drop backup. At EVERY crash point the full
+    * table exists as dst, the backup, or the completed staging copy —
+    * there is no delete-before-replace window. On entry, a prior
+    * mid-swap crash (dst absent) is recovered FIRST: roll forward to a
+    * staging copy that finished (its _SUCCESS marker exists — an
+    * incomplete write never has one), else roll back to the backup.
+    * Because the merge itself is an idempotent upsert, a re-delivered
+    * micro-batch after any such restart lands exactly-once —
+    * UpsertSinkSpec drives each crash state. */
   def mergeBatch(spark: SparkSession, tablePath: String, updates: DataFrame,
                  keyCol: String, versionCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(tablePath)
+    val staging = new Path(tablePath + "_staging")
+    val backup = new Path(tablePath + "_bak")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) {
+      // crashed between the two renames (or before the first batch —
+      // then neither recovery source exists and the table is empty)
+      if (fs.exists(new Path(staging, "_SUCCESS")) && fs.rename(staging, dst)) {
+        // rolled forward to the completed merged copy
+      } else if (fs.exists(backup) && fs.rename(backup, dst)) {
+        // rolled back to the pre-merge table
+      }
+    }
+    // dst (if any) is live — stale leftovers are now safe to clear
+    fs.delete(staging, true)
+    fs.delete(backup, true)
     val existing =
       try spark.read.parquet(tablePath)
       catch { case _: Exception => spark.createDataFrame(
@@ -33,14 +62,20 @@ object UpsertSink {
       .drop("_rn")
       .cache() // fully materialize before overwriting the source path
     merged.count()
-    val staging = tablePath + "_staging"
-    merged.write.mode("overwrite").parquet(staging)
+    merged.write.mode("overwrite").parquet(staging.toString)
     merged.unpersist()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(tablePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    if (fs.exists(dst) && !fs.rename(dst, backup)) {
+      throw new java.io.IOException(
+        s"mergeBatch: rename($dst -> $backup) failed — table untouched")
+    }
+    if (!fs.rename(staging, dst)) {
+      // dst is absent but staging is COMPLETE (_SUCCESS written) and
+      // backup holds the previous table — the entry recovery above
+      // repairs this state on the next batch; never drop data here
+      throw new java.io.IOException(
+        s"mergeBatch: rename($staging -> $dst) failed (backup at $backup)")
+    }
+    fs.delete(backup, true)
   }
 
   /** Attach the upsert sink to a stream: one merge per micro-batch. */

@@ -22,6 +22,13 @@ class PersistedLabelsSpec extends AnyFunSuite {
         === rows(dedup.Dedup.canonical(spark, Sf)))
       assert(rows(operators.Sampling.softDedupPersisted(spark, Sf, s"$dir/labels"))
         === rows(operators.Sampling.softDedup(spark, Sf)))
+      // the shipped dedup_canonical entry (cached-labels production
+      // path, round 7) must equal the inline oracle-checked form too —
+      // run twice so both the build-labels and cache-hit paths verify
+      assert(rows(dedup.Dedup.canonicalEntry(spark, Sf))
+        === rows(dedup.Dedup.canonical(spark, Sf)))
+      assert(rows(dedup.Dedup.canonicalEntry(spark, Sf))
+        === rows(dedup.Dedup.canonical(spark, Sf)))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
