@@ -128,10 +128,12 @@ object Search {
   }
 
   /** Indexed dense leg — the 100 TB retrieval shape: candidates come
-    * from the IVF-PQ index (Knn.ivfPqOn — trained coarse quantizer
-    * prunes to the query's nprobe=3 nearest cells, ADC scores byte
-    * codes via the broadcast LUT; the corpus-sized work is a pure-map
-    * encode + one cell-bounded equi-join), then ONLY the ≤80
+    * from the PERSISTED IVF-PQ index (AnnIndex.ivfPqCached — built
+    * once per corpus fingerprint, served from the codes table: the
+    * query probes its nprobe=3 nearest cells from the literal coarse
+    * centroids and ADC scores byte codes via the broadcast LUT; the
+    * corpus-sized work at query time is ONE scan of the codes table —
+    * no training, no encode, no raw-vector touch), then ONLY the ≤80
     * shortlisted vectors are fetched for an exact cosine rerank (the
     * rag_rerank contract:
     * the bounded shortlist broadcasts against the embeddings scan, the
@@ -144,7 +146,10 @@ object Search {
                                       k: Int): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val shortlist = graft.similarity.Knn.ivfPqOn(spark, e, 80, nprobe = 3)
+    val (cbooks, coarse, codes) =
+      graft.similarity.AnnIndex.ivfPqCached(spark, dir)
+    val shortlist = graft.similarity.Knn
+      .ivfPqServe(spark, e, 80, nprobe = 3, cbooks, coarse, codes)
       .filter(col("query_id").isin(1L, 2L, 3L))
       .select(col("query_id").as("sl_query"), col("neighbor_id").as("sl_nb"))
     val q = e.filter(col("vec_id").isin(1L, 2L, 3L))

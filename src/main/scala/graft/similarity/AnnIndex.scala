@@ -1,0 +1,72 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tools.CorpusCache
+
+/** Persisted IVF-PQ index — the offline-build / online-serve split a
+  * production ANN deployment actually runs (Faiss builds IndexIVFPQ
+  * once and mmaps it; the Spark-lake equivalent is a codes table +
+  * a tiny codebook table, rebuilt only when the corpus changes):
+  *
+  *  - BUILD (once per corpus fingerprint): train the coarse quantizer
+  *    + M sub-codebooks (Knn.ivfPqFit — M+1 concurrent Lloyd fits),
+  *    encode every vector to (cluster, M byte codes) in one pure-map
+  *    scan, and persist: `codes/` range-clustered on `cluster` via
+  *    LakeSink (per-file min/max lets a cell-pruned read skip files)
+  *    and `model/` holding the ~5 KB of centroids as rows.
+  *  - SERVE (every query batch): read the codes table — never the raw
+  *    embeddings — probe nprobe cells from the literal coarse
+  *    centroids, ADC-rank through the broadcast LUT (Knn.ivfPqServe).
+  *
+  * The cache key is the corpus file's (mtime, length) fingerprint
+  * (CorpusCache), so testdata regeneration invalidates the index.
+  * AnnIndexSpec proves served output ≡ the inline-trained ivfPqOn and
+  * that the second call is a pure cache hit. */
+object AnnIndex {
+
+  /** Build-or-load the index for `dir`'s embeddings table. Returns
+    * (sub-codebooks, coarse centroids, codes frame); the codes frame
+    * is (vec_id, cluster, m, code) read lazily from the cache. */
+  def ivfPqCached(spark: SparkSession, dir: String)
+      : (IndexedSeq[IndexedSeq[Array[Double]]], IndexedSeq[Array[Double]],
+         DataFrame) = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val cache = CorpusCache.dirFor(dir, "embeddings", "ivfpq")
+    val modelPath = new java.io.File(cache, "model").getPath
+    val codesPath = new java.io.File(cache, "codes").getPath
+    if (!CorpusCache.isBuilt(new java.io.File(cache, "model"))) {
+      val e = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val (cbooks, coarse) = Knn.ivfPqFit(e)
+      val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
+      val codes = Knn.pqEncode(e, cbooks).join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("m"), col("code"))
+      // codes first: the model dir's _SUCCESS is the build-complete
+      // marker, so it must be the LAST thing written (a crash between
+      // the two writes leaves an unbuilt cache, not a torn index)
+      graft.sinks.LakeSink.writeClustered(codes, codesPath, nFiles = 4,
+        col("cluster"))
+      val modelRows =
+        coarse.zipWithIndex.map { case (v, i) =>
+          (-1, i + 1, v.toSeq) } ++
+        (for { m <- cbooks.indices; cw <- cbooks(m).indices }
+          yield (m, cw + 1, cbooks(m)(cw).toSeq))
+      modelRows.toDF("m", "cw", "vec").coalesce(1)
+        .write.mode("overwrite").parquet(modelPath)
+    }
+    // load the ~5 KB model (bounded parameter — the codebook-collect
+    // contract); codes stay a lazy frame
+    val rows = spark.read.parquet(modelPath)
+      .select(col("m"), col("cw"), col("vec"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val coarse = rows.filter(_._1 == -1).sortBy(_._2)
+      .map(_._3.toArray).toIndexedSeq
+    val cbooks = rows.filter(_._1 >= 0).groupBy(_._1).toIndexedSeq
+      .sortBy(_._1)
+      .map { case (_, cws) => cws.sortBy(_._2).map(_._3.toArray).toIndexedSeq }
+    (cbooks, coarse, spark.read.parquet(codesPath))
+  }
+}

@@ -333,30 +333,66 @@ object Knn {
       cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
       cells: Option[DataFrame] = None,
       probes: Option[DataFrame] = None): DataFrame = {
-    VectorFunctions.register(spark)
+    val codes0 = pqEncode(e, cbooks)
+    val codes = cells.map(cf => codes0.join(cf, Seq("vec_id")))
+      .getOrElse(codes0)
+    // Query-side cell scope: either the query's own cell (1 row) or —
+    // multi-probe — its nprobe nearest cells (see adcRank for the
+    // no-double-count argument).
+    val qCells = cells.map { cf =>
+      probes.getOrElse(
+        cf.select(col("vec_id").as("query_id"),
+                  col("cluster").as("q_cluster")))
+    }
+    adcRank(spark, codes, e, k, cbooks, qCells)
+  }
+
+  /** Corpus encode: one row per (vector, subspace); the best codeword
+    * is a codegen'd argmax — array_max over K (score, -cw) structs
+    * built from literal codewords. No join, no aggregate, NO SHUFFLE:
+    * at 100 TB the encode is a scan (contrast: a groupBy(vec_id, m)
+    * max_by plans a SortAggregate over the N×M×K expanded product).
+    * In production this output IS the persisted index payload
+    * (AnnIndex.ivfPqCached writes it once per corpus). */
+  private[graft] def pqEncode(e: DataFrame,
+      cbooks: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
     val M = cbooks.length
     val subDim = cbooks.head.head.length
     val codebook: IndexedSeq[IndexedSeq[Column]] =
       cbooks.map(_.map(v => typedlit(v.toSeq)))
-    // Encode: one row per (vector, subspace); the best codeword is a
-    // codegen'd argmax — array_max over K (score, -cw) structs built
-    // from literal codewords. No join, no aggregate, NO SHUFFLE: at
-    // 100 TB the encode is a scan (contrast: a groupBy(vec_id, m)
-    // max_by plans a SortAggregate over the N×M×K expanded product).
     def sub(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
     def bestCode(sv: Column, m: Int): Column =
       -array_max(array(codebook(m).zipWithIndex.map { case (cv, i) =>
         struct(VectorFunctions.dot(sv, cv).as("d"),
                lit(-(i + 1)).as("negcw"))
       }: _*)).getField("negcw")
-    val codes0 = e
-      .select(col("vec_id"), explode(array((0 until M).map { m =>
+    e.select(col("vec_id"), explode(array((0 until M).map { m =>
         struct(lit(m).as("m"),
                bestCode(sub(col("embedding"), m), m).as("code"))
       }: _*)).as("mc"))
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
-    val codes = cells.map(cf => codes0.join(cf, Seq("vec_id")))
-      .getOrElse(codes0)
+  }
+
+  /** Query-time ADC over an already-encoded candidate frame `codes`
+    * ((vec_id, m, code) plus `cluster` iff `qCells` is given) — the
+    * serving half of every PQ path, shared by the inline entries and
+    * the persisted-index path: each query precomputes its M×K LUT of
+    * subspace dot products (tiny, broadcast), a candidate's score is
+    * the hash-summed LUT entries selected by its codes, and the final
+    * ranking is the TopKPerKey bounded heap. With multi-probe qCells
+    * the LUT replicates per probed cell, but the join's cluster
+    * equality lets a candidate match ONLY the replica of its own cell,
+    * so scores are never double-counted. */
+  private[graft] def adcRank(spark: SparkSession, codes: DataFrame,
+      e: DataFrame, k: Int,
+      cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
+      qCells: Option[DataFrame]): DataFrame = {
+    VectorFunctions.register(spark)
+    val M = cbooks.length
+    val subDim = cbooks.head.head.length
+    val codebook: IndexedSeq[IndexedSeq[Column]] =
+      cbooks.map(_.map(v => typedlit(v.toSeq)))
+    def sub(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
     // Query LUT: every (subspace, codeword) dot product per query —
     // M×K tiny rows per query, broadcast.
     val lut0 = e.filter(isQuery)
@@ -367,22 +403,12 @@ object Knn {
                    .as("contrib"))): _*)).as("x"))
       .select(col("query_id"), col("x.m").as("m"), col("x.cw").as("cw"),
               col("x.contrib").as("contrib"))
-    // Query-side cell scope: either the query's own cell (1 row) or —
-    // multi-probe — its nprobe nearest cells. The LUT replicates per
-    // probed cell, but the ADC join's cluster equality lets a
-    // candidate match ONLY the replica of its own cell, so scores are
-    // never double-counted.
-    val lut = cells.map { cf =>
-        val qc = probes.getOrElse(
-          cf.select(col("vec_id").as("query_id"),
-                    col("cluster").as("q_cluster")))
-        lut0.join(qc, Seq("query_id"))
-      }
+    val lut = qCells.map(qc => lut0.join(qc, Seq("query_id")))
       .getOrElse(lut0)
     val scored = codes.join(broadcast(lut),
         codes("m") === lut("m") && col("code") === col("cw") &&
         col("vec_id") =!= col("query_id") &&
-        (if (cells.isDefined) col("cluster") === col("q_cluster")
+        (if (qCells.isDefined) col("cluster") === col("q_cluster")
          else lit(true)))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("contrib")).as("adc_raw"))
@@ -394,6 +420,21 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"),
               rnd(col("adc_raw"), 4).as("adc_score"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ SERVING against a persisted index (AnnIndex.ivfPqCached):
+    * the corpus-side work is a scan of the (vec_id, cluster, m, code)
+    * codes table — no training, no encode, no raw-vector touch; the
+    * query side probes its nprobe nearest cells from the literal
+    * coarse centroids and ADC-ranks through the broadcast LUT. This is
+    * the query-time cost profile a production ANN deployment actually
+    * has (the index is built offline, once per corpus). */
+  private[graft] def ivfPqServe(spark: SparkSession, e: DataFrame, k: Int,
+      nprobe: Int, cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
+      coarse: IndexedSeq[Array[Double]], codes: DataFrame): DataFrame = {
+    VectorFunctions.register(spark)
+    adcRank(spark, codes, e, k, cbooks,
+      Some(probeClusters(e.filter(isQuery), coarse, nprobe)))
   }
 
   /** PQ/ADC top-10 over the embeddings table (see pqTopK). */
@@ -637,14 +678,25 @@ object Knn {
 
   private[graft] def ivfPqOn(spark: SparkSession, e: DataFrame, k: Int,
                              nprobe: Int = 1): DataFrame = {
+    VectorFunctions.register(spark)
+    val (cbooks, coarse) = ivfPqFit(e)
+    val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
+    val probes = if (nprobe <= 1) None
+      else Some(probeClusters(e.filter(isQuery), coarse, nprobe))
+    pqSearch(spark, e, k, cbooks, cells = Some(cells), probes = probes)
+  }
+
+  /** The IVF-PQ model fit (coarse quantizer + M sub-codebooks) shared
+    * by the inline entry and the persisted-index builder. The coarse
+    * quantizer and the M sub-codebooks are independent trainings — all
+    * M+1 Lloyd fits run concurrently (separate Spark jobs share the
+    * session) so the critical path is ONE fit, not two. */
+  private[graft] def ivfPqFit(e: DataFrame)
+      : (IndexedSeq[IndexedSeq[Array[Double]]], IndexedSeq[Array[Double]]) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    VectorFunctions.register(spark)
     val M = 4; val subDim = 16; val K = 16; val CoarseK = 8
-    // the coarse quantizer and the M sub-codebooks are independent
-    // trainings — run all M+1 Lloyd fits concurrently (separate Spark
-    // jobs share the session) so the critical path is ONE fit, not two
     val coarseF = Future { KMeans.fit(e, CoarseK, 3)._1 }
     val cbooksF = Future.sequence((0 until M).map { m => Future {
         KMeans.fit(e.select(col("vec_id"),
@@ -652,11 +704,7 @@ object Knn {
           K, 3)._1
       }})
     val coarse = Await.result(coarseF, Duration.Inf)
-    val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
-    val cbooks = Await.result(cbooksF, Duration.Inf).toIndexedSeq
-    val probes = if (nprobe <= 1) None
-      else Some(probeClusters(e.filter(isQuery), coarse, nprobe))
-    pqSearch(spark, e, k, cbooks, cells = Some(cells), probes = probes)
+    (Await.result(cbooksF, Duration.Inf).toIndexedSeq, coarse)
   }
 
   /** Top-nprobe nearest coarse cells per query — the ivfProbes recall

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF-PQ index (similarity/AnnIndex.scala): build once
+  * per corpus fingerprint, serve from the codes table. The contract is
+  * the dedup persisted-labels one — served output IDENTICAL to the
+  * inline-trained form, second call a pure cache hit. */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("served IVF-PQ equals the inline-trained form, and reloads hit the cache") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cbooks, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
+    val served = rows(similarity.Knn
+      .ivfPqServe(spark, e, 10, nprobe = 3, cbooks, coarse, codes))
+    // identical training (same deterministic Lloyd fits) → identical
+    // codebooks → byte-identical search results
+    val inline = rows(similarity.Knn.ivfPqOn(spark, e, 10, nprobe = 3))
+    assert(served === inline)
+
+    // second call must load, not rebuild: the model payload on disk
+    // stays byte-identical (mtime check) and the result reproduces
+    val cache = tools.CorpusCache.dirFor(Sf, "embeddings", "ivfpq")
+    val modelSuccess = new java.io.File(s"$cache/model/_SUCCESS")
+    assert(modelSuccess.exists())
+    val mtime = modelSuccess.lastModified()
+    val (cb2, co2, codes2) = similarity.AnnIndex.ivfPqCached(spark, Sf)
+    assert(modelSuccess.lastModified() === mtime, "cache was rebuilt")
+    assert(rows(similarity.Knn
+      .ivfPqServe(spark, e, 10, nprobe = 3, cb2, co2, codes2)) === served)
+  }
+
+  test("codes table is the full corpus encoding, range-clustered by cell") {
+    val (_, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(codes.count() === n * 4, "M=4 code rows per vector")
+    assert(codes.select("vec_id").distinct().count() === n)
+    val maxCluster = codes.agg(max(col("cluster"))).head.getInt(0)
+    assert(maxCluster <= coarse.length)
+  }
+}
