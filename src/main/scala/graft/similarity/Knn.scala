@@ -433,8 +433,20 @@ object Knn {
       nprobe: Int, cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
       coarse: IndexedSeq[Array[Double]], codes: DataFrame): DataFrame = {
     VectorFunctions.register(spark)
-    adcRank(spark, codes, e, k, cbooks,
-      Some(probeClusters(e.filter(isQuery), coarse, nprobe)))
+    val probes = probeClusters(e.filter(isQuery), coarse, nprobe)
+    // The probed cell set is a bounded model-sized value (≤ |queries| ×
+    // nprobe ids), so it is collected and pushed as a LITERAL IN filter
+    // on the codes scan: the codes table is range-clustered on
+    // `cluster` (AnnIndex), so parquet min/max skipping drops every
+    // file outside the probed cells — at 100 TB the serve reads
+    // ~nprobe/K_coarse of the index instead of all of it. (The join's
+    // cluster equality alone cannot prune the scan — it is a join
+    // condition, not a pushable predicate.)
+    val probedCells = probes.select(col("q_cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val prunedCodes =
+      codes.filter(col("cluster").isin(probedCells.map(Integer.valueOf): _*))
+    adcRank(spark, prunedCodes, e, k, cbooks, Some(probes))
   }
 
   /** PQ/ADC top-10 over the embeddings table (see pqTopK). */

@@ -36,6 +36,19 @@ class AnnIndexSpec extends AnyFunSuite {
       .ivfPqServe(spark, e, 10, nprobe = 3, cb2, co2, codes2)) === served)
   }
 
+  test("serving pushes the probed-cell filter into the codes scan") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cbooks, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
+    val plan = similarity.Knn
+      .ivfPqServe(spark, e, 10, nprobe = 2, cbooks, coarse, codes)
+      .queryExecution.executedPlan.toString
+    // the literal IN filter must reach the parquet scan (file/row-group
+    // skipping on the range-clustered cluster column) — a join-only
+    // cluster equality cannot prune the scan
+    assert(plan.contains("PushedFilters: [In(cluster"), plan.take(3000))
+  }
+
   test("codes table is the full corpus encoding, range-clustered by cell") {
     val (_, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
     val n = Tables.embeddings(spark, Sf).count()

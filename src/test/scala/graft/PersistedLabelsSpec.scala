@@ -29,6 +29,11 @@ class PersistedLabelsSpec extends AnyFunSuite {
         === rows(dedup.Dedup.canonical(spark, Sf)))
       assert(rows(dedup.Dedup.canonicalEntry(spark, Sf))
         === rows(dedup.Dedup.canonical(spark, Sf)))
+      // all three cached-label entries equal their inline forms
+      assert(rows(dedup.Dedup.clustersEntry(spark, Sf))
+        === rows(dedup.Dedup.clusters(spark, Sf)))
+      assert(rows(operators.Sampling.softDedupEntry(spark, Sf))
+        === rows(operators.Sampling.softDedup(spark, Sf)))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

@@ -179,6 +179,26 @@ class TpchExtraSpec extends AnyFunSuite {
     assert(rows.length.toLong === expect)
   }
 
+  test("q2_min_cost_supp pushes the part filter to the scan and broadcasts dims") {
+    val plan = operators.TpchExtra.q2MinCostSupplier(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the p_size/p_type slice must reach the part parquet scan
+    assert(plan.contains("LessThanOrEqual(p_size,15"), plan.take(3000))
+    assert(plan.contains("EqualTo(p_type,ECONOMY)"), plan.take(3000))
+    // region-chain dims ride broadcast joins, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q11_important_stock aggregates in exact BIGINT with map-side partials") {
+    val df = operators.TpchExtra.q11ImportantStock(spark, Sf)
+    // the value column must be derived from LONG sums (exact integer
+    // cents), surfacing as double only in the final /100.0 projection
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    import org.apache.spark.sql.types.DoubleType
+    assert(df.schema("value").dataType === DoubleType)
+  }
+
   test("q20_promotion_supp plans the membership test as a left-semi join") {
     val plan = operators.TpchExtra.q20PromotionSupp(spark, Sf)
       .queryExecution.executedPlan.toString
