@@ -41,9 +41,7 @@ object AnnIndex {
       val e = graft.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val (cbooks, coarse) = Knn.ivfPqFit(e)
-      val cells = KMeans.assign(e, coarse).select(col("vec_id"), col("cluster"))
-      val codes = Knn.pqEncode(e, cbooks).join(cells, Seq("vec_id"))
-        .select(col("vec_id"), col("cluster"), col("m"), col("code"))
+      val codes = ivfPqAdd(e, cbooks, coarse)
       // codes first: the model dir's _SUCCESS is the build-complete
       // marker, so it must be the LAST thing written (a crash between
       // the two writes leaves an unbuilt cache, not a torn index)
@@ -68,5 +66,25 @@ object AnnIndex {
       .sortBy(_._1)
       .map { case (_, cws) => cws.sortBy(_._2).map(_._3.toArray).toIndexedSeq }
     (cbooks, coarse, spark.read.parquet(codesPath))
+  }
+
+  /** Incremental ADD — the Faiss `add()` path: encode a NEW vector
+    * batch against the FIXED trained model (coarse + sub-codebooks)
+    * with no retrain — two pure map passes (cell assign + PQ encode)
+    * and a narrow join on vec_id, so a daily embedding increment costs
+    * O(|batch|) regardless of corpus size. In production the result
+    * appends to the persisted codes table on the same cluster
+    * range-clustering (LakeSink append), and the model retrains only
+    * on measured drift. The build's own full-corpus encode IS this
+    * function (ivfPqCached calls it), so add-encoding ≡ what a full
+    * re-encode with the same model gives — AnnIndexSpec additionally
+    * proves served-output identity between append and re-encode. */
+  def ivfPqAdd(newVecs: DataFrame,
+               cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
+               coarse: IndexedSeq[Array[Double]]): DataFrame = {
+    val cells = KMeans.assign(newVecs, coarse)
+      .select(col("vec_id"), col("cluster"))
+    Knn.pqEncode(newVecs, cbooks).join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("m"), col("code"))
   }
 }

@@ -49,6 +49,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(cluster"), plan.take(3000))
   }
 
+  test("incremental add: append ≡ re-encode, and serving from it is identical") {
+    val all = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cbooks, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
+    // split the corpus; encode each half through the FIXED model and
+    // union — must equal re-encoding everything with that model (the
+    // append path can never drift from a rebuild that reuses the model)
+    val corpus = all.filter(col("vec_id") % 5 =!= 0)
+    val batch = all.filter(col("vec_id") % 5 === 0)
+    val appended = similarity.AnnIndex.ivfPqAdd(corpus, cbooks, coarse)
+      .union(similarity.AnnIndex.ivfPqAdd(batch, cbooks, coarse))
+    val reencoded = similarity.AnnIndex.ivfPqAdd(all, cbooks, coarse)
+    val key = Seq("vec_id", "m")
+    assert(appended.orderBy(key.map(col): _*).collect().toSeq ===
+           reencoded.orderBy(key.map(col): _*).collect().toSeq)
+    // and SERVING from the appended union is byte-identical to serving
+    // from the persisted codes table (same model ⇒ same ADC ranking)
+    assert(rows(similarity.Knn
+      .ivfPqServe(spark, all, 10, nprobe = 3, cbooks, coarse, appended)) ===
+      rows(similarity.Knn
+        .ivfPqServe(spark, all, 10, nprobe = 3, cbooks, coarse, codes)))
+  }
+
   test("codes table is the full corpus encoding, range-clustered by cell") {
     val (_, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
     val n = Tables.embeddings(spark, Sf).count()

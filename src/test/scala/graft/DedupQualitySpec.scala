@@ -235,6 +235,80 @@ class DedupQualitySpec extends AnyFunSuite {
       "verify input must be a strict subset of the corpus")
   }
 
+  test("ngram-incremental: batch near-dups of corpus detected, no self-pairing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 400 docs of per-id vocabulary, EXCEPT ids 200..399 repeat the text
+    // of id-200 (a near-dup partner across the md5 batch/corpus split,
+    // whichever side each id lands on)
+    val docs = (0 until 400).map { i =>
+      val base = if (i >= 200) i - 200 else i
+      val words = (0 until 30).map(j => s"v${base}_$j")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = dedup.Dedup.ngramIncrementalOn(docs)
+    val isBatch = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) == 0
+    }
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.get(2)).map(_.toString.toLong)))
+      .toMap
+    // output universe is EXACTLY the batch split
+    assert(rows.keySet === (0L until 400L).filter(isBatch).toSet)
+    rows.foreach { case (id, (verdict, matched)) =>
+      val partner = if (id >= 200) id - 200 else id + 200
+      if (!isBatch(partner)) {
+        // exact-copy partner sits in the corpus → must be found
+        assert(verdict === "near_dup_of_corpus", s"doc $id: $verdict")
+        assert(matched.contains(partner), s"doc $id matched $matched")
+      } else {
+        // partner is ALSO in the batch: batch never self-pairs, and no
+        // other corpus doc shares vocabulary → verdict must be new
+        assert(verdict === "new", s"doc $id: $verdict (batch self-pair?)")
+        assert(matched.isEmpty)
+      }
+    }
+  }
+
+  test("embed-incremental: planted batch near-dups found, corpus never self-pairs") {
+    import spark.implicits._
+    // 400 unit-ish vectors in one label block: ids 200..399 copy the
+    // direction of id-200 (cos = 1.0 with the partner, ~0 with others)
+    val rnd64 = new scala.util.Random(7)
+    val dirs = (0 until 200).map(_ => Array.fill(64)(rnd64.nextGaussian().toFloat))
+    val e = (0 until 400).map { i =>
+      (i.toLong, 1, dirs(i % 200).clone())
+    }.toDF("vec_id", "label", "embedding")
+    val out = dedup.Dedup.embedIncrementalOn(e)
+    val isBatch = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) == 0
+    }
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), Option(r.get(2)).map(_.toString.toLong)))
+      .toMap
+    assert(rows.keySet === (0L until 400L).filter(isBatch).toSet)
+    var plantedChecked = 0
+    rows.foreach { case (id, (verdict, matched)) =>
+      val partner = if (id >= 200) id - 200 else id + 200
+      if (!isBatch(partner)) {
+        assert(verdict === "near_dup_of_corpus", s"vec $id: $verdict")
+        assert(matched.contains(partner), s"vec $id matched $matched")
+        plantedChecked += 1
+      } else {
+        // partner also in batch: batch never self-pairs; 64-dim random
+        // directions stay below the 0.9 near-dup bar
+        assert(verdict !== "near_dup_of_corpus", s"vec $id: $verdict")
+      }
+    }
+    assert(plantedChecked > 0)
+  }
+
   test("minhash-verified pairs are a precision-1.0 subset of exact jaccard") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
