@@ -68,6 +68,62 @@ object AnnIndex {
     (cbooks, coarse, spark.read.parquet(codesPath))
   }
 
+  /** Index-DRIFT monitor — operationalizes the retrain trigger the add
+    * path defers to ("retrain only on measured drift"): per coarse
+    * cell, the build-time occupancy read from the persisted codes
+    * table (the index itself is the baseline — no extra stats table to
+    * version) vs the CURRENT corpus's assignment under the same frozen
+    * centroids, scored with the standard PSI drift term per cell plus
+    * the live mean quantization distance (the inertia the cell now
+    * pays under the stale centroids). Production rule: retrain when
+    * Σ psi_term crosses ~0.2 (the etl_psi_drift convention) or the
+    * quantization distance trends up.
+    *
+    * Scale: the baseline is a column-pruned scan of the codes table
+    * (one m-slice → one count per cell), the current side is a
+    * pure-map literal-centroid assign + one partial-agg count — both
+    * sides reduce to ≤K_coarse rows before the join. */
+  def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val (_, coarse, codes) = ivfPqCached(spark, dir)
+    val base = codes.filter(col("m") === 0)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    driftFrom(base, e, coarse)
+  }
+
+  /** Frame-level core: `base` is (cluster, n_base); the spec plants a
+    * shifted corpus through it to prove drift is detected. */
+  private[graft] def driftFrom(base: DataFrame, e: DataFrame,
+                               coarse: IndexedSeq[Array[Double]]): DataFrame = {
+    import graft.functions.Num.rnd
+    val now = KMeans.assign(e, coarse)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_now"),
+           avg(col("sqdist")).as("msd"))
+    val joined = base.join(now, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        coalesce(col("msd"), lit(0.0)).as("msd"))
+    // totals via a window over the ≤K_coarse-row cell frame (NOT the
+    // corpus): single-partition is fine on a model-sized frame and
+    // avoids an eager second pass over the aggregation
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val tb = greatest(sum(col("n_base")).over(all), lit(1L))
+    val tn = greatest(sum(col("n_now")).over(all), lit(1L))
+    // PSI with the usual epsilon floor so empty cells stay finite
+    val eps = lit(1e-6)
+    val fb = greatest(col("n_base") / tb.cast("double"), eps)
+    val fn = greatest(col("n_now") / tn.cast("double"), eps)
+    joined.select(col("cluster"), col("n_base"), col("n_now"),
+        rnd(fb, 6).as("frac_base"), rnd(fn, 6).as("frac_now"),
+        rnd((fn - fb) * log(fn / fb), 6).as("psi_term"),
+        rnd(col("msd"), 4).as("mean_sqdist_now"))
+      .orderBy(col("cluster"))
+  }
+
   /** Incremental ADD — the Faiss `add()` path: encode a NEW vector
     * batch against the FIXED trained model (coarse + sub-codebooks)
     * with no retrain — two pure map passes (cell assign + PQ encode)

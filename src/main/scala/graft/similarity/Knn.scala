@@ -888,7 +888,8 @@ object Knn {
     "ann_pq_trained"    -> (pqTrained _),
     "ann_rq_trained"    -> (rqTrained _),
     "rag_retrieve"      -> (retrieve _),
-    "rag_rerank"        -> (rerank _))
+    "rag_rerank"        -> (rerank _),
+    "ann_drift_monitor" -> (AnnIndex.driftMonitor _))
 
   private val topkOracle: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -72,6 +72,31 @@ class AnnIndexSpec extends AnyFunSuite {
         .ivfPqServe(spark, all, 10, nprobe = 3, cbooks, coarse, codes)))
   }
 
+  test("drift monitor: zero drift on the build corpus, detects a planted shift") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+    val out = similarity.AnnIndex.driftMonitor(spark, Sf).collect()
+    // static corpus under its own index: every cell's now == base
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_base") === r.getAs[Long]("n_now"))
+      assert(math.abs(r.getAs[Double]("psi_term")) < 1e-9)
+    }
+    // planted covariate shift (constant translation): all vectors move
+    // toward one direction, occupancy collapses into the nearest cells
+    // — must cross the retrain threshold. (A negation would NOT: the
+    // synthetic corpus is ~symmetric, so cells permute but the
+    // occupancy histogram barely moves — PSI correctly stays low.)
+    val (_, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
+    val base = codes.filter(col("m") === 0)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val shifted = e.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(5.0)))
+    val psi = similarity.AnnIndex.driftFrom(base, shifted, coarse)
+      .agg(sum(col("psi_term"))).head.getDouble(0)
+    assert(psi > 0.2, s"planted shift not detected: psi=$psi")
+  }
+
   test("codes table is the full corpus encoding, range-clustered by cell") {
     val (_, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
     val n = Tables.embeddings(spark, Sf).count()
