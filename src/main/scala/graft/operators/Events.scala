@@ -25,6 +25,22 @@ import graft.functions.Num.rnd
   */
 object Events {
 
+  /** Batch entry for the streaming PSI drift monitor (round 7): the
+    * per-6h-window value-distribution PSI against the whole-corpus
+    * baseline, computed by the SAME code the stream runs
+    * (streaming.DriftStream.windowedPsi — withWatermark is a no-op in
+    * batch), so the oracle checking this entry checks the streaming
+    * math too. Baseline fractions are a B-double model parameter
+    * (bounded collect, the codebook contract); the aggregate is one
+    * map-side-combined pass with PSI assembled in-row. */
+  def psiWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("ts"), col("value"))
+      .filter(col("value").isNotNull)
+    val baseline = graft.streaming.DriftStream.baselineFromStatic(e)
+    graft.streaming.DriftStream.windowedPsi(e, baseline)
+      .orderBy(col("window_start"))
+  }
+
   /** Tumbling 1-hour window × event_type aggregation. */
   def windowHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -460,6 +476,7 @@ object Events {
     "evt_active_users"  -> (activeUsers _),
     "evt_anomalies"     -> (anomalies _),
     "evt_window_hourly" -> (windowHourly _),
+    "evt_psi_windows"   -> (psiWindows _),
     "evt_sliding_hourly" -> (slidingHourly _),
     "evt_user_paths" -> (userPaths _),
     "evt_segment_overlap" -> (segmentOverlap _),
@@ -560,6 +577,38 @@ object Events {
                 floor(value * 100 + 0.5) / 100 AS value, z
          FROM z WHERE abs(z) >= 3.0
          ORDER BY event_id""",
+    "evt_psi_windows" ->
+      """WITH v AS (
+           SELECT CAST(ts AS TIMESTAMP) AS ts,
+                  CAST(least(floor(value / 2000.0), 5.0) AS INTEGER) AS b
+           FROM events WHERE value IS NOT NULL),
+         base AS (SELECT b, count(*) AS n FROM v GROUP BY 1),
+         btot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM base),
+         q AS (
+           SELECT gs.i AS b,
+                  (coalesce(base.n, 0) + 0.5) / (btot.t + 3.0) AS qf
+           FROM (SELECT unnest(range(6)) AS i) gs
+           LEFT JOIN base ON base.b = gs.i CROSS JOIN btot),
+         wc AS (
+           SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, b, count(*) AS n
+           FROM v GROUP BY 1, 2),
+         wt AS (SELECT ws, CAST(sum(n) AS BIGINT) AS n_rows
+                FROM wc GROUP BY 1),
+         grid AS (
+           SELECT wt.ws, wt.n_rows, q.b, q.qf, coalesce(wc.n, 0) AS n
+           FROM wt CROSS JOIN q
+           LEFT JOIN wc ON wc.ws = wt.ws AND wc.b = q.b),
+         p AS (
+           SELECT ws, n_rows,
+                  floor(sum(((n + 0.5) / (n_rows + 3.0) - qf) *
+                            ln(((n + 0.5) / (n_rows + 3.0)) / qf))
+                        * 1000000 + 0.5) / 1000000 AS psi
+           FROM grid GROUP BY 1, 2)
+         SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start, n_rows, psi,
+                CASE WHEN psi > 0.25 THEN 'act'
+                     WHEN psi > 0.1 THEN 'investigate'
+                     ELSE 'ok' END AS alert
+         FROM p ORDER BY window_start""",
     "evt_window_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
                 count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
