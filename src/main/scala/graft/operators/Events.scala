@@ -580,7 +580,8 @@ object Events {
     "evt_psi_windows" ->
       """WITH v AS (
            SELECT CAST(ts AS TIMESTAMP) AS ts,
-                  CAST(least(floor(value / 2000.0), 5.0) AS INTEGER) AS b
+                  CAST(greatest(least(floor(value / 2000.0), 5.0), 0.0)
+                       AS INTEGER) AS b
            FROM events WHERE value IS NOT NULL),
          base AS (SELECT b, count(*) AS n FROM v GROUP BY 1),
          btot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM base),

@@ -41,8 +41,12 @@ object DriftStream {
   private val B = 6
   private val Width = 2000.0
 
+  // clamped BOTH ends: without the floor-at-0, a negative value would
+  // land in bucket -1 — skipped by the windowed conditional sums but
+  // counted by a naive total, silently skewing every fraction
   private def bucketOf(value: Column): Column =
-    least(floor(value / Width), lit((B - 1).toDouble)).cast("int")
+    greatest(least(floor(value / Width), lit((B - 1).toDouble)), lit(0.0))
+      .cast("int")
 
   /** Baseline bucket fractions from a static reference frame (the
     * model-training window), add-half smoothed EXACTLY like the
