@@ -209,6 +209,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), plan.take(3000))
   }
 
+  test("incremental near-dup entries never plan a nested-loop pair join") {
+    // the batch-vs-corpus contract: candidates form ONLY through the
+    // shingle-postings join (lexical) / label-block equi-join
+    // (semantic) — if either ever degrades to a nested-loop or
+    // cartesian pair product, the daily increment scans the corpus
+    // per batch doc and the entry is dead at 100 TB
+    for (q <- Seq("dedup_ngram_incremental", "dedup_embed_incremental")) {
+      val plan = SparkEntry.queries(q)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q\n" + plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q\n" + plan.take(2000))
+    }
+  }
+
+  test("evt_psi_windows aggregates map-side: one partial pass, PSI in-row") {
+    // all B bucket counts are conditional sums in ONE windowed
+    // aggregate — a (window × bucket) grouping would shuffle B rows
+    // per window AND need a second aggregate for the totals
+    val plan = operators.Events.psiWindows(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan.take(3000))
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 4, s"expected one partial+final pair (+sort-side), got $aggs\n"
+      + plan.take(3000))
+  }
+
   test("dedup_embed_lsh band width scales with the corpus size") {
     // 500 vectors at sf0.001×10 ⇒ ⌈log₂ 50⌉ = 6 planes per band at the
     // test SF; the banded explode must therefore produce 16 hashes per
