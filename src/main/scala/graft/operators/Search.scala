@@ -45,12 +45,21 @@ object Search {
     2L -> "hash",  2L -> "join",  2L -> "customer",
     3L -> "filter", 3L -> "scan", 3L -> "stream")
 
+  /** The distinct query-term vocabulary — the literal IN list the
+    * persisted-index serve pushes into the term-clustered postings
+    * scan (SearchIndex). */
+  private[operators] val QueryTermList: Seq[String] =
+    QueryTerms.map(_._2).distinct
+
   private val RrfK = 60 // standard reciprocal-rank-fusion damping
 
   /** (doc_id, term, tf) inverted index. Tokenization = lowercase split
     * on non-alphanumeric, mirrored exactly by the oracle's
-    * string_split_regex. */
-  private def postings(docs: DataFrame): DataFrame =
+    * string_split_regex. Postings are PER-DOC-LOCAL (no cross-doc
+    * state), which is what makes the persisted index append-only:
+    * postings(A ∪ B) = postings(A) ∪ postings(B) exactly
+    * (SearchIndexSpec proves it through the served scores). */
+  private[operators] def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
       .filter(length(col("term")) > 0)
@@ -60,19 +69,30 @@ object Search {
   /** BM25 top-k per query, ranked on the rounded score. Shared by
     * rag_bm25 (k=10) and the sparse leg of rag_hybrid_rrf (k=20). */
   private[operators] def bm25TopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    import spark.implicits._
-    val docs  = Tables.documents(spark, dir)
-    val post  = postings(docs)
-    val terms = QueryTerms.toDF("query_id", "term")
-
+    val post  = postings(Tables.documents(spark, dir))
     // per-doc length and corpus stats, both derived from the postings
     // frame (dl = Σ tf over the doc's terms = token count)
     val dl    = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
                        sum(col("dl")).cast("double").as("sum_dl"))
+    bm25From(spark, post, dl, stats, k)
+  }
+
+  /** Frame-parameterized BM25 core: `scoredPost` feeds the scored
+    * branch (the persisted-index serve passes a TERM-PRUNED view of
+    * the clustered postings table so parquet min/max skipping drops
+    * files outside the query vocabulary — pruning it never changes
+    * scores because only query-term rows survive the terms join
+    * anyway); `dl`/`stats` are the doc-length and corpus-stat frames
+    * (derived in-query inline, read back from the index when served). */
+  private[graft] def bm25From(spark: SparkSession, scoredPost: DataFrame,
+                                  dl: DataFrame, stats: DataFrame,
+                                  k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = QueryTerms.toDF("query_id", "term")
     // document frequency of the query terms only (postings are unique
     // per (doc, term), so count(*) = #docs containing the term)
-    val dft = post
+    val dft = scoredPost
       .join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
 
@@ -85,7 +105,7 @@ object Search {
       (col("tf").cast("double") +
        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
 
-    val scored = post.join(broadcast(terms), Seq("term"))
+    val scored = scoredPost.join(broadcast(terms), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(dft), Seq("term"))
@@ -322,6 +342,7 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rag_bm25"               -> (bm25 _),
+    "rag_bm25_indexed"       -> (SearchIndex.bm25Indexed _),
     "rag_hybrid_rrf"         -> (hybridRrf _),
     "rag_hybrid_rrf_indexed" -> (hybridRrfIndexed _),
     "rag_mmr"                -> (mmrRerank _),
@@ -365,6 +386,14 @@ object Search {
 
   val oracles: Map[String, String] = Map(
     "rag_bm25" -> (BaseCtes +
+      """
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+                CAST(rank AS BIGINT) AS rank, doc_id, score_bm25
+         FROM bm25r WHERE rank <= 10
+         ORDER BY query_id, rank"""),
+    // the indexed serve is score-identical to the inline form (same
+    // postings content, same expression tree) — same oracle
+    "rag_bm25_indexed" -> (BaseCtes +
       """
          SELECT CAST(query_id AS BIGINT) AS query_id,
                 CAST(rank AS BIGINT) AS rank, doc_id, score_bm25
