@@ -204,7 +204,8 @@ object Search {
     * misses + PQ quantization in the shortlist) → rows-only;
     * SearchIndexedSpec pins recall vs the brute-force hybrid. */
   def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame =
-    rrfFuse(indexedDenseTopK(spark, dir, 20), bm25TopK(spark, dir, 20))
+    rrfFuse(indexedDenseTopK(spark, dir, 20),
+            SearchIndex.bm25IndexedTopK(spark, dir, 20))
 
   /** Shared RRF combiner over two bounded rank lists. */
   private def rrfFuse(denseIn: DataFrame, sparseIn: DataFrame): DataFrame = {

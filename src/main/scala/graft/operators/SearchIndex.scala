@@ -79,11 +79,19 @@ object SearchIndex {
     * byte-identical to the inline rag_bm25 (same postings content,
     * same expression tree), so the SAME DuckDB oracle checks the
     * indexed serving path. */
-  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    bm25IndexedTopK(spark, dir, 10).orderBy(col("query_id"), col("rank"))
+
+  /** Index-served BM25 top-k — also the SPARSE leg of
+    * rag_hybrid_rrf_indexed, so the fully-indexed hybrid serves BOTH
+    * legs from persisted tables (dense: IVF-PQ codes; sparse: the
+    * postings index) and touches neither raw text nor raw vectors at
+    * query time. */
+  private[operators] def bm25IndexedTopK(spark: SparkSession, dir: String,
+                                         k: Int): DataFrame = {
     val (post, dl, stats) = bm25Cached(spark, dir)
     val pruned = post.filter(
       col("term").isin(Search.QueryTermList.map(t => t: Any): _*))
-    Search.bm25From(spark, pruned, dl, stats, 10)
-      .orderBy(col("query_id"), col("rank"))
+    Search.bm25From(spark, pruned, dl, stats, k)
   }
 }
