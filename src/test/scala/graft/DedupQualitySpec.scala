@@ -273,6 +273,45 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash-incremental: exact copies across the split are found; batch never self-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same fixture as ngram-incremental: ids 200..399 copy ids 0..199
+    val docs = (0 until 400).map { i =>
+      val base = if (i >= 200) i - 200 else i
+      val words = (0 until 30).map(j => s"v${base}_$j")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = dedup.Dedup.minhashIncrementalOn(spark, docs)
+    val isBatch = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) == 0
+    }
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.get(2)).map(_.toString.toLong)))
+      .toMap
+    assert(rows.keySet === (0L until 400L).filter(isBatch).toSet)
+    rows.foreach { case (id, (verdict, matched)) =>
+      val partner = if (id >= 200) id - 200 else id + 200
+      if (!isBatch(partner)) {
+        // identical text ⇒ identical signature ⇒ every band collides:
+        // LSH recall is GUARANTEED for exact copies, and exact verify
+        // scores jaccard 1.0
+        assert(verdict === "near_dup_of_corpus", s"doc $id: $verdict")
+        assert(matched.contains(partner), s"doc $id matched $matched")
+      } else {
+        assert(verdict === "new", s"doc $id: $verdict (batch self-pair?)")
+      }
+    }
+    // the exact-ngram incremental on the same fixture agrees verdict-
+    // for-verdict here (recall gap only appears for PARTIAL overlaps)
+    val exact = dedup.Dedup.ngramIncrementalOn(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    rows.foreach { case (id, (v, _)) => assert(exact(id) === v, s"doc $id") }
+  }
+
   test("embed-incremental: planted batch near-dups found, corpus never self-pairs") {
     import spark.implicits._
     // 400 unit-ish vectors in one label block: ids 200..399 copy the
