@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Search.queries ++
     operators.Stats.queries ++
     operators.Trend.queries ++
+    operators.Pii.queries ++
     multimodal.BinaryPipeline.queries
 
   def oracleSql: Map[String, String] =
@@ -61,5 +62,6 @@ object SparkEntry {
     operators.Search.oracles ++
     operators.Stats.oracles ++
     operators.Trend.oracles ++
+    operators.Pii.oracles ++
     multimodal.BinaryPipeline.oracles
 }
