@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.rnd
 
 /** PII detection / redaction and re-identification-risk audits — the
   * privacy layer every training-data pipeline runs before text leaves
@@ -226,11 +227,77 @@ object Pii {
       .orderBy(col("l"))
   }
 
+  /** etl_t_closeness: the third rung of the release-audit ladder
+    * (Li/Li/Venkatasubramanian) — l-diversity still leaks when a class
+    * is diverse but SKEWED (5 distinct segments, 96 % one of them);
+    * t-closeness bounds the DISTANCE between each class's sensitive
+    * distribution and the global one. Sensitive = c_mktsegment
+    * (nominal), so EMD under the uniform ground distance reduces to
+    * total variation distance: TVD = ½ Σᵢ |pᵢ − qᵢ|.
+    *
+    * Cross-engine exactness: TVD is a ratio of sums of ratios — naive
+    * double summation would be order-dependent across engines. Instead
+    * every per-cell term is kept INTEGER: with class counts cᵢ (total
+    * n) and global counts gᵢ (total G),
+    *   Σ_all |cᵢG − gᵢn| = Σ_present (|cᵢG − gᵢn| − gᵢn) + nG
+    * (absent segments contribute gᵢn; Σ gᵢ = G), so S := that sum is
+    * bigint-exact and TVD = S/(2nG) is ONE IEEE division. The t-risk
+    * classification never touches doubles at all: TVD > t ⇔
+    * mₜ·S > dₜ·nG with (mₜ,dₜ) = (5,2)/(5,3)/(1,1) for t = 0.2/0.3/0.5.
+    * (Integer products stay < 2⁶³ through ~10⁹-row dimensions; beyond
+    * that the same algebra runs in decimal(38,0).)
+    *
+    * Scale: ONE corpus-scan hash aggregate builds the cell frame
+    * (|quasi classes| × |segments| rows — orders below the corpus);
+    * everything after operates on that frame (global totals are a
+    * segment-count rollup of it, broadcast back; class totals a second
+    * tiny rollup), so the audit costs one shuffle of class-cardinality
+    * data however wide the corpus. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cell = quasi(spark, dir)
+      .groupBy(col("c_nationkey"), col("bal_bucket"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("c"))
+    val glob = cell.groupBy(col("c_mktsegment")).agg(sum(col("c")).as("g"))
+    val tot  = glob.agg(sum(col("g")).as("grand"))
+    val nFr  = cell.groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(sum(col("c")).as("n"))
+    val cls = cell
+      .join(broadcast(glob), "c_mktsegment")
+      .join(nFr, Seq("c_nationkey", "bal_bucket"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(max(col("n")).as("n"), max(col("grand")).as("grand"),
+           sum(abs(col("c") * col("grand") - col("g") * col("n"))
+               - col("g") * col("n")).as("sp"))
+      .withColumn("s", col("sp") + col("n") * col("grand"))
+      .withColumn("tvd",
+        col("s").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("grand").cast("double")))
+    def risk(mult: Long, den: Long) = col("s") * mult > col("n") * col("grand") * den
+    def at(mult: Long, den: Long, tag: String) = Seq(
+      sum(when(risk(mult, den), 1L).otherwise(0L)).as(s"c$tag"),
+      sum(when(risk(mult, den), col("n")).otherwise(0L)).as(s"r$tag"))
+    cls.agg(
+      count(lit(1)).as("classes"),
+      (Seq(rnd(max(col("tvd")), 4).as("max_tvd")) ++
+       at(5, 2, "2") ++ at(5, 3, "3") ++ at(1, 1, "5")): _*)
+      .selectExpr("classes", "max_tvd",
+        """stack(3,
+             CAST(0.2 AS DOUBLE), c2, r2,
+             CAST(0.3 AS DOUBLE), c3, r3,
+             CAST(0.5 AS DOUBLE), c5, r5)
+           AS (t, classes_at_risk, rows_at_risk)""")
+      .select(col("t"), col("classes"), col("classes_at_risk"),
+              col("rows_at_risk"), col("max_tvd"))
+      .orderBy(col("t"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub"   -> (piiScrub _),
     "text_pii_stats"   -> (piiStats _),
     "etl_k_anonymity"  -> (kAnonymity _),
-    "etl_l_diversity"  -> (lDiversity _))
+    "etl_l_diversity"  -> (lDiversity _),
+    "etl_t_closeness"  -> (tCloseness _))
 
   val oracles: Map[String, String] = Map(
     "text_pii_scrub" -> (noteCte +
@@ -316,5 +383,47 @@ object Pii {
          FROM (SELECT CAST(2 AS BIGINT) AS l, classes, c2 AS classes_at_risk, r2 AS rows_at_risk FROM agg
                UNION ALL SELECT 3, classes, c3, r3 FROM agg
                UNION ALL SELECT 5, classes, c5, r5 FROM agg)
-         ORDER BY l""")
+         ORDER BY l""",
+    "etl_t_closeness" ->
+      """WITH cell AS (
+           SELECT c_nationkey,
+                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                  c_mktsegment, CAST(count(*) AS BIGINT) AS c
+           FROM customer GROUP BY 1, 2, 3),
+         gseg AS (SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS g
+                  FROM cell GROUP BY 1),
+         tot AS (SELECT CAST(sum(g) AS BIGINT) AS grand FROM gseg),
+         nf AS (SELECT c_nationkey, bal_bucket, CAST(sum(c) AS BIGINT) AS n
+                FROM cell GROUP BY 1, 2),
+         cls AS (
+           SELECT cell.c_nationkey, cell.bal_bucket,
+                  max(nf.n) AS n, max(tot.grand) AS grand,
+                  CAST(sum(abs(cell.c * tot.grand - gseg.g * nf.n)
+                           - gseg.g * nf.n) AS BIGINT)
+                    + max(nf.n) * max(tot.grand) AS s
+           FROM cell
+           JOIN gseg USING (c_mktsegment)
+           JOIN nf USING (c_nationkey, bal_bucket)
+           CROSS JOIN tot
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT n, grand, s,
+                  CAST(s AS DOUBLE) /
+                    (2.0 * CAST(n AS DOUBLE) * CAST(grand AS DOUBLE)) AS tvd
+           FROM cls),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS classes,
+                  floor(max(tvd) * 10000.0 + 0.5) / 10000.0 AS max_tvd,
+                  CAST(sum(CASE WHEN s * 5 > n * grand * 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                  CAST(sum(CASE WHEN s * 5 > n * grand * 2 THEN n ELSE 0 END) AS BIGINT) AS r2,
+                  CAST(sum(CASE WHEN s * 5 > n * grand * 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                  CAST(sum(CASE WHEN s * 5 > n * grand * 3 THEN n ELSE 0 END) AS BIGINT) AS r3,
+                  CAST(sum(CASE WHEN s * 1 > n * grand * 1 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+                  CAST(sum(CASE WHEN s * 1 > n * grand * 1 THEN n ELSE 0 END) AS BIGINT) AS r5
+           FROM scored)
+         SELECT t, classes, classes_at_risk, rows_at_risk, max_tvd
+         FROM (SELECT CAST(0.2 AS DOUBLE) AS t, classes, c2 AS classes_at_risk, r2 AS rows_at_risk, max_tvd FROM agg
+               UNION ALL SELECT CAST(0.3 AS DOUBLE), classes, c3, r3, max_tvd FROM agg
+               UNION ALL SELECT CAST(0.5 AS DOUBLE), classes, c5, r5, max_tvd FROM agg)
+         ORDER BY t""")
 }

@@ -94,6 +94,43 @@ class PiiSpec extends AnyFunSuite {
     assert(atRisk.forall(_ <= rows.head.getAs[Long]("classes")))
   }
 
+  test("t-closeness matches an independent exact recomputation") {
+    // recompute TVD per class from raw counts with BigInt arithmetic —
+    // a DIFFERENT formulation (explicit per-segment |p-q| over the full
+    // segment set) than the operator's missing-mass algebra
+    val cells = Tables.customer(spark, Sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .groupBy("c_nationkey", "bal_bucket", "c_mktsegment").count()
+      .collect()
+      .map(r => ((String.valueOf(r.get(0)), r.getAs[Long]("bal_bucket")),
+                 r.getAs[String]("c_mktsegment"), r.getAs[Long]("count")))
+    val segs = cells.map(_._2).distinct
+    val global = segs.map(s => s -> cells.filter(_._2 == s).map(_._3).sum).toMap
+    val grand = global.values.sum
+    val byClass = cells.groupBy(_._1)
+    // TVD > t ⇔ Σ|c_i·G − g_i·n| > 2t·nG; with t = a/b that is
+    // b·Σ > 2a·nG — exact rationals, no doubles anywhere
+    def atRisk(num: Long, den: Long) = byClass.count { case (_, cs) =>
+      val n = cs.map(_._3).sum
+      val sum = segs.map { s =>
+        val c = cs.find(_._2 == s).map(_._3).getOrElse(0L)
+        (BigInt(c) * grand - BigInt(global(s)) * n).abs
+      }.sum
+      sum * num > BigInt(n) * grand * den
+    }
+    val rows = operators.Pii.tCloseness(spark, Sf).collect()
+    assert(rows.map(_.getAs[Double]("t")).toSeq === Seq(0.2, 0.3, 0.5))
+    val got = rows.map(_.getAs[Long]("classes_at_risk")).toSeq
+    // t=0.2 → 5Σ > 2nG; t=0.3 → 10Σ > 6nG; t=0.5 → 2Σ > 2nG
+    assert(got === Seq(atRisk(5, 2), atRisk(10, 6), atRisk(2, 2)).map(_.toLong))
+    assert(rows.head.getAs[Long]("classes") === byClass.size.toLong)
+    // risk is anti-monotone in t; max_tvd within [0,1]
+    assert(got.reverse === got.reverse.sorted)
+    val maxTvd = rows.head.getAs[Double]("max_tvd")
+    assert(maxTvd >= 0.0 && maxTvd <= 1.0)
+  }
+
   test("the scrub plan is a pure projection — no shuffle, no join") {
     val plan = operators.Pii.piiScrub(spark, Sf)
       .queryExecution.executedPlan.toString
