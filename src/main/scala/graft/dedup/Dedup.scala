@@ -50,11 +50,11 @@ object Dedup {
     * synthetic corpora produce, so oracle outputs are unaffected. */
   private[graft] val MaxBucket = 4096
 
-  /** Audit for the hot-bucket guard, attached via Dataset.observe — the
-    * counts ride the pair job's own accumulators (zero extra pass,
-    * output schema untouched) and surface through
-    * `df.queryExecution.observedMetrics`. `buckets` must carry
-    * the collected doc list as `ds`.
+  /** Audit for the hot-bucket guard, attached via Dataset.observe to the
+    * PRE-COUNT frame (one `(key, bucket_n)` row per bucket) — the counts
+    * ride that aggregation's own accumulators (no extra pass, output
+    * schema untouched) and surface through
+    * `df.queryExecution.observedMetrics`.
     *
     * The metric name carries a per-invocation suffix (`name#N`):
     * Spark rejects duplicate observation names inside ONE plan
@@ -62,13 +62,99 @@ object Dedup {
     * of the same generator would otherwise fail at analysis. Consumers
     * look metrics up by prefix (see DedupQualitySpec.observedMetric). */
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private def observeHotBuckets(buckets: DataFrame, name: String,
-                                maxBucket: Int): DataFrame =
-    buckets.observe(s"$name#${obsSeq.incrementAndGet()}",
-      sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L))
+  private def observeHotCounts(counts: DataFrame, name: String,
+                               maxBucket: Int): DataFrame =
+    counts.observe(s"$name#${obsSeq.incrementAndGet()}",
+      sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L))
         .as("n_hot_buckets"),
-      sum(when(size(col("ds")) > maxBucket, size(col("ds")).cast("long"))
+      sum(when(col("bucket_n") > maxBucket, col("bucket_n"))
         .otherwise(0L)).as("n_hot_doc_entries"))
+
+  /** Two-pass guarded bucket collect — the DROP regime shared by every
+    * exact pair generator and incremental index build.
+    *
+    * The naive guard (collect_list per bucket, THEN filter oversized
+    * buckets out) bounds output and wire but not PEAK TASK MEMORY: one
+    * pathological mass-dup bucket — a boilerplate shingle shared by 10⁹
+    * docs at 100 TB — materializes its full member list inside a single
+    * aggregation buffer before being dropped, and hash aggregation
+    * cannot spill mid-group. This two-pass form bounds the buffer to
+    * `maxBucket` entries by construction:
+    *
+    *  1. pre-count bucket sizes — `count(*)` per key, map-side combined,
+    *     constant memory per bucket, the shuffle carries one tiny
+    *     `(key, long)` row per key per map task; the hot-bucket audit
+    *     metrics observe THIS frame (same values as before: hot buckets
+    *     and their member-row mass);
+    *  2. keep only keys with `minSize <= bucket_n <= maxBucket` and
+    *     LEFT-SEMI-join the member rows against them — over-cap (and
+    *     singleton, when `minSize = 2`) rows are dropped STREAMING,
+    *     never buffered; AQE turns the join into a broadcast when the
+    *     surviving key set is small;
+    *  3. collect_list, which now provably never sees a bucket larger
+    *     than `maxBucket`.
+    *
+    * The semi-join shuffles `rows` on the bucket key and the groupBy
+    * after it reuses that partitioning (no second big exchange), so the
+    * shuffle count matches the one-pass form; the member projection's
+    * lineage is evaluated for both the count and the join branch, with
+    * the scan-side exchanges deduplicated by ReuseExchange. A side
+    * benefit at any scale: singleton buckets — the vast majority of
+    * shingles — are now dropped BEFORE collection instead of being
+    * collected and filtered. Outputs are identical to the one-pass form
+    * (DedupGuardSpec proves it on a planted mega-bucket corpus). */
+  private def guardedBuckets(rows: DataFrame, keys: Seq[String],
+                             member: Column, metric: String,
+                             maxBucket: Int, minSize: Int = 2): DataFrame = {
+    val kc = keys.map(col)
+    val m = rows.select(kc :+ member.as("m"): _*)
+    val counts = observeHotCounts(
+      m.groupBy(kc: _*).agg(count(lit(1)).as("bucket_n")),
+      metric, maxBucket)
+    val ok = counts
+      .filter(col("bucket_n") <= maxBucket && col("bucket_n") >= minSize)
+      .select(kc: _*)
+    m.join(ok, keys, "left_semi")
+      .groupBy(kc: _*)
+      .agg(collect_list(col("m")).as("ds"))
+  }
+
+  /** Two-pass guarded pair space — the STAR regime shared by the
+    * approximate generators (minhash/simhash/embed-LSH bands). Same
+    * memory bound as [[guardedBuckets]], but over-cap buckets
+    * star-expand to the bucket's min member instead of dropping:
+    * the pre-count aggregation also carries `min(member)` (constant
+    * buffer — struct comparison orders by the leading id field), and
+    * hot-bucket rows join THAT one-row-per-bucket frame to emit
+    * `(min, other)` edges directly — O(|bucket|) rows for a hot bucket
+    * with no collect_list ever materializing it. Under-cap buckets go
+    * through the usual collect + double-explode all-pairs expansion.
+    * Returns `(a, b)` member-struct pairs with `a.idField < b.idField`;
+    * callers compute the similarity measure. */
+  private def guardedStarPairs(rows: DataFrame, keys: Seq[String],
+                               member: Column, idField: String,
+                               metric: String, maxBucket: Int): DataFrame = {
+    val kc = keys.map(col)
+    val m = rows.select(kc :+ member.as("m"): _*)
+    val counts = observeHotCounts(
+      m.groupBy(kc: _*).agg(count(lit(1)).as("bucket_n"),
+                            min(col("m")).as("mn")),
+      metric, maxBucket)
+    val ok = counts
+      .filter(col("bucket_n") <= maxBucket && col("bucket_n") >= 2)
+      .select(kc: _*)
+    val allPairs = m.join(ok, keys, "left_semi")
+      .groupBy(kc: _*).agg(collect_list(col("m")).as("ds"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+    val hot = counts.filter(col("bucket_n") > maxBucket)
+      .select(kc :+ col("mn"): _*)
+    val starPairs = m.join(hot, keys)
+      .select(col("mn").as("a"), col("m").as("b"))
+    allPairs.select(col("a"), col("b"))
+      .unionByName(starPairs)
+      .filter(col("a")(idField) < col("b")(idField))
+  }
 
   /** Exact dedup on canonicalized text (whitespace/case-insensitive). */
   def exactDocs(spark: SparkSession, dir: String): DataFrame =
@@ -122,12 +208,8 @@ object Dedup {
                            metric: String): DataFrame = {
     val ex = shingleRows(docs)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val byShingle = observeHotBuckets(
-      ex.groupBy(col("shingle"))
-        .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
-        .filter(size(col("ds")) > 1),
-      metric, maxBucket)
-      .filter(size(col("ds")) <= maxBucket)
+    val byShingle = guardedBuckets(ex, Seq("shingle"),
+      struct(col("doc_id"), col("n_sh")), metric, maxBucket)
     byShingle
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
@@ -210,12 +292,8 @@ object Dedup {
       .select(col("doc_id"),
               least(col("h"), col("h2"), col("h3"), col("h4")).as("fp"))
       .distinct()
-    val byFp = observeHotBuckets(
-      selected.groupBy(col("fp"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) > 1),
+    val byFp = guardedBuckets(selected, Seq("fp"), col("doc_id"),
       "winnow_hot_fps", maxBucket)
-      .filter(size(col("ds")) <= maxBucket)
     byFp
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
@@ -265,19 +343,9 @@ object Dedup {
     // Bucket-collect + double explode: candidates generated per bucket
     // with the signature pipeline computed exactly once (a self-join
     // would re-run it per side — no exchange reuse across aliases).
-    val buckets = observeHotBuckets(
-      bands
-        .groupBy(col("band_idx"), col("band_hash"))
-        .agg(min(col("doc_id")).as("min_id"),
-             collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-        .filter(size(col("ds")) > 1),
+    guardedStarPairs(bands, Seq("band_idx", "band_hash"),
+      struct(col("doc_id"), col("sig")), "doc_id",
       "minhash_hot_buckets", maxBucket)
-    buckets
-      .select(col("min_id"), (size(col("ds")) > maxBucket).as("big"),
-              explode(col("ds")).as("a"), col("ds"))
-      .filter(!col("big") || col("a.doc_id") === col("min_id"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         rnd(size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => x === y), b => b)) / lit(16.0), 4).as("est_jaccard"))
@@ -377,13 +445,11 @@ object Dedup {
       .select(col("doc_id"), col("is_batch"),
               col("band.band_idx"), col("band.band_hash"))
     // corpus band index (the persisted structure in production;
-    // hot buckets dropped at index build with the audit metric)
-    val cIdx = observeHotBuckets(
-      bands.filter(!col("is_batch"))
-        .groupBy(col("band_idx"), col("band_hash"))
-        .agg(collect_list(col("doc_id")).as("ds")),
-      "minhash_incr_hot_buckets", MaxBucket)
-      .filter(size(col("ds")) <= MaxBucket)
+    // hot buckets dropped at index build with the audit metric);
+    // minSize = 1: a batch doc can legitimately match a singleton band
+    val cIdx = guardedBuckets(bands.filter(!col("is_batch")),
+      Seq("band_idx", "band_hash"), col("doc_id"),
+      "minhash_incr_hot_buckets", MaxBucket, minSize = 1)
     // batch probes its 4 band values; distinct collapses multi-band hits
     val cands = bands.filter(col("is_batch"))
       .join(cIdx, Seq("band_idx", "band_hash"))
@@ -463,19 +529,9 @@ object Dedup {
                          (shiftright(simhash, j * 16) & 65535) AS band_val))"""))
         .as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
-    val buckets = observeHotBuckets(
-      banded
-        .groupBy(col("band_idx"), col("band_val"))
-        .agg(min(col("doc_id")).as("min_id"),
-             collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-        .filter(size(col("ds")) > 1),
+    guardedStarPairs(banded, Seq("band_idx", "band_val"),
+      struct(col("doc_id"), col("simhash")), "doc_id",
       "simhash_hot_buckets", maxBucket)
-    buckets
-      .select(col("min_id"), (size(col("ds")) > maxBucket).as("big"),
-              explode(col("ds")).as("a"), col("ds"))
-      .filter(!col("big") || col("a.doc_id") === col("min_id"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
                 .cast("long").as("hamming"))
@@ -669,11 +725,10 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("is_batch", bucket16(col("doc_id")) === 0)
     val corpus = ex.filter(!col("is_batch"))
-    val postings = observeHotBuckets(
-      corpus.groupBy(col("shingle"))
-        .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds")),
-      "ngram_incr_hot_shingles", MaxBucket)
-      .filter(size(col("ds")) <= MaxBucket)
+    // minSize = 1: a batch doc can match a singleton corpus posting
+    val postings = guardedBuckets(corpus, Seq("shingle"),
+      struct(col("doc_id"), col("n_sh")), "ngram_incr_hot_shingles",
+      MaxBucket, minSize = 1)
     val pairs = ex.filter(col("is_batch"))
       .join(postings, Seq("shingle"))
       .select(col("doc_id"), col("n_sh").as("na"), explode(col("ds")).as("c"))
@@ -809,13 +864,9 @@ object Dedup {
     val ex = shingleRows(docs)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("is_eval", bucket16(col("doc_id")) === 15)
-    val byShingle = observeHotBuckets(
-      ex.groupBy(col("shingle"))
-        .agg(collect_list(struct(col("doc_id"), col("is_eval"), col("n_sh")))
-          .as("ds"))
-        .filter(size(col("ds")) > 1),
+    val byShingle = guardedBuckets(ex, Seq("shingle"),
+      struct(col("doc_id"), col("is_eval"), col("n_sh")),
       "contamination_hot_shingles", maxBucket)
-      .filter(size(col("ds")) <= maxBucket)
     byShingle
       .select(explode(col("ds")).as("t"), col("ds"))
       .filter(!col("t.is_eval"))
@@ -943,19 +994,12 @@ object Dedup {
                 col("embedding"), bands, planesPerBand)))
       .select(col("vec_id"), col("embedding"),
               col("pos").as("band_idx"), col("col").as("band_hash"))
-    val buckets = banded
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(min(col("vec_id")).as("min_id"),
-           collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    // oversized buckets: only the min-id member expands (star), so the
-    // explode below emits O(|bucket|) rows for them, never O(|bucket|²)
-    buckets
-      .select(col("min_id"), (size(col("ds")) > maxBucket).as("big"),
-              explode(col("ds")).as("a"), col("ds"))
-      .filter(!col("big") || col("a.vec_id") === col("min_id"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
+    // oversized buckets: only the min-id member expands (star), emitting
+    // O(|bucket|) rows and never materializing the bucket (two-pass
+    // guard; the `embed_lsh_hot_buckets` observed metric audits them)
+    guardedStarPairs(banded, Seq("band_idx", "band_hash"),
+      struct(col("vec_id"), col("embedding")), "vec_id",
+      "embed_lsh_hot_buckets", maxBucket)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
               rnd(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 4)
                 .as("cos_sim"))
