@@ -48,7 +48,7 @@ object Search {
   /** The distinct query-term vocabulary — the literal IN list the
     * persisted-index serve pushes into the term-clustered postings
     * scan (SearchIndex). */
-  private[operators] val QueryTermList: Seq[String] =
+  private[graft] val QueryTermList: Seq[String] =
     QueryTerms.map(_._2).distinct
 
   private val RrfK = 60 // standard reciprocal-rank-fusion damping

@@ -26,38 +26,55 @@ import graft.tools.CorpusCache
   * that the second call is a pure cache hit. */
 object AnnIndex {
 
-  /** Build-or-load the index for `dir`'s embeddings table. Returns
-    * (sub-codebooks, coarse centroids, codes frame); the codes frame
-    * is (vec_id, cluster, m, code) read lazily from the cache. */
-  def ivfPqCached(spark: SparkSession, dir: String)
+  /** Resolve the LIVE (model, codes) dirs inside a cache: the CURRENT
+    * pointer file names the active version subdir (`vN/`, written by
+    * [[retrainIfDrifted]]); an absent pointer means the original
+    * flat layout (version 0). Readers resolve the pointer ONCE, so a
+    * serve planned against version N keeps reading N's files even if a
+    * retrain swaps the pointer mid-flight — the previous version's
+    * files stay on disk for exactly that reason. */
+  private def livePaths(cache: java.io.File): (java.io.File, java.io.File) = {
+    val v = currentVersion(cache)
+    val base = if (v == 0) cache else new java.io.File(cache, s"v$v")
+    (new java.io.File(base, "model"), new java.io.File(base, "codes"))
+  }
+
+  private def currentVersion(cache: java.io.File): Int = {
+    val cur = new java.io.File(cache, "CURRENT")
+    if (cur.exists())
+      new String(java.nio.file.Files.readAllBytes(cur.toPath)).trim.toInt
+    else 0
+  }
+
+  /** Train + encode `e` and persist into (modelDir, codesDir). Codes
+    * first: the model dir's _SUCCESS is the build-complete marker, so
+    * it must be the LAST thing written (a crash between the two writes
+    * leaves an unbuilt version, not a torn index). */
+  private def buildInto(spark: SparkSession, e: DataFrame,
+                        modelDir: java.io.File,
+                        codesDir: java.io.File): Unit = {
+    import spark.implicits._
+    val (cbooks, coarse) = Knn.ivfPqFit(e)
+    val codes = ivfPqAdd(e, cbooks, coarse)
+    graft.sinks.LakeSink.writeClustered(codes, codesDir.getPath, nFiles = 4,
+      col("cluster"))
+    val modelRows =
+      coarse.zipWithIndex.map { case (v, i) =>
+        (-1, i + 1, v.toSeq) } ++
+      (for { m <- cbooks.indices; cw <- cbooks(m).indices }
+        yield (m, cw + 1, cbooks(m)(cw).toSeq))
+    modelRows.toDF("m", "cw", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(modelDir.getPath)
+  }
+
+  /** Load the ~5 KB model (bounded parameter — the codebook-collect
+    * contract); codes stay a lazy frame. */
+  private def loadFrom(spark: SparkSession, modelDir: java.io.File,
+                       codesDir: java.io.File)
       : (IndexedSeq[IndexedSeq[Array[Double]]], IndexedSeq[Array[Double]],
          DataFrame) = {
     import spark.implicits._
-    graft.functions.VectorFunctions.register(spark)
-    val cache = CorpusCache.dirFor(dir, "embeddings", "ivfpq")
-    val modelPath = new java.io.File(cache, "model").getPath
-    val codesPath = new java.io.File(cache, "codes").getPath
-    if (!CorpusCache.isBuilt(new java.io.File(cache, "model"))) {
-      val e = graft.Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"))
-      val (cbooks, coarse) = Knn.ivfPqFit(e)
-      val codes = ivfPqAdd(e, cbooks, coarse)
-      // codes first: the model dir's _SUCCESS is the build-complete
-      // marker, so it must be the LAST thing written (a crash between
-      // the two writes leaves an unbuilt cache, not a torn index)
-      graft.sinks.LakeSink.writeClustered(codes, codesPath, nFiles = 4,
-        col("cluster"))
-      val modelRows =
-        coarse.zipWithIndex.map { case (v, i) =>
-          (-1, i + 1, v.toSeq) } ++
-        (for { m <- cbooks.indices; cw <- cbooks(m).indices }
-          yield (m, cw + 1, cbooks(m)(cw).toSeq))
-      modelRows.toDF("m", "cw", "vec").coalesce(1)
-        .write.mode("overwrite").parquet(modelPath)
-    }
-    // load the ~5 KB model (bounded parameter — the codebook-collect
-    // contract); codes stay a lazy frame
-    val rows = spark.read.parquet(modelPath)
+    val rows = spark.read.parquet(modelDir.getPath)
       .select(col("m"), col("cw"), col("vec"))
       .as[(Int, Int, Seq[Double])].collect()
     val coarse = rows.filter(_._1 == -1).sortBy(_._2)
@@ -65,7 +82,24 @@ object AnnIndex {
     val cbooks = rows.filter(_._1 >= 0).groupBy(_._1).toIndexedSeq
       .sortBy(_._1)
       .map { case (_, cws) => cws.sortBy(_._2).map(_._3.toArray).toIndexedSeq }
-    (cbooks, coarse, spark.read.parquet(codesPath))
+    (cbooks, coarse, spark.read.parquet(codesDir.getPath))
+  }
+
+  /** Build-or-load the index for `dir`'s embeddings table. Returns
+    * (sub-codebooks, coarse centroids, codes frame); the codes frame
+    * is (vec_id, cluster, m, code) read lazily from the cache. */
+  def ivfPqCached(spark: SparkSession, dir: String)
+      : (IndexedSeq[IndexedSeq[Array[Double]]], IndexedSeq[Array[Double]],
+         DataFrame) = {
+    graft.functions.VectorFunctions.register(spark)
+    val cache = CorpusCache.dirFor(dir, "embeddings", "ivfpq")
+    val (modelDir, codesDir) = livePaths(cache)
+    if (!CorpusCache.isBuilt(modelDir)) {
+      val e = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      buildInto(spark, e, modelDir, codesDir)
+    }
+    loadFrom(spark, modelDir, codesDir)
   }
 
   /** Index-DRIFT monitor — operationalizes the retrain trigger the add
@@ -142,5 +176,75 @@ object AnnIndex {
       .select(col("vec_id"), col("cluster"))
     Knn.pqEncode(newVecs, cbooks).join(cells, Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("m"), col("code"))
+  }
+
+  /** Close the drift→retrain loop: when the monitor's total PSI crosses
+    * `threshold` (the etl_psi_drift convention, 0.2), retrain the model
+    * ON THE CURRENT CORPUS and rebuild the codes into the NEXT version
+    * subdir (`v<N+1>/`), then flip the CURRENT pointer with one atomic
+    * file move. Serves are never torn:
+    *
+    *  - a serve that resolved the pointer BEFORE the flip keeps reading
+    *    the previous version's files, which stay on disk through the
+    *    next retrain cycle (versions older than N-1 are pruned — by
+    *    then no plan can still hold them);
+    *  - a serve after the flip sees the new model AND the new codes
+    *    together (they live in one version dir, and the dir is complete
+    *    before the pointer moves — model written last, its _SUCCESS the
+    *    build-complete marker);
+    *  - a crash anywhere before the pointer move leaves the live index
+    *    untouched (a partial v<N+1> is invisible and rebuilt next time).
+    *
+    * Returns true iff a retrain happened. AnnIndexSpec drives planted
+    * drift past the threshold and proves the old-version serve stays
+    * consistent across the swap while the next load serves the new
+    * model (post-retrain PSI back under threshold). */
+  def retrainIfDrifted(spark: SparkSession, dir: String,
+                       threshold: Double = 0.2): Boolean = {
+    ivfPqCached(spark, dir) // ensure an index exists to measure against
+    retrainCore(spark, CorpusCache.dirFor(dir, "embeddings", "ivfpq"),
+      graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")),
+      threshold)
+  }
+
+  /** Cache-level core (the spec plants a drifted corpus through `e`). */
+  private[graft] def retrainCore(spark: SparkSession, cache: java.io.File,
+                                 e: DataFrame, threshold: Double): Boolean = {
+    graft.functions.VectorFunctions.register(spark)
+    val (modelDir, codesDir) = livePaths(cache)
+    val (_, coarse, codes) = loadFrom(spark, modelDir, codesDir)
+    val base = codes.filter(col("m") === 0)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val psi = driftFrom(base, e, coarse)
+      .agg(sum(col("psi_term")).as("psi")).first().getDouble(0)
+    if (psi <= threshold) return false
+    val cur = currentVersion(cache)
+    val next = new java.io.File(cache, s"v${cur + 1}")
+    buildInto(spark, e,
+      new java.io.File(next, "model"), new java.io.File(next, "codes"))
+    // atomic pointer flip: write-then-move, never truncate-in-place
+    val tmp = new java.io.File(cache, ".CURRENT_tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      String.valueOf(cur + 1).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(cache, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // prune versions older than the PREVIOUS one (in-flight serves can
+    // still hold cur; nothing can still hold cur-1 and older)
+    (0 until cur).foreach { v =>
+      val dead: Seq[java.io.File] =
+        if (v == 0) Seq(new java.io.File(cache, "model"),
+                        new java.io.File(cache, "codes"))
+        else Seq(new java.io.File(cache, s"v$v"))
+      dead.foreach(deleteRecursively)
+    }
+    true
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
   }
 }

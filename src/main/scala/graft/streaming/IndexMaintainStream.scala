@@ -1,0 +1,267 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Search, SearchIndex}
+import graft.similarity.{AnnIndex, Knn}
+
+/** Streaming maintenance for the persisted retrieval indexes — the
+  * daily-increment story made continuous: the BM25 postings index
+  * (operators.SearchIndex) and the IVF-PQ codes table
+  * (similarity.AnnIndex) are kept up to date ON the stream, so a serve
+  * never waits for an offline rebuild. The reference ingests increments
+  * batch-wise (/root/reference/core/etl_service.py); this is the
+  * stream-native generalization of its load step applied to the index
+  * tables instead of the base tables.
+  *
+  * == Layout & commit protocol ==
+  *
+  * The index root holds one immutable DELTA DIRECTORY per micro-batch:
+  *
+  * {{{
+  *   root/batch=<epochId>/{postings,doclen,stats}/   (BM25 root)
+  *   root/batch=<epochId>/codes/                     (ANN root)
+  *   root/cbatch=<coversId>/...                      (compacted runs)
+  * }}}
+  *
+  * Each delta is written to a dot-staging dir, a `_COMMIT` marker is
+  * created INSIDE staging, and ONE atomic rename publishes it — readers
+  * (`readTable`) list only dirs carrying the marker, so a torn write is
+  * invisible and a crash leaves nothing a reader can observe.
+  * Exactly-once lands on foreachBatch's replay contract: a failed
+  * micro-batch is RE-DELIVERED WITH THE SAME epoch id, and
+  * `commitBatch` is a no-op when `batch=<id>` is already committed —
+  * re-delivery repairs a partial staging dir and never double-appends.
+  *
+  * == Why append-only deltas, not merge-per-batch ==
+  *
+  * Both indexes are per-record-local, so append ≡ rebuild is an exact
+  * identity: postings(A ∪ B) = postings(A) ∪ postings(B) (SearchIndex
+  * scaladoc), BM25's global stats are additive (kept as one row PER
+  * DELTA and summed at serve), and IVF-PQ `add()` encodes against the
+  * frozen model (AnnIndex.ivfPqAdd) so streamed codes equal a full
+  * re-encode. A per-batch merge-rewrite (UpsertSink.mergeBatch) would
+  * cost O(corpus) per micro-batch; the delta commit costs O(|batch|)
+  * regardless of corpus size — the only shape that survives at 100 TB.
+  * Documents are treated as immutable (the corpus reality for a
+  * training pipeline); an in-place doc UPDATE needs the upsert sink's
+  * merge, not this one.
+  *
+  * == Compaction ==
+  *
+  * Thousands of micro-batches mean thousands of small files; `compact`
+  * folds every committed delta into one clustered run published as
+  * `cbatch=<maxCoveredId>` under the SAME commit protocol, then drops
+  * the covered deltas. Readers take the newest compacted run plus only
+  * the plain deltas ABOVE its covered id — so a crash between the
+  * compacted commit and the drops double-counts nothing, and the
+  * clustered rewrite restores parquet min/max file-skipping
+  * (term-range for postings, cell-range for codes) that per-batch
+  * deltas dilute.
+  *
+  * IndexMaintainStreamSpec proves: served top-k ≡ a cold batch rebuild
+  * byte-identically after N micro-batches, re-delivery is a no-op,
+  * torn staging is invisible, and compaction (with and without the
+  * covered-delta drop completing) changes nothing. */
+object IndexMaintainStream {
+
+  private val Commit = "_COMMIT"
+
+  private def fsFor(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Publish one delta dir under the staged-commit protocol. `write` is
+    * handed the staging path and writes the delta's table subdirs into
+    * it. Returns false (and writes nothing) when `dirName` is already
+    * committed — the re-delivery no-op. */
+  private[streaming] def commitBatch(spark: SparkSession, root: String,
+                                     dirName: String)
+                                    (write: String => Unit): Boolean = {
+    val dst = new Path(root, dirName)
+    val fs = fsFor(spark, dst)
+    if (fs.exists(new Path(dst, Commit))) return false
+    val staging = new Path(root, s".staging_$dirName")
+    fs.delete(staging, true) // partial prior attempt
+    fs.delete(dst, true)     // published-but-unmarked cannot exist; clear anyway
+    write(staging.toString)
+    fs.create(new Path(staging, Commit)).close()
+    if (!fs.rename(staging, dst))
+      throw new java.io.IOException(
+        s"commitBatch: rename($staging -> $dst) failed")
+    true
+  }
+
+  /** Committed deltas: (newest compacted run if any, plain deltas above
+    * its covered id). The listing is driver-side metadata over batch
+    * dirs — O(#deltas), never data. */
+  private def committed(spark: SparkSession, root: String)
+      : (Option[(Path, Long)], Seq[(Path, Long)]) = {
+    val rootPath = new Path(root)
+    val fs = fsFor(spark, rootPath)
+    if (!fs.exists(rootPath)) return (None, Nil)
+    val dirs = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, Commit)))
+    def idOf(prefix: String) = dirs.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(prefix)) Some((s.getPath, n.stripPrefix(prefix).toLong))
+      else None
+    }
+    val best = idOf("cbatch=").sortBy(_._2).lastOption
+    val covers = best.map(_._2).getOrElse(-1L)
+    (best, idOf("batch=").filter(_._2 > covers).sortBy(_._2))
+  }
+
+  /** Union read of `table` across every visible delta. */
+  def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
+    val (best, plain) = committed(spark, root)
+    val paths = (best.toSeq ++ plain).map(p => s"${p._1}/$table")
+    require(paths.nonEmpty, s"no committed deltas under $root")
+    spark.read.parquet(paths: _*)
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  /** One BM25 delta: tokenize ONLY the batch (SearchIndex.addBatch),
+    * publish postings term-clustered (file-skipping parity with the
+    * offline build), doc lengths, and the delta's additive 1-row stats.
+    * doclen/stats derive from the STAGED postings read back, so the
+    * batch tokenizes once. */
+  def mergeDocBatch(spark: SparkSession, root: String, docs: DataFrame,
+                    batchId: Long): Boolean =
+    commitBatch(spark, root, s"batch=$batchId") { stg =>
+      val (post, _) = SearchIndex.addBatch(docs)
+      graft.sinks.LakeSink.writeClustered(post, s"$stg/postings", 1,
+        col("term"))
+      spark.read.parquet(s"$stg/postings")
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.parquet(s"$stg/doclen")
+      spark.read.parquet(s"$stg/doclen")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+             sum(col("dl")).cast("double").as("sum_dl"))
+        .coalesce(1).write.parquet(s"$stg/stats")
+    }
+
+  /** Attach BM25 maintenance to a document stream (doc_id, text). */
+  def startDocStream(stream: DataFrame, root: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        mergeDocBatch(b.sparkSession, root, b, id); ()
+      }
+      .start()
+
+  /** BM25 top-k served from the stream-maintained index: term-pruned
+    * union scan of the postings deltas + summed additive stats —
+    * the same expression tree as rag_bm25, so scores are
+    * byte-identical to a cold rebuild over the same documents. */
+  def bm25Serve(spark: SparkSession, root: String, k: Int = 10): DataFrame = {
+    val pruned = readTable(spark, root, "postings")
+      .filter(col("term").isin(Search.QueryTermList.map(t => t: Any): _*))
+    val stats = readTable(spark, root, "stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    Search.bm25From(spark, pruned, readTable(spark, root, "doclen"), stats, k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ----------------------------------------------------------------- ANN
+
+  /** One ANN delta: encode the vector batch against the FROZEN model
+    * (AnnIndex.ivfPqAdd — the Faiss add() path) and publish the codes
+    * cell-clustered. Model staleness is the drift monitor's concern
+    * (AnnIndex.driftMonitor / retrainIfDrifted), not the stream's. */
+  def mergeVecBatch(spark: SparkSession, root: String, vecs: DataFrame,
+                    cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
+                    coarse: IndexedSeq[Array[Double]],
+                    batchId: Long): Boolean =
+    commitBatch(spark, root, s"batch=$batchId") { stg =>
+      graft.sinks.LakeSink.writeClustered(
+        AnnIndex.ivfPqAdd(vecs, cbooks, coarse), s"$stg/codes", 1,
+        col("cluster"))
+    }
+
+  /** Attach ANN-codes maintenance to a vector stream (vec_id, embedding). */
+  def startVecStream(stream: DataFrame, root: String,
+                     cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
+                     coarse: IndexedSeq[Array[Double]]): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        mergeVecBatch(b.sparkSession, root, b, cbooks, coarse, id); ()
+      }
+      .start()
+
+  /** IVF-PQ top-k served from the stream-maintained codes (probed-cell
+    * literal pushdown as the offline index — Knn.ivfPqServe). `e` is
+    * the embeddings frame carrying the standing queries. */
+  def annServe(spark: SparkSession, root: String, e: DataFrame, k: Int,
+               nprobe: Int, cbooks: IndexedSeq[IndexedSeq[Array[Double]]],
+               coarse: IndexedSeq[Array[Double]]): DataFrame =
+    Knn.ivfPqServe(spark, e, k, nprobe, cbooks, coarse,
+      readTable(spark, root, "codes"))
+
+  // ----------------------------------------------------------- compaction
+
+  /** Fold every visible delta into one clustered run, published as
+    * `cbatch=<maxCoveredId>` under the commit protocol (no-op if that
+    * run is already committed). Covered deltas are NOT dropped here —
+    * readers already exclude them — so a crash after this commit
+    * loses nothing and double-counts nothing. */
+  def commitCompacted(spark: SparkSession, root: String,
+                      tables: Seq[(String, Option[org.apache.spark.sql.Column])])
+      : Boolean = {
+    val (best, plain) = committed(spark, root)
+    val covers = (best.map(_._2).toSeq ++ plain.map(_._2)).max
+    commitBatch(spark, root, s"cbatch=$covers") { stg =>
+      tables.foreach { case (t, key) =>
+        val df = readTable(spark, root, t)
+        key match {
+          case Some(k) =>
+            graft.sinks.LakeSink.writeClustered(df, s"$stg/$t", 1, k)
+          case None => df.write.parquet(s"$stg/$t")
+        }
+      }
+    }
+  }
+
+  /** Drop deltas covered by the newest compacted run (safe any time:
+    * readers never see covered deltas once the run is committed). */
+  def dropCovered(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val fs = fsFor(spark, rootPath)
+    if (!fs.exists(rootPath)) return
+    val dirs = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+    val covers = dirs.map(_.getPath.getName)
+      .filter(_.startsWith("cbatch="))
+      .filter(n => fs.exists(new Path(rootPath, s"$n/$Commit")))
+      .map(_.stripPrefix("cbatch=").toLong)
+      .sorted.lastOption.getOrElse(return)
+    dirs.foreach { s =>
+      val n = s.getPath.getName
+      val drop =
+        (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= covers) ||
+        (n.startsWith("cbatch=") && n.stripPrefix("cbatch=").toLong < covers) ||
+        n.startsWith(".staging_")
+      if (drop) fs.delete(s.getPath, true)
+    }
+  }
+
+  /** The BM25 index's table set (postings term-clustered). */
+  val Bm25Tables: Seq[(String, Option[org.apache.spark.sql.Column])] =
+    Seq(("postings", Some(col("term"))), ("doclen", None), ("stats", None))
+
+  /** The ANN index's table set (codes cell-clustered). */
+  val AnnTables: Seq[(String, Option[org.apache.spark.sql.Column])] =
+    Seq(("codes", Some(col("cluster"))))
+
+  /** Compact + drop, the steady-state maintenance call. */
+  def compact(spark: SparkSession, root: String,
+              tables: Seq[(String, Option[org.apache.spark.sql.Column])])
+      : Unit = {
+    commitCompacted(spark, root, tables)
+    dropCovered(spark, root)
+  }
+}

@@ -97,6 +97,52 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(psi > 0.2, s"planted shift not detected: psi=$psi")
   }
 
+  test("retrain loop: planted drift rebuilds + atomically swaps; old serve stays consistent") {
+    // isolated corpus dir → isolated cache (CorpusCache keys on the dir)
+    val dir = java.nio.file.Files.createTempDirectory("retrain").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cache = tools.CorpusCache.dirFor(dir, "embeddings", "ivfpq")
+
+    // v0 build; no drift on the build corpus → no retrain, no pointer
+    val (cb0, co0, codes0) = similarity.AnnIndex.ivfPqCached(spark, dir)
+    assert(!similarity.AnnIndex.retrainIfDrifted(spark, dir))
+    assert(!new java.io.File(cache, "CURRENT").exists())
+    val servedOld = rows(similarity.Knn
+      .ivfPqServe(spark, e, 10, nprobe = 3, cb0, co0, codes0))
+
+    // planted covariate shift past the threshold → retrain fires
+    val shifted = e.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(5.0)))
+    assert(similarity.AnnIndex.retrainCore(spark, cache, shifted, 0.2))
+    assert(new java.io.File(cache, "v1/model/_SUCCESS").exists())
+
+    // a concurrent serve holding the OLD version is untorn: v0's files
+    // survive the swap and reproduce the exact pre-retrain result
+    assert(rows(similarity.Knn
+      .ivfPqServe(spark, e, 10, nprobe = 3, cb0, co0, codes0)) === servedOld)
+
+    // the next load resolves the pointer → the NEW model; drift against
+    // the shifted corpus is now back under threshold
+    val (_, co1, codes1) = similarity.AnnIndex.ivfPqCached(spark, dir)
+    assert(co1 !== co0, "retrain must produce a new coarse quantizer")
+    assert(codes1.inputFiles.head.contains("v1"),
+      "serve must read the v1 codes")
+    assert(!similarity.AnnIndex.retrainCore(spark, cache, shifted, 0.2))
+
+    // a second cycle prunes v0 (two generations old) but keeps v1 for
+    // serves that resolved the pointer before this swap
+    val shifted2 = e.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(-3.0) + lit(9.0)))
+    assert(similarity.AnnIndex.retrainCore(spark, cache, shifted2, 0.2))
+    assert(new java.io.File(cache, "v2/model/_SUCCESS").exists())
+    assert(new java.io.File(cache, "v1/model/_SUCCESS").exists())
+    assert(!new java.io.File(cache, "model").exists(), "v0 pruned")
+  }
+
   test("codes table is the full corpus encoding, range-clustered by cell") {
     val (_, coarse, codes) = similarity.AnnIndex.ivfPqCached(spark, Sf)
     val n = Tables.embeddings(spark, Sf).count()

@@ -1,0 +1,166 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IndexMaintainStream
+
+object IndexMaintainStreamSpec {
+  case class Doc(doc_id: Long, text: String)
+  case class VecRow(vec_id: Long, embedding: Seq[Float])
+}
+
+/** The stream-maintained retrieval indexes must serve EXACTLY what a
+  * cold batch rebuild over the same records serves — byte-identical
+  * top-k — across micro-batching, re-delivery, torn staging, and
+  * compaction (with and without the covered-delta drop completing). */
+class IndexMaintainStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import IndexMaintainStreamSpec.{Doc, VecRow}
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // corpus over the standing-query vocabulary (Search.QueryTerms) plus
+  // per-doc filler so scores differ across docs
+  private def docs(n: Int): Seq[Doc] = {
+    val vocab = Seq("spark", "merge", "window", "hash", "join", "customer",
+      "filter", "scan", "stream", "shuffle", "plan")
+    (0 until n).map { i =>
+      val words = (0 until 12).map(j => vocab((i * 7 + j * 3) % vocab.size)) ++
+        (0 until 4).map(j => s"filler${i}_$j")
+      Doc(i.toLong, words.mkString(" "))
+    }
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("bm25 maintained on the stream ≡ cold rebuild; re-delivery is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("bm25stream")
+    val all = docs(45)
+
+    val input = MemoryStream[Doc]
+    val q = IndexMaintainStream.startDocStream(input.toDF(), root)
+    all.grouped(17).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val served = rows(IndexMaintainStream.bm25Serve(spark, root))
+    assert(served.nonEmpty)
+
+    // re-delivery of an already-committed epoch must be a no-op
+    assert(!IndexMaintainStream.mergeDocBatch(spark, root,
+      all.take(17).toDF(), batchId = 0))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)) === served)
+
+    // cold path 1: all docs in ONE delta through the same serve
+    val coldRoot = tmp("bm25cold")
+    assert(IndexMaintainStream.mergeDocBatch(spark, coldRoot, all.toDF(), 0))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, coldRoot)) === served)
+
+    // cold path 2: the OFFLINE persisted index (rag_bm25_indexed path)
+    // over the same docs as a documents.parquet corpus
+    val corpusDir = tmp("bm25corpus")
+    all.toDF().write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val offline = rows(
+      graft.operators.SearchIndex.bm25Indexed(spark, corpusDir))
+    assert(served === offline)
+  }
+
+  test("torn staging and unmarked dirs are invisible; re-delivery repairs them") {
+    import spark.implicits._
+    val root = tmp("bm25torn")
+    val all = docs(30)
+    assert(IndexMaintainStream.mergeDocBatch(spark, root, all.take(20).toDF(), 0))
+    val before = rows(IndexMaintainStream.bm25Serve(spark, root))
+
+    // a crashed attempt at batch 1: partial staging + published dir
+    // WITHOUT the commit marker — neither may affect a reader
+    val junk = all.slice(20, 22).toDF()
+    junk.write.parquet(s"$root/.staging_batch=1/postings")
+    junk.write.parquet(s"$root/batch=1/postings")
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)) === before)
+
+    // re-delivery of epoch 1 replaces the wreckage and commits cleanly
+    assert(IndexMaintainStream.mergeDocBatch(spark, root,
+      all.drop(20).toDF(), 1))
+    val coldRoot = tmp("bm25torncold")
+    assert(IndexMaintainStream.mergeDocBatch(spark, coldRoot, all.toDF(), 0))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)) ===
+           rows(IndexMaintainStream.bm25Serve(spark, coldRoot)))
+  }
+
+  test("compaction changes nothing served, with or without the drop completing") {
+    import spark.implicits._
+    val root = tmp("bm25compact")
+    val all = docs(40)
+    all.grouped(10).zipWithIndex.foreach { case (b, i) =>
+      assert(IndexMaintainStream.mergeDocBatch(spark, root, b.toDF(), i.toLong))
+    }
+    val served = rows(IndexMaintainStream.bm25Serve(spark, root))
+
+    // commit the compacted run but SIMULATE a crash before the drop:
+    // covered deltas still on disk — readers must exclude them
+    assert(IndexMaintainStream.commitCompacted(spark, root,
+      IndexMaintainStream.Bm25Tables))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "batch=0")))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)) === served)
+
+    // compacting again is a no-op (cbatch=3 already committed)
+    assert(!IndexMaintainStream.commitCompacted(spark, root,
+      IndexMaintainStream.Bm25Tables))
+
+    // finish the drop; serve unchanged, covered deltas gone
+    IndexMaintainStream.dropCovered(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "batch=0")))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)) === served)
+
+    // post-compaction increments land on top of the compacted run
+    assert(IndexMaintainStream.mergeDocBatch(spark, root,
+      Seq(Doc(100L, "spark stream merge window hash")).toDF(), 4))
+    val coldRoot = tmp("bm25compactcold")
+    assert(IndexMaintainStream.mergeDocBatch(spark, coldRoot,
+      (all :+ Doc(100L, "spark stream merge window hash")).toDF(), 0))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)) ===
+           rows(IndexMaintainStream.bm25Serve(spark, coldRoot)))
+  }
+
+  test("ANN codes maintained on the stream ≡ cold re-encode, through serve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // frozen model — trained once offline, shared by stream and cold path
+    val (cbooks, coarse) = graft.similarity.Knn.ivfPqFit(e)
+
+    val root = tmp("annstream")
+    val vecs = e.as[VecRow].collect().toSeq
+    val input = MemoryStream[VecRow]
+    val q = IndexMaintainStream.startVecStream(input.toDF(), root, cbooks, coarse)
+    vecs.grouped(180).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val served = rows(IndexMaintainStream.annServe(spark, root, e, k = 10,
+      nprobe = 2, cbooks, coarse))
+    assert(served.nonEmpty)
+
+    // cold re-encode of the full corpus with the same frozen model
+    val cold = rows(graft.similarity.Knn.ivfPqServe(spark, e, 10, 2,
+      cbooks, coarse, graft.similarity.AnnIndex.ivfPqAdd(e, cbooks, coarse)))
+    assert(served === cold)
+
+    // re-delivery no-op + compaction identity on the codes table
+    assert(!IndexMaintainStream.mergeVecBatch(spark, root,
+      e.limit(10), cbooks, coarse, 0))
+    IndexMaintainStream.compact(spark, root, IndexMaintainStream.AnnTables)
+    assert(rows(IndexMaintainStream.annServe(spark, root, e, 10, 2,
+      cbooks, coarse)) === served)
+  }
+}
