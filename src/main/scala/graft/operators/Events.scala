@@ -336,9 +336,18 @@ object Events {
     * frame back over the scan. Flag compares the ROUNDED |z| (both
     * engines) so float jitter can't flip the boundary. Emits only the
     * anomalies — the result is alert-sized, not corpus-sized. */
-  def anomalies(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"))
+  def anomalies(spark: SparkSession, dir: String): DataFrame =
+    anomaliesOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value")))
+
+  /** Frame-level core ((event_id, event_type, value) rows;
+    * OracleEdgeSpec plants the zero-variance fixture through it).
+    * Domain-edge argument: the σ > 0 filter precedes the z division on
+    * the SAME frame (WHERE sigma > 0 in the oracle), so a
+    * zero-variance type — constant values, or a single event, where
+    * stddev_pop is exactly 0, never NULL for n ≥ 1 — contributes no
+    * rows and the division never executes in either engine. */
+  private[graft] def anomaliesOn(ev: DataFrame): DataFrame = {
     val stats = ev.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
     ev.join(broadcast(stats), Seq("event_type"))

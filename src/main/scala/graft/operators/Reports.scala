@@ -156,11 +156,20 @@ object Reports {
     * ranking so rank order (ties → custkey) is bit-stable across
     * engines; the final moments round at 6 dp, far above float
     * summation-order noise. */
-  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val per = Tables.orders(spark, dir)
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame =
+    giniFrom(Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(rnd(sum(col("o_totalprice")), 2).as("rev"))
+      .agg(rnd(sum(col("o_totalprice")), 2).as("rev")))
+
+  /** Frame-level core ((o_custkey, rev) rows; OracleEdgeSpec plants
+    * degenerate fixtures through it). Domain edges are NULL by
+    * construction, mirrored with nullif in the oracle: an all-zero
+    * revenue frame zeroes the n·s denominator (IEEE 0/0 diverges
+    * across engines — Spark NaN, DuckDB error/NULL depending on
+    * flags), and an empty frame zeroes n. */
+  private[graft] def giniFrom(perCust: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val per = perCust
       .withColumn("bin", floor(col("rev") / 10000.0).cast("long"))
     val offsets = per.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
@@ -176,8 +185,10 @@ object Reports {
       .select(
         col("n").as("n_customers"),
         rnd(col("s"), 2).as("total_revenue"),
-        rnd(lit(2.0) * col("rs") / (col("n") * col("s"))
-              - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+        rnd(lit(2.0) * col("rs") / when(col("n") * col("s") =!= 0.0,
+              col("n") * col("s"))
+              - (col("n") + lit(1.0)) / when(col("n") =!= 0L, col("n")), 6)
+          .as("gini"))
   }
 
   /** Benford first-digit audit — the classic fabricated-numbers screen
@@ -409,7 +420,8 @@ object Reports {
            FROM r)
          SELECT n AS n_customers,
                 floor(s * 100 + 0.5) / 100 AS total_revenue,
-                floor((2.0 * rs / (n * s) - (n + 1.0) / n) * 1000000 + 0.5)
+                floor((2.0 * rs / nullif(n * s, 0)
+                       - (n + 1.0) / nullif(n, 0)) * 1000000 + 0.5)
                   / 1000000 AS gini
          FROM m""",
     "rpt_benford" ->

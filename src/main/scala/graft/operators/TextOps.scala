@@ -591,13 +591,20 @@ object TextOps {
     * (0,1)), so the rank arithmetic is a bounded-frame computation,
     * never a corpus-global sort. Scores are the ROUNDED model probs,
     * so tie groups are identical cross-engine. */
-  def auc(spark: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val labeled = qualityModel(spark, dir).select(col("doc_id"), col("prob"))
+  def auc(spark: SparkSession, dir: String): DataFrame =
+    aucFrom(qualityModel(spark, dir).select(col("doc_id"), col("prob"))
       .join(Tables.documents(spark, dir)
               .select(col("doc_id"),
                       when(col("lang") === "en", 1L).otherwise(0L).as("label")),
-            Seq("doc_id"))
+            Seq("doc_id")))
+
+  /** Frame-level core ((prob, label) rows; OracleEdgeSpec plants the
+    * single-class fixture through it). A single-class frame zeroes the
+    * n⁺·n⁻ denominator (AUC is undefined with no ranking opponent) —
+    * NULL by construction here and via nullif in the oracle, never an
+    * engine-dependent IEEE 0/0. */
+  private[graft] def aucFrom(labeled: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val byScore = labeled.groupBy(col("prob"))
       .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
     val wPrev = W.orderBy(col("prob")).rowsBetween(W.unboundedPreceding, -1)
@@ -614,7 +621,8 @@ object TextOps {
       .select(col("np").as("n_pos"), col("nn").as("n_neg"),
         rnd((col("rpos") -
              col("np").cast("double") * (col("np").cast("double") + lit(1.0)) / 2) /
-            (col("np").cast("double") * col("nn").cast("double")), 6).as("auc"))
+            when(col("np") * col("nn") =!= 0L,
+              col("np").cast("double") * col("nn").cast("double")), 6).as("auc"))
   }
 
   /** Zipf-law fit over the corpus vocabulary (text_zipf_fit) — the
@@ -646,12 +654,20 @@ object TextOps {
       rnd(sum(col("x") * col("x")), 4).as("sxx"),
       rnd(sum(col("x") * col("y")), 4).as("sxy"),
       rnd(sum(col("y") * col("y")), 4).as("syy"))
+    // Domain edges → NULL (nullif-mirrored in the oracle, never an
+    // engine-dependent IEEE 0/0): det = 0 when the vocabulary has < 2
+    // terms (no x spread to regress on); the r² denominator also
+    // vanishes when every count is equal (zero y variance — e.g. an
+    // all-singleton vocabulary), where the fit line is flat and r² is
+    // undefined.
     val det   = col("n") * col("sxx") - col("sx") * col("sx")
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
-    val icept = (col("sy") - slope * col("sx")) / col("n")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      when(det =!= 0.0, det)
+    val icept = (col("sy") - slope * col("sx")) /
+      when(col("n") =!= 0.0, col("n"))
     val r2num = col("n") * col("sxy") - col("sx") * col("sy")
-    val r2    = (r2num * r2num) /
-      (det * (col("n") * col("syy") - col("sy") * col("sy")))
+    val r2den = det * (col("n") * col("syy") - col("sy") * col("sy"))
+    val r2    = (r2num * r2num) / when(r2den =!= 0.0, r2den)
     m.select(col("n").cast("long").as("n_terms"),
              rnd(slope, 4).as("zipf_slope"),
              rnd(icept, 4).as("intercept"),
@@ -1074,7 +1090,7 @@ object TextOps {
             FROM rk)
           SELECT np AS n_pos, nn AS n_neg,
                  floor(((rpos - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2)
-                        / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))
+                        / nullif(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE), 0))
                        * 1000000 + 0.5) / 1000000 AS auc
           FROM t"""
     },
@@ -1100,14 +1116,14 @@ object TextOps {
            FROM ranked),
          d AS (
            SELECT n, sx, sy, sxx, sxy, syy,
-                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+                  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS slope
            FROM m)
          SELECT CAST(n AS BIGINT) AS n_terms,
                 floor(slope * 10000 + 0.5) / 10000 AS zipf_slope,
-                floor(((sy - slope * sx) / n) * 10000 + 0.5) / 10000
+                floor(((sy - slope * sx) / nullif(n, 0)) * 10000 + 0.5) / 10000
                   AS intercept,
                 floor((((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-                       ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                       nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0))
                       * 1000000 + 0.5) / 1000000 AS r2
          FROM d""",
     "text_heavy_hitters" ->
