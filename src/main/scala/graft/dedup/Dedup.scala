@@ -50,11 +50,11 @@ object Dedup {
     * synthetic corpora produce, so oracle outputs are unaffected. */
   private[graft] val MaxBucket = 4096
 
-  /** Audit for the hot-bucket guard, attached via Dataset.observe to the
-    * PRE-COUNT frame (one `(key, bucket_n)` row per bucket) — the counts
-    * ride that aggregation's own accumulators (no extra pass, output
-    * schema untouched) and surface through
-    * `df.queryExecution.observedMetrics`.
+  /** Audit for the hot-bucket guard, attached via Dataset.observe to
+    * the bounded-bucket aggregate's output (one row per bucket carrying
+    * the TRUE size `b.n`) — the counts ride the pair job's own
+    * accumulators (no extra pass, output schema untouched) and surface
+    * through `df.queryExecution.observedMetrics`.
     *
     * The metric name carries a per-invocation suffix (`name#N`):
     * Spark rejects duplicate observation names inside ONE plan
@@ -62,93 +62,81 @@ object Dedup {
     * of the same generator would otherwise fail at analysis. Consumers
     * look metrics up by prefix (see DedupQualitySpec.observedMetric). */
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private def observeHotCounts(counts: DataFrame, name: String,
-                               maxBucket: Int): DataFrame =
-    counts.observe(s"$name#${obsSeq.incrementAndGet()}",
-      sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L))
+  private def observeHotBuckets(agg: DataFrame, name: String,
+                                maxBucket: Int): DataFrame =
+    agg.observe(s"$name#${obsSeq.incrementAndGet()}",
+      sum(when(col("b.n") > maxBucket, 1L).otherwise(0L))
         .as("n_hot_buckets"),
-      sum(when(col("bucket_n") > maxBucket, col("bucket_n"))
+      sum(when(col("b.n") > maxBucket, col("b.n"))
         .otherwise(0L)).as("n_hot_doc_entries"))
 
-  /** Two-pass guarded bucket collect — the DROP regime shared by every
-    * exact pair generator and incremental index build.
-    *
-    * The naive guard (collect_list per bucket, THEN filter oversized
-    * buckets out) bounds output and wire but not PEAK TASK MEMORY: one
-    * pathological mass-dup bucket — a boilerplate shingle shared by 10⁹
-    * docs at 100 TB — materializes its full member list inside a single
-    * aggregation buffer before being dropped, and hash aggregation
-    * cannot spill mid-group. This two-pass form bounds the buffer to
-    * `maxBucket` entries by construction:
-    *
-    *  1. pre-count bucket sizes — `count(*)` per key, map-side combined,
-    *     constant memory per bucket, the shuffle carries one tiny
-    *     `(key, long)` row per key per map task; the hot-bucket audit
-    *     metrics observe THIS frame (same values as before: hot buckets
-    *     and their member-row mass);
-    *  2. keep only keys with `minSize <= bucket_n <= maxBucket` and
-    *     LEFT-SEMI-join the member rows against them — over-cap (and
-    *     singleton, when `minSize = 2`) rows are dropped STREAMING,
-    *     never buffered; AQE turns the join into a broadcast when the
-    *     surviving key set is small;
-    *  3. collect_list, which now provably never sees a bucket larger
-    *     than `maxBucket`.
-    *
-    * The semi-join shuffles `rows` on the bucket key and the groupBy
-    * after it reuses that partitioning (no second big exchange), so the
-    * shuffle count matches the one-pass form; the member projection's
-    * lineage is evaluated for both the count and the join branch, with
-    * the scan-side exchanges deduplicated by ReuseExchange. A side
-    * benefit at any scale: singleton buckets — the vast majority of
-    * shingles — are now dropped BEFORE collection instead of being
-    * collected and filtered. Outputs are identical to the one-pass form
-    * (DedupGuardSpec proves it on a planted mega-bucket corpus). */
+  /** Memory-bounded bucket frame shared by every guard regime: ONE
+    * aggregation pass with the native
+    * [[graft.functions.expressions.BoundedBucket]] aggregate, whose
+    * buffer stops appending members beyond `maxBucket + 1` while the
+    * true count `n` and true min member `mn` stay exact — so a
+    * pathological mass-dup bucket (a boilerplate shingle shared by 10⁹
+    * docs at 100 TB) costs `maxBucket + 1` buffer entries, not
+    * O(|bucket|), and no second evaluation of the member pipeline (the
+    * round-8 pre-count + semi-join form bounded memory too, but
+    * re-evaluated the signature-heavy member projection per branch —
+    * measured 1.3–2.0× at sf0.1). Returns one row per bucket:
+    * (keys..., b struct(n, mn, ds)) with `ds` complete exactly when
+    * `n <= maxBucket`; the audit metrics observe this frame. */
+  private def boundedBuckets(rows: DataFrame, keys: Seq[String],
+                             member: Column, metric: String,
+                             maxBucket: Int): DataFrame = {
+    graft.functions.Registry.register(rows.sparkSession)
+    val kc = keys.map(col)
+    observeHotBuckets(
+      rows.select(kc :+ member.as("m"): _*)
+        .groupBy(kc: _*)
+        .agg(call_function("graft_bounded_bucket", col("m"),
+          lit(maxBucket)).as("b")),
+      metric, maxBucket)
+  }
+
+  /** DROP-regime guarded bucket collect (exact pair generators and
+    * incremental index builds): over-cap buckets are dropped — their
+    * truncated member list is never read — and the survivors' complete
+    * lists come out of the single bounded aggregation. Outputs are
+    * identical to an unguarded collect-then-filter (DedupGuardSpec
+    * proves it on planted mega-bucket corpora). */
   private def guardedBuckets(rows: DataFrame, keys: Seq[String],
                              member: Column, metric: String,
                              maxBucket: Int, minSize: Int = 2): DataFrame = {
     val kc = keys.map(col)
-    val m = rows.select(kc :+ member.as("m"): _*)
-    val counts = observeHotCounts(
-      m.groupBy(kc: _*).agg(count(lit(1)).as("bucket_n")),
-      metric, maxBucket)
-    val ok = counts
-      .filter(col("bucket_n") <= maxBucket && col("bucket_n") >= minSize)
-      .select(kc: _*)
-    m.join(ok, keys, "left_semi")
-      .groupBy(kc: _*)
-      .agg(collect_list(col("m")).as("ds"))
+    boundedBuckets(rows, keys, member, metric, maxBucket)
+      .filter(col("b.n") <= maxBucket && col("b.n") >= minSize)
+      .select(kc :+ col("b.ds").as("ds"): _*)
   }
 
-  /** Two-pass guarded pair space — the STAR regime shared by the
-    * approximate generators (minhash/simhash/embed-LSH bands). Same
-    * memory bound as [[guardedBuckets]], but over-cap buckets
-    * star-expand to the bucket's min member instead of dropping:
-    * the pre-count aggregation also carries `min(member)` (constant
-    * buffer — struct comparison orders by the leading id field), and
-    * hot-bucket rows join THAT one-row-per-bucket frame to emit
-    * `(min, other)` edges directly — O(|bucket|) rows for a hot bucket
-    * with no collect_list ever materializing it. Under-cap buckets go
-    * through the usual collect + double-explode all-pairs expansion.
-    * Returns `(a, b)` member-struct pairs with `a.idField < b.idField`;
-    * callers compute the similarity measure. */
+  /** STAR-regime guarded pair space (approximate generators —
+    * minhash/simhash/embed-LSH bands): under-cap buckets expand
+    * all-pairs from their complete collected list; over-cap buckets
+    * star-expand to the bucket's TRUE min member (tracked exactly by
+    * the bounded aggregate even past truncation) by joining the
+    * member rows against the tiny hot-anchor frame — O(|bucket|)
+    * output rows for a hot bucket with the bucket never materialized.
+    * The member pipeline is evaluated once for the aggregation and
+    * once for the hot-anchor join (scan-side exchanges deduplicated by
+    * ReuseExchange; with zero hot buckets AQE's empty-relation
+    * propagation collapses the star branch). Returns `(a, b)` member
+    * pairs with `a.idField < b.idField`; callers compute the
+    * similarity measure. */
   private def guardedStarPairs(rows: DataFrame, keys: Seq[String],
                                member: Column, idField: String,
                                metric: String, maxBucket: Int): DataFrame = {
     val kc = keys.map(col)
     val m = rows.select(kc :+ member.as("m"): _*)
-    val counts = observeHotCounts(
-      m.groupBy(kc: _*).agg(count(lit(1)).as("bucket_n"),
-                            min(col("m")).as("mn")),
-      metric, maxBucket)
-    val ok = counts
-      .filter(col("bucket_n") <= maxBucket && col("bucket_n") >= 2)
-      .select(kc: _*)
-    val allPairs = m.join(ok, keys, "left_semi")
-      .groupBy(kc: _*).agg(collect_list(col("m")).as("ds"))
+    val buckets = boundedBuckets(rows, keys, member, metric, maxBucket)
+    val allPairs = buckets
+      .filter(col("b.n") <= maxBucket && col("b.n") >= 2)
+      .select(kc :+ col("b.ds").as("ds"): _*)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
-    val hot = counts.filter(col("bucket_n") > maxBucket)
-      .select(kc :+ col("mn"): _*)
+    val hot = buckets.filter(col("b.n") > maxBucket)
+      .select(kc :+ col("b.mn").as("mn"): _*)
     val starPairs = m.join(hot, keys)
       .select(col("mn").as("a"), col("m").as("b"))
     allPairs.select(col("a"), col("b"))

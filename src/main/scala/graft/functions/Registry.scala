@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.expressions.{DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature, UnicodeNormalize}
+import graft.functions.expressions.{BoundedBucket, DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature, UnicodeNormalize}
 
 /** Per-session registration of graft's native Catalyst expressions.
   * Idempotent; the function registry is the supported route to custom
@@ -20,6 +20,8 @@ object Registry {
       "graft_simhash", exprs => SimHashSignature(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_freq_items", FreqItemsSketch.build, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bounded_bucket", BoundedBucket.build, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

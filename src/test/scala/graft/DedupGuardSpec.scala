@@ -2,18 +2,21 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Planted MEGA-bucket specs for the two-pass hot-bucket guard.
+/** Planted MEGA-bucket specs for the memory-bounded hot-bucket guard.
   *
   * DedupQualitySpec checks the guard's *semantics* (drops audited, star
   * edges only, no leaked pairs) on small hot buckets. This suite locks
-  * the round-8 memory-shape rewrite: bucket membership is pre-COUNTED
-  * and over-cap keys are removed by a semi-join BEFORE collect_list, so
-  * no aggregation buffer ever materializes an over-cap bucket. Each test
-  * plants a bucket far above the cap and asserts (a) output identical to
-  * what the corpus yields with the hot docs absent — the drop guard's
-  * contract — or to the exact star-edge set, and (b) the audit metrics
-  * still fire with exact counts, and (c) the plan shape: a LeftSemi join
-  * feeding the bucket-collect aggregate. */
+  * the round-8 memory-shape rewrite: bucket membership is collected
+  * through the native `graft_bounded_bucket` aggregate, whose buffer
+  * stops appending members past `maxBucket + 1` entries while the true
+  * count and min member stay exact — so no aggregation buffer ever
+  * materializes an over-cap bucket and no unbounded collect_list
+  * remains in a guarded plan. Each test plants a bucket far above the
+  * cap and asserts (a) output identical to what the corpus yields with
+  * the hot docs absent — the drop guard's contract — or to the exact
+  * star-edge set, and (b) the audit metrics still fire with exact
+  * counts, and (c) the plan shape: the bounded aggregate, no
+  * collect_list. */
 class DedupGuardSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -68,18 +71,13 @@ class DedupGuardSpec extends AnyFunSuite {
       "n_hot_doc_entries") === 2000L)
   }
 
-  test("guard plan: over-cap keys removed by semi-join BEFORE the bucket collect") {
+  test("guard plan: ONE bounded-bucket aggregate, no unbounded collect_list") {
     val guarded = dedup.Dedup.jaccardPairsOn(megaCorpus(), maxBucket = 10)
     val plan = guarded.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftSemi"),
-      s"two-pass guard must semi-join survivor keys before collecting:\n$plan")
-    assert(plan.contains("collect_list"), "bucket collect still present")
-    // the pre-count side must aggregate counts, not lists: the only
-    // collect_list aggregates sit ABOVE the LeftSemi join
-    val collectIdx = plan.indexOf("collect_list")
-    val semiIdx = plan.indexOf("LeftSemi")
-    assert(collectIdx >= 0 && semiIdx > collectIdx,
-      "collect_list must be above (printed before) the LeftSemi join")
+    assert(plan.contains("graft_bounded_bucket"),
+      s"guard must collect through the memory-bounded aggregate:\n$plan")
+    assert(!plan.contains("collect_list"),
+      "no unbounded collect_list may remain in a guarded generator")
   }
 
   test("minhash mega-bucket: star edges only, O(|bucket|) output, exact audit") {
