@@ -30,6 +30,7 @@ object SparkEntry {
     operators.Sampling.queries ++
     operators.BpeVocab.queries ++
     dedup.Dedup.queries ++
+    dedup.SubstrDedup.queries ++
     similarity.Knn.queries ++
     graph.PageRank.queries ++
     graph.LabelProp.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
     operators.Sampling.oracles ++
     operators.BpeVocab.oracles ++
     dedup.Dedup.oracles ++
+    dedup.SubstrDedup.oracles ++
     similarity.Knn.oracles ++
     graph.PageRank.oracles ++
     graph.LabelProp.oracles ++

@@ -1,0 +1,210 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num.rnd
+import graft.functions.TextFunctions._
+
+/** Exact-substring (span-level) deduplication — the ExactSubstr pass of
+  * Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better" (ACL 2022): find every maximal run of >= K consecutive
+  * tokens that also appears in ANOTHER document, and scrub those runs
+  * while keeping the rest of the document. This is finer-grained than
+  * the library's doc-level dedup family (dedup_exact_docs /
+  * dedup_ngram_jaccard keep-or-drop whole documents): a news article
+  * quoting a duplicated press-release paragraph keeps its original
+  * prose and loses only the quoted span.
+  *
+  * The paper builds a single-node suffix array; that structure does not
+  * distribute. The Spark-first equivalent keeps the same semantics —
+  * "duplicated substring of length >= K" == "every K-token window of it
+  * is a duplicated K-gram, and maximal runs of duplicated K-gram starts
+  * merge into one span" — with relational pieces only:
+  *
+  *  1. token positions: posexplode of the regex tokens (normText
+  *     space — same tokenizer as the rest of the text family);
+  *  2. K-gram per position via K-1 window leads over doc_id —
+  *     fully codegen'd, one shuffle on doc_id (shingleRows' shape);
+  *  3. cross-doc duplicate grams: groupBy(gram) with
+  *     countDistinct(doc_id) >= 2 — Spark plans the two-phase
+  *     partial/merge distinct-count, map-side combined; requiring
+  *     DISTINCT docs (not raw occurrences) keeps self-repetition
+  *     inside one doc out of scope (that is text_repetition /
+  *     text_dup_ngram_frac's job);
+  *  4. duplicated gram START positions: left-semi join of the gram
+  *     rows against the duplicated-gram keys — output is linear in
+  *     gram occurrences (never a pair space, so a boilerplate gram
+  *     shared by 10^9 docs at 100 TB costs its occurrence count and
+  *     nothing quadratic — no hot-bucket guard needed);
+  *  5. interval merge per doc: each start p covers [p, p+K-1];
+  *     runs that overlap OR touch (start <= prev_max_end + 1) fuse
+  *     into one maximal span via the classic islands trick — running
+  *     max(end) over a doc-partitioned window, new-island flag,
+  *     cumulative sum, group by island.
+  *
+  * At 100 TB the only heavy exchange is step 3/4's shuffle on the gram
+  * string; a production run would group on xxhash64(gram) (8-byte wire
+  * keys; collision odds ~ n^2 / 2^64) — the string form is kept here so
+  * the DuckDB oracle is bit-exact with no collision caveat.
+  *
+  * Reference behavior anchor: the reference dedups referral rows only
+  * whole-record (core/etl_service.py:210-246 drop_duplicates); span
+  * scrubbing is part of the LLM-pipeline surface this library adds.
+  */
+object SubstrDedup {
+
+  /** Minimum duplicated run length, in tokens (the paper uses 50 BPE
+    * tokens at web scale; 8 fits the synthetic corpus' 10-99-token
+    * docs while exercising identical machinery). */
+  private[graft] val MinRun = 8
+
+  /** One row per (doc_id, gram start position, K-token gram). */
+  private def gramRows(docs: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("w"), j).over(byDoc).as(s"w$j"))
+    docs
+      .select(col("doc_id"), posexplode(reTokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("pos").cast("long").as("pos") +:
+        col("w") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w") +: (1 until k).map(j => col(s"w$j")): _*)
+          .as("kg"))
+  }
+
+  /** Maximal cross-doc duplicated spans:
+    * (doc_id, span_start, span_end, span_len), token positions
+    * inclusive, 0-based, in regex-token space. */
+  private[graft] def spansOf(docs: DataFrame, k: Int): DataFrame = {
+    val grams = gramRows(docs, k)
+    val dupGrams = grams
+      .groupBy(col("kg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("kg"))
+    val hits = grams
+      .join(dupGrams, Seq("kg"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("is_new",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-2L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_len"))
+      .drop("island")
+  }
+
+  /** Span inventory entry. */
+  def spans(spark: SparkSession, dir: String): DataFrame =
+    spansOf(Tables.documents(spark, dir), MinRun)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Scrub entry: every document with its duplicated-span tokens
+    * removed — per-doc token accounting plus the retained text
+    * (normText space). Tokens are kept by a left-anti range join
+    * against the doc's spans: the doc_id equi key drives the join,
+    * the BETWEEN rides as its residual condition, and the retained
+    * text reassembles via an ordered struct sort inside the doc's
+    * aggregation buffer (bounded by the doc's own length). */
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sp = spansOf(docs, MinRun)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(reTokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(sp,
+      toks("doc_id") === sp("s_doc") &&
+        col("pos").between(col("span_start"), col("span_end")),
+      "left_anti")
+    val keptAgg = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("scrubbed"))
+    docs
+      .select(col("doc_id"),
+        size(reTokens(col("text"))).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(rnd(
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+              .cast("double") / col("n_tokens"), 4)).as("dup_frac"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_spans" -> (spans _),
+    "dedup_substring_scrub" -> (scrub _))
+
+  private val spansCte =
+    """t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+             FROM documents),
+       g AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS kg
+             FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+                   FROM t WHERE len(w) >= 8)),
+       dup AS (SELECT kg FROM g GROUP BY 1
+               HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN dup USING (kg)),
+       brk AS (SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -2) + 1
+                           THEN 1 ELSE 0 END AS is_new
+               FROM hits),
+       isl AS (SELECT doc_id, pos,
+                      sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS island
+               FROM brk),
+       spans AS (SELECT doc_id, min(pos) AS span_start,
+                        max(pos) + 7 AS span_end,
+                        max(pos) + 8 - min(pos) AS span_len
+                 FROM isl GROUP BY doc_id, island)"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      s"""WITH $spansCte
+          SELECT doc_id, span_start, span_end, span_len
+          FROM spans ORDER BY doc_id, span_start""",
+    "dedup_substring_scrub" ->
+      s"""WITH $spansCte,
+          toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok
+                   FROM t, unnest(range(len(w))) AS u(i)),
+          kept AS (SELECT k.doc_id, k.pos, k.tok FROM toks k
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM spans s
+                     WHERE s.doc_id = k.doc_id
+                       AND k.pos BETWEEN s.span_start AND s.span_end)),
+          kc AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+                 FROM kept GROUP BY doc_id)
+          SELECT t.doc_id,
+                 CAST(len(t.w) AS BIGINT) AS n_tokens,
+                 CAST(len(t.w) - coalesce(kc.n_kept, 0) AS BIGINT)
+                   AS dup_tokens,
+                 CASE WHEN len(t.w) = 0 THEN 0.0
+                      ELSE round((len(t.w) - coalesce(kc.n_kept, 0)) * 1.0
+                                 / len(t.w), 4) END AS dup_frac,
+                 coalesce(kc.scrubbed, '') AS scrubbed
+          FROM t LEFT JOIN kc USING (doc_id)
+          ORDER BY t.doc_id""")
+}

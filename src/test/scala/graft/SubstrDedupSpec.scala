@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-substring span dedup (dedup/SubstrDedup.scala) on planted
+  * partial-overlap corpora — the shapes the synthetic sf tables don't
+  * exercise (their planted duplicates are whole-doc, so every span
+  * degenerates to [0, n-1]). Semantics locked here:
+  *
+  *  - a shared run of exactly K tokens is found, and the reported span
+  *    is MAXIMAL — it covers the whole shared run, not just one K-gram;
+  *  - a shared run of K-1 tokens is NOT flagged;
+  *  - two shared runs separated by one private token stay two spans;
+  *    runs whose coverage touches fuse into one;
+  *  - repetition INSIDE one document is not a duplicate (cross-doc
+  *    distinct-count semantics);
+  *  - scrub removes exactly the span tokens and keeps everything else
+  *    in order.
+  */
+class SubstrDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val K = 8 // must mirror SubstrDedup.MinRun
+
+  private def df(docs: (Long, String)*) = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  private def spans(docs: org.apache.spark.sql.DataFrame) =
+    dedup.SubstrDedup.spansOf(docs, K)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  private def words(prefix: String, n: Int) =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("a shared K-token run yields one maximal span in both docs") {
+    val shared = words("s", 12) // 12 > K: span must cover all 12
+    val d = df(
+      (1L, words("a", 5) + " " + shared + " " + words("b", 4)),
+      (2L, words("c", 3) + " " + shared))
+    assert(spans(d).toSeq === Seq(
+      (1L, 5L, 16L, 12L),
+      (2L, 3L, 14L, 12L)))
+  }
+
+  test("a shared run one token short of K is not flagged") {
+    val shared = words("s", K - 1)
+    val d = df(
+      (1L, words("a", 5) + " " + shared),
+      (2L, words("c", 5) + " " + shared))
+    assert(spans(d).isEmpty)
+  }
+
+  test("two shared runs split by a private token stay two spans") {
+    val r1 = words("x", K)
+    val r2 = words("y", K)
+    val d = df(
+      (1L, r1 + " private1only " + r2),
+      (2L, r1 + " totallyelse " + r2))
+    assert(spans(d).toSeq === Seq(
+      (1L, 0L, 7L, 8L), (1L, 9L, 16L, 8L),
+      (2L, 0L, 7L, 8L), (2L, 9L, 16L, 8L)))
+  }
+
+  test("repetition inside ONE doc is not a cross-doc duplicate") {
+    val run = words("r", K)
+    val d = df(
+      (1L, run + " " + run + " " + run),
+      (2L, words("z", 20)))
+    assert(spans(d).isEmpty)
+  }
+
+  test("scrub keeps non-span tokens in order and accounts exactly") {
+    val shared = words("s", 10)
+    val d = df(
+      (1L, words("a", 4) + " " + shared + " " + words("b", 3)),
+      (2L, shared))
+    val sp = dedup.SubstrDedup.spansOf(d, K)
+    // doc 1: tokens 4..13 scrubbed -> keeps a0..a3 b0..b2
+    import org.apache.spark.sql.functions._
+    val toks = d.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.reTokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(
+      sp.select(col("doc_id").as("s_doc"), col("span_start"), col("span_end")),
+      toks("doc_id") === col("s_doc") &&
+        col("pos").between(col("span_start"), col("span_end")),
+      "left_anti")
+      .orderBy("doc_id", "pos").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    assert(kept(1L) === Seq("a0", "a1", "a2", "a3", "b0", "b1", "b2"))
+    assert(!kept.contains(2L)) // whole doc was the duplicated run
+  }
+
+  test("spans/scrub sf entries agree on per-doc duplicated token mass") {
+    val dir = TestSpark.Sf
+    val sp = dedup.SubstrDedup.queries("dedup_substring_spans")(spark, dir)
+    val sc = dedup.SubstrDedup.queries("dedup_substring_scrub")(spark, dir)
+    import org.apache.spark.sql.functions._
+    val fromSpans = sp.groupBy("doc_id")
+      .agg(sum("span_len").as("dup_tokens_sp"))
+    val joined = sc.join(fromSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_tokens"),
+        coalesce(col("dup_tokens_sp"), lit(0L)).as("dup_tokens_sp"))
+      .filter(col("dup_tokens") =!= col("dup_tokens_sp"))
+    assert(joined.count() === 0)
+  }
+}
