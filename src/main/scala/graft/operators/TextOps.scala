@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -123,9 +123,12 @@ object TextOps {
     * scores (the same oracle-checked metrics as text_quality) so both
     * engines gate identically at the boundary; pure map-side predicate
     * — at 100 TB this is a scan with zero shuffles. */
-  private def gatedDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The C4-style quality gate as a frame transform — callable on any
+    * (doc_id, lang, text) frame, batch or micro-batch, so the batch
+    * flagship and streaming.PretrainStream run the SAME expressions. */
+  def gateDocs(docs: DataFrame): DataFrame = {
     val words = reTokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"), col("text"),
               size(words).cast("long").as("n_words"),
               rnd(totalChars(words).cast("double") / size(words), 2)
@@ -136,6 +139,35 @@ object TextOps {
               col("avg_word_len").between(3.0, 8.0) &&
               col("stopword_ratio") >= 0.02)
   }
+
+  private def gatedDocs(spark: SparkSession, dir: String): DataFrame =
+    gateDocs(Tables.documents(spark, dir))
+
+  /** Quality gate + Gopher repetition gate — the full per-document
+    * admission predicate (no cross-document state), shared between the
+    * batch flagship and the streaming twin. */
+  def cleanDocs(docs: DataFrame): DataFrame = {
+    val gated = gateDocs(docs)
+    val rep = repetitionMetrics(gated.select(col("doc_id"), col("text")))
+    gated.join(rep, Seq("doc_id"), "left")
+      .filter(!(coalesce(col("top_bigram_frac"), lit(0.0)) > 0.18 ||
+                coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.30))
+  }
+
+  /** The deterministic md5 holdout coin (bucket 0-15; 15 = held out). */
+  def holdoutCoin(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 1), 16, 10).cast("int")
+
+  /** Per-language corpus accounting over admitted keeper docs —
+    * (lang, n_docs, n_tokens, n_chunks of 64 tokens). */
+  def pretrainAccounting(kept: DataFrame): DataFrame =
+    kept
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).as("n_tokens"),
+           sum((floor((col("n_words") - 1) / 64) + 1).cast("long"))
+             .as("n_chunks"))
+      .orderBy(col("lang"))
 
   /** The gate as a standalone report: kept documents with their
     * scores. */
@@ -186,11 +218,7 @@ object TextOps {
     * same sub-quadratic shapes as their standalone operators; the final
     * rollup is map-side combined on a low-cardinality key. */
   def pretrainPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val gated = gatedDocs(spark, dir)
-    val rep = repetitionMetrics(gated.select(col("doc_id"), col("text")))
-    val clean = gated.join(rep, Seq("doc_id"), "left")
-      .filter(!(coalesce(col("top_bigram_frac"), lit(0.0)) > 0.18 ||
-                coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.30))
+    val clean = cleanDocs(Tables.documents(spark, dir))
     val byContent = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(normText(col("text")))).orderBy(col("doc_id"))
     val keepers = clean
@@ -198,16 +226,11 @@ object TextOps {
       .filter(col("rk") === 1)
     val contaminated = graft.dedup.Dedup.contamination(spark, dir)
       .select(col("train_doc_id")).distinct()
-    keepers
-      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
-                .cast("int") =!= 15)
-      .join(contaminated, col("doc_id") === col("train_doc_id"), "left_anti")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_words")).as("n_tokens"),
-           sum((floor((col("n_words") - 1) / 64) + 1).cast("long"))
-             .as("n_chunks"))
-      .orderBy(col("lang"))
+    pretrainAccounting(
+      keepers
+        .filter(holdoutCoin(col("doc_id")) =!= 15)
+        .join(contaminated, col("doc_id") === col("train_doc_id"),
+          "left_anti"))
   }
 
   /** Unigram-LM quality score — the KenLM-perplexity stand-in every
