@@ -642,7 +642,7 @@ object Dedup {
 
   /** First hex nibble of md5(doc_id) — the same deterministic coin as
     * operators.Sampling (content-addressed, engine-portable). */
-  private def bucket16(id: Column): Column =
+  private[dedup] def bucket16(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int")
 
   /** Incremental exact dedup — the production shape at 100 TB: a NEW

@@ -75,20 +75,10 @@ object SubstrDedup {
           .as("kg"))
   }
 
-  /** Maximal cross-doc duplicated spans:
-    * (doc_id, span_start, span_end, span_len), token positions
-    * inclusive, 0-based, in regex-token space. */
-  private[graft] def spansOf(docs: DataFrame, k: Int): DataFrame = {
-    val grams = gramRows(docs, k)
-    val dupGrams = grams
-      .groupBy(col("kg"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("kg"))
-    val hits = grams
-      .join(dupGrams, Seq("kg"), "left_semi")
-      .select(col("doc_id"), col("pos"))
-      .distinct()
+  /** Islands interval-merge: duplicated K-gram START positions
+    * (doc_id, pos) → maximal spans, overlapping-or-touching runs
+    * fused. */
+  private def mergeStarts(hits: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevMaxEnd = max(col("pos") + (k - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -105,10 +95,59 @@ object SubstrDedup {
       .drop("island")
   }
 
+  /** Maximal cross-doc duplicated spans:
+    * (doc_id, span_start, span_end, span_len), token positions
+    * inclusive, 0-based, in regex-token space. */
+  private[graft] def spansOf(docs: DataFrame, k: Int): DataFrame = {
+    val grams = gramRows(docs, k)
+    val dupGrams = grams
+      .groupBy(col("kg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("kg"))
+    val hits = grams
+      .join(dupGrams, Seq("kg"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    mergeStarts(hits, k)
+  }
+
   /** Span inventory entry. */
   def spans(spark: SparkSession, dir: String): DataFrame =
     spansOf(Tables.documents(spark, dir), MinRun)
       .orderBy(col("doc_id"), col("span_start"))
+
+  /** Incremental substring dedup — the daily-increment shape: a new
+    * batch (the family's deterministic 1/16 md5 split) finds its
+    * duplicated spans AGAINST THE STANDING CORPUS only. The corpus
+    * collapses once into its distinct-gram set — in production a
+    * persisted gram index maintained by appending each day's accepted
+    * docs' grams (IndexMaintainStream's delta protocol fits verbatim:
+    * gram presence is per-doc-local, so append ≡ rebuild) — and the
+    * increment-sized batch probes it with a left-semi join
+    * co-partitioned on the gram. A batch position is covered when its
+    * K-gram exists ANYWHERE in the corpus (batch ∩ corpus = ∅ by the
+    * split, so every such match is cross-doc by construction);
+    * batch-internal duplication is deliberately out of scope here —
+    * that's [[spans]]' corpus-wide job. The corpus never self-pairs,
+    * never re-shuffles per batch, and output stays linear in batch
+    * gram occurrences. */
+  def incrementalSpans(spark: SparkSession, dir: String): DataFrame =
+    incrementalSpansOn(Tables.documents(spark, dir), MinRun)
+
+  /** Frame-level core (docs must have doc_id + text). */
+  private[graft] def incrementalSpansOn(docs: DataFrame, k: Int): DataFrame = {
+    val grams = gramRows(docs, k)
+      .withColumn("is_batch", Dedup.bucket16(col("doc_id")) === 0)
+    val corpusGrams = grams.filter(!col("is_batch"))
+      .select(col("kg")).distinct()
+    val hits = grams.filter(col("is_batch"))
+      .join(corpusGrams, Seq("kg"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    mergeStarts(hits, k)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 
   /** Scrub entry: every document with its duplicated-span tokens
     * removed — per-doc token accounting plus the retained text
@@ -153,7 +192,8 @@ object SubstrDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_spans" -> (spans _),
-    "dedup_substring_scrub" -> (scrub _))
+    "dedup_substring_scrub" -> (scrub _),
+    "dedup_substring_incremental" -> (incrementalSpans _))
 
   private val spansCte =
     """t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
@@ -206,5 +246,34 @@ object SubstrDedup {
                                  / len(t.w), 4) END AS dup_frac,
                  coalesce(kc.scrubbed, '') AS scrubbed
           FROM t LEFT JOIN kc USING (doc_id)
-          ORDER BY t.doc_id""")
+          ORDER BY t.doc_id""",
+    "dedup_substring_incremental" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 1)) AS INTEGER) = 0 AS is_batch
+                    FROM documents),
+         g AS (SELECT doc_id, is_batch, i AS pos,
+                      array_to_string(w[i+1:i+8], ' ') AS kg
+               FROM (SELECT doc_id, is_batch, w,
+                            unnest(range(len(w) - 7)) AS i
+                     FROM t WHERE len(w) >= 8)),
+         corpus AS (SELECT DISTINCT kg FROM g WHERE NOT is_batch),
+         hits AS (SELECT DISTINCT g.doc_id, g.pos
+                  FROM g JOIN corpus USING (kg) WHERE g.is_batch),
+         brk AS (SELECT doc_id, pos,
+                        CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), -2) + 1
+                             THEN 1 ELSE 0 END AS is_new
+                 FROM hits),
+         isl AS (SELECT doc_id, pos,
+                        sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                          AS island
+                 FROM brk)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                max(pos) + 8 - min(pos) AS span_len
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""")
 }

@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   *   - sparse indexed = operators.SearchIndex.bm25Indexed (term-pruned
   *                      postings scan, no query-time tokenization)
   *
-  * Usage: runMain graft.tools.CrossoverSweep [srcDir scratchDir]
+  * Usage: runMain graft.tools.CrossoverSweep [srcDir scratchDir rungs]
+  * (rungs comma-separated, default "1,3,10,30,100").
   * Prints a markdown table for SURVEY §6. */
 object CrossoverSweep {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val scratch = if (args.length > 1) args(1) else "/root/repo/.scratch"
-    val rungs = Seq(1, 3, 10, 30, 100)
+    val rungs =
+      if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
+      else Seq(1, 3, 10, 30, 100)
 
     // generate the ladder first (ScaleUpFresh manages its own session),
     // then NORMALIZE every corpus to the same file count: ScaleUpFresh

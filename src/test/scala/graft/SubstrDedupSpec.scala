@@ -96,6 +96,28 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(!kept.contains(2L)) // whole doc was the duplicated run
   }
 
+  test("incremental: batch-vs-corpus spans only — batch-internal and corpus-internal dups excluded") {
+    // bucket16(doc_id)==0 selects the batch; find ids on each side
+    def coin(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.charAt(0) == '0'
+    val batchIds = (0L until 2000L).filter(coin).take(2)
+    val corpusIds = (0L until 2000L).filterNot(coin).take(2)
+    val sharedBC = words("bc", 10)  // batch<->corpus duplicated run
+    val sharedBB = words("bb", 10)  // batch<->batch only
+    val sharedCC = words("cc", 10)  // corpus<->corpus only
+    val d = df(
+      (batchIds(0), words("p", 3) + " " + sharedBC + " " + sharedBB),
+      (batchIds(1), sharedBB + " " + words("q", 5)),
+      (corpusIds(0), sharedBC + " " + sharedCC),
+      (corpusIds(1), sharedCC + " " + words("r", 4)))
+    val out = dedup.SubstrDedup.incrementalSpansOn(d, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // only the batch doc's bc-run against the corpus: positions 3..12
+    assert(out === Seq((batchIds(0), 3L, 12L)))
+  }
+
   test("spans/scrub sf entries agree on per-doc duplicated token mass") {
     val dir = TestSpark.Sf
     val sp = dedup.SubstrDedup.queries("dedup_substring_spans")(spark, dir)
