@@ -118,6 +118,60 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(out === Seq((batchIds(0), 3L, 12L)))
   }
 
+  test("property: spansOf equals an independent in-Scala reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    // small vocab + short docs force rich cross-doc duplicated runs,
+    // overlaps, touching intervals, and sub-K fragments
+    val corpusGen: Gen[List[(Long, List[String])]] = for {
+      nDocs <- Gen.choose(2, 14)
+      vocab <- Gen.choose(3, 6)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 28)
+        toks <- Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i"))
+      } yield toks)
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def refSpans(docs: Seq[(Long, Seq[String])], k: Int)
+        : Seq[(Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, toks) =>
+        if (toks.size >= k)
+          (0 to toks.size - k).map(p => (id, p, toks.slice(p, p + k).mkString(" ")))
+        else Nil
+      }
+      val dup = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      grams.filter(g => dup(g._3)).map(g => (g._1, g._2)).distinct
+        .groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+          var spans = List.empty[(Int, Int)]
+          ps.map(_._2).sorted.foreach { p =>
+            spans match {
+              case (s, e) :: rest if p <= e + 1 =>
+                spans = (s, math.max(e, p + k - 1)) :: rest
+              case _ => spans = (p, p + k - 1) :: spans
+            }
+          }
+          spans.reverse.map { case (s, e) =>
+            (id, s.toLong, e.toLong, (e - s + 1).toLong) }
+        }.sortBy(x => (x._1, x._2))
+    }
+
+    import spark.implicits._
+    val k = 3
+    (1 to 10).foreach { trial =>
+      val docs = corpusGen.pureApply(org.scalacheck.Gen.Parameters.default,
+        Seed(trial.toLong))
+      val d = docs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = dedup.SubstrDedup.spansOf(d, k)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === refSpans(docs, k), s"trial $trial, docs=$docs")
+    }
+  }
+
   test("spans/scrub sf entries agree on per-doc duplicated token mass") {
     val dir = TestSpark.Sf
     val sp = dedup.SubstrDedup.queries("dedup_substring_spans")(spark, dir)
