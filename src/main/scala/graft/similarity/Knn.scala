@@ -688,6 +688,39 @@ object Knn {
     ivfPqOn(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), 10)
 
+  /** IVF-PQ + exact REFINE — Faiss's IndexRefineFlat pattern, the
+    * production default when raw vectors are retrievable: the PERSISTED
+    * IVF-PQ index (AnnIndex.ivfPqCached, same cache the indexed-RAG
+    * entries serve from) proposes C=50 candidates per query via
+    * cell-pruned ADC — quantized scores, no raw-vector touch — then
+    * ONLY those |Q|×C candidate ids join back to the raw embedding
+    * table for exact cosine and the usual bounded-heap top-k. Recall
+    * lost to quantization is recovered at a candidate-bounded cost:
+    * the refine join is an equi join on vec_id over C rows per query,
+    * so at 100 TB the raw-vector side is driven by a tiny build side
+    * (broadcast/DPP), never a full-corpus rescore. Approximate (the
+    * proposal stage can still miss a neighbor in an unprobed cell) →
+    * rows-only; KnnRefineSpec proves recall@10 ≥ the unrefined serve's
+    * on the same index and that surviving scores are the exact
+    * cosines. */
+  def ivfPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val (cbooks, coarse, codes) = AnnIndex.ivfPqCached(spark, dir)
+    val cands = ivfPqServe(spark, e, 50, 3, cbooks, coarse, codes)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = cands
+      .join(n, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_raw", VectorFunctions.cosine(col("qv"), col("nv")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_raw"))
+    rankTopK(scored, 10)
+  }
+
   private[graft] def ivfPqOn(spark: SparkSession, e: DataFrame, k: Int,
                              nprobe: Int = 1): DataFrame = {
     VectorFunctions.register(spark)
@@ -881,6 +914,7 @@ object Knn {
     "ann_pq"            -> (pq _),
     "ann_sq8"           -> (sq8 _),
     "ann_ivf_pq"        -> (ivfPq _),
+    "ann_ivf_pq_refined" -> (ivfPqRefined _),
     "ann_rq"            -> (rq _),
     "ann_kmeans"        -> (kmeansProfile _),
     "ann_ivf_trained"   -> (ivfTrained _),
