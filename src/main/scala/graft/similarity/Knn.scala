@@ -741,7 +741,16 @@ object Knn {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val M = 4; val subDim = 16; val K = 16; val CoarseK = 8
+    // Dimension inferred from the data (one driver-side row — a
+    // model-sized peek, same contract as the codebook collects), so the
+    // whole IVF-PQ stack is dimension-generic: every consumer below
+    // (pqEncode, adcRank, ivfPqAdd) already derives subDim from the
+    // codebooks themselves. 64-dim test embeddings → subDim 16;
+    // 768-dim production embeddings → subDim 192, same plans.
+    val M = 4
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    require(dim % M == 0, s"embedding dim $dim not divisible by M=$M")
+    val subDim = dim / M; val K = 16; val CoarseK = 8
     val coarseF = Future { KMeans.fit(e, CoarseK, 3)._1 }
     val cbooksF = Future.sequence((0 until M).map { m => Future {
         KMeans.fit(e.select(col("vec_id"),
