@@ -120,6 +120,17 @@ object PretrainStream {
   def acceptedDocs(spark: SparkSession, root: String): DataFrame =
     IndexMaintainStream.readTable(spark, root, "docs")
 
+  /** Fold accumulated per-epoch deltas into one compacted run —
+    * thousands of micro-batches otherwise mean thousands of small
+    * files. Same crash-safe protocol as the index roots
+    * (IndexMaintainStream.compact): the `cbatch=<covers>` run commits
+    * atomically before covered deltas drop, so a reader (including the
+    * NEXT micro-batch's priorHashes anti-join) never double-sees or
+    * misses a hash, and dedup state survives compaction unchanged. */
+  def compact(spark: SparkSession, root: String): Unit =
+    IndexMaintainStream.compact(spark, root,
+      Seq(("hashes", Some(col("norm_hash"))), ("docs", None)))
+
   /** Per-language accounting over the accepted corpus — the streaming
     * counterpart of pretrainPipeline's output (PretrainStreamSpec
     * proves exact equality on an ordered ingest). */

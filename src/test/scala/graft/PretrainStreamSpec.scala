@@ -76,6 +76,33 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(kept === Seq(10L)) // doc 3 is later-arriving duplicate content
   }
 
+  test("compaction preserves accounting AND the dedup seen-set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("pretraincompact")
+
+    def doc(i: Long) =
+      Doc(i, "en",
+        (0 until 40).map(j => s"c${i}w$j").mkString(" ") + " the of and a")
+
+    val input = MemoryStream[Doc]
+    val empty = spark.emptyDataset[Doc].select(col("doc_id").as("train_doc_id"))
+    val q = PretrainStream.start(input.toDF(), empty, root)
+    (0L until 3L).foreach { b =>
+      input.addData(Seq(doc(b * 2), doc(b * 2 + 1)))
+      q.processAllAvailable()
+    }
+    val before = rows(PretrainStream.accounting(spark, root))
+    PretrainStream.compact(spark, root)
+    assert(rows(PretrainStream.accounting(spark, root)) === before)
+    // the seen-set survived: re-sent content (new id) is still suppressed
+    input.addData(Seq(Doc(999L, "en", doc(0).text)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows(PretrainStream.accounting(spark, root)) === before)
+  }
+
   test("a held-out keeper suppresses its entire duplicate group") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
