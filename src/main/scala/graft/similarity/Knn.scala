@@ -736,6 +736,10 @@ object Knn {
     * quantizer and the M sub-codebooks are independent trainings — all
     * M+1 Lloyd fits run concurrently (separate Spark jobs share the
     * session) so the critical path is ONE fit, not two. */
+  /** IVF-PQ training-sample cap (Faiss-style: train on a bounded
+    * representative sample, encode everything). */
+  private[graft] val TrainCap = 50000
+
   private[graft] def ivfPqFit(e: DataFrame)
       : (IndexedSeq[IndexedSeq[Array[Double]]], IndexedSeq[Array[Double]]) = {
     import scala.concurrent.{Await, Future}
@@ -751,9 +755,23 @@ object Knn {
     val dim = e.select(size(col("embedding"))).head.getInt(0)
     require(dim % M == 0, s"embedding dim $dim not divisible by M=$M")
     val subDim = dim / M; val K = 16; val CoarseK = 8
-    val coarseF = Future { KMeans.fit(e, CoarseK, 3)._1 }
+    // Train on a BOUNDED deterministic sample — the Faiss train()
+    // contract: codebook quality needs thousands of representatives,
+    // not the corpus, and a fit that scans 100 TB per Lloyd round is
+    // not a production design. The md5-ordered limit plans as
+    // TakeOrderedAndProject (bounded per-partition heaps + one merge —
+    // O(TrainCap) memory, one pass, NO global sort), is deterministic
+    // across runs and partitionings, and at test SF the cap exceeds
+    // the corpus so every entry's output is byte-identical to the
+    // train-on-all form. Encoding/assignment (ivfPqAdd) still runs
+    // over the full corpus — that part is a pure map.
+    val train = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .localCheckpoint(true) // 5 fits below share it; ≤ TrainCap rows
+    val coarseF = Future { KMeans.fit(train, CoarseK, 3)._1 }
     val cbooksF = Future.sequence((0 until M).map { m => Future {
-        KMeans.fit(e.select(col("vec_id"),
+        KMeans.fit(train.select(col("vec_id"),
           slice(col("embedding"), m * subDim + 1, subDim).as("embedding")),
           K, 3)._1
       }})
