@@ -765,10 +765,17 @@ object Knn {
     // the corpus so every entry's output is byte-identical to the
     // train-on-all form. Encoding/assignment (ivfPqAdd) still runs
     // over the full corpus — that part is a pure map.
-    val train = e
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(TrainCap)
-      .localCheckpoint(true) // 5 fits below share it; ≤ TrainCap rows
+    // The sample is gated on a count (parquet-metadata-cheap): under
+    // the cap the frame passes through UNTOUCHED — no extra pass, the
+    // exact pre-sampling plan — so test-SF corpora pay nothing and the
+    // outputs stay byte-identical by construction, not just by cap
+    // arithmetic.
+    val train =
+      if (e.count() <= TrainCap) e
+      else e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(TrainCap)
+        .localCheckpoint(true) // 5 fits below share it; ≤ TrainCap rows
     val coarseF = Future { KMeans.fit(train, CoarseK, 3)._1 }
     val cbooksF = Future.sequence((0 until M).map { m => Future {
         KMeans.fit(train.select(col("vec_id"),
