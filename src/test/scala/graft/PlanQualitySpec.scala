@@ -224,6 +224,33 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("substring-span entries: equi joins only, gram/doc keyed") {
+    // the span family's scale contract: duplicated-gram detection and
+    // the position join-back are gram-keyed equi joins (linear in gram
+    // occurrences), and the scrub's range condition rides the doc_id
+    // equi key as a residual — never a nested-loop or cartesian pair
+    // product, which would scan the corpus per doc
+    for (q <- Seq("dedup_substring_spans", "dedup_substring_scrub",
+                  "dedup_substring_incremental")) {
+      val plan = SparkEntry.queries(q)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q\n" + plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q\n" + plan.take(2000))
+    }
+  }
+
+  test("ivf_pq_refined rescore is candidate-driven: no full-corpus rescore") {
+    // the refine stage joins the bounded candidate set against the raw
+    // vectors on vec_id — an equi join; a nested-loop here would mean
+    // the exact rescore touches every corpus vector and the entry
+    // degrades to brute force with extra steps
+    val plan = SparkEntry.queries("ann_ivf_pq_refined")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("evt_psi_windows aggregates map-side: one partial pass, PSI in-row") {
     // all B bucket counts are conditional sums in ONE windowed
     // aggregate — a (window × bucket) grouping would shuffle B rows
