@@ -117,6 +117,27 @@ object SubstrDedup {
     spansOf(Tables.documents(spark, dir), MinRun)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** One row per distinct K-gram of `docs` — the unit a persisted gram
+    * index stores (streaming.SubstrStream appends one such frame per
+    * micro-batch). */
+  private[graft] def gramsOf(docs: DataFrame, k: Int): DataFrame =
+    gramRows(docs, k).select(col("kg")).distinct()
+
+  /** Batch-vs-corpus probe: maximal spans of `docs` whose K-grams exist
+    * in `corpusGrams` (a standing distinct-gram set — derived in-query
+    * by [[incrementalSpansOn]], read from committed index deltas by
+    * streaming.SubstrStream). Left-semi on the gram key, so duplicate
+    * gram rows across index deltas are harmless and output stays linear
+    * in the probe's gram occurrences. */
+  private[graft] def probeSpans(docs: DataFrame, corpusGrams: DataFrame,
+                                k: Int): DataFrame = {
+    val hits = gramRows(docs, k)
+      .join(corpusGrams.select(col("kg")), Seq("kg"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    mergeStarts(hits, k)
+  }
+
   /** Incremental substring dedup — the daily-increment shape: a new
     * batch (the family's deterministic 1/16 md5 split) finds its
     * duplicated spans AGAINST THE STANDING CORPUS only. The corpus

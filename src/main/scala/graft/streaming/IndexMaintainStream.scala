@@ -212,10 +212,8 @@ object IndexMaintainStream {
     * loses nothing and double-counts nothing. */
   def commitCompacted(spark: SparkSession, root: String,
                       tables: Seq[(String, Option[org.apache.spark.sql.Column])])
-      : Boolean = {
-    val (best, plain) = committed(spark, root)
-    val covers = (best.map(_._2).toSeq ++ plain.map(_._2)).max
-    commitBatch(spark, root, s"cbatch=$covers") { stg =>
+      : Boolean =
+    commitCompactedWith(spark, root) { stg =>
       tables.foreach { case (t, key) =>
         val df = readTable(spark, root, t)
         key match {
@@ -225,6 +223,17 @@ object IndexMaintainStream {
         }
       }
     }
+
+  /** Generic compacted-run commit: computes the covered id and hands
+    * the staging dir to `write` — for consumers whose compaction is
+    * more than a straight table union (e.g. SubstrStream dedups its
+    * gram set). Same protocol and crash properties as
+    * [[commitCompacted]]. */
+  def commitCompactedWith(spark: SparkSession, root: String)
+                         (write: String => Unit): Boolean = {
+    val (best, plain) = committed(spark, root)
+    val covers = (best.map(_._2).toSeq ++ plain.map(_._2)).max
+    commitBatch(spark, root, s"cbatch=$covers")(write)
   }
 
   /** Drop deltas covered by the newest compacted run (safe any time:

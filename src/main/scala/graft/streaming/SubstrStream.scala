@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.dedup.SubstrDedup
+
+/** Exact-substring dedup ON the stream — the streaming member of the
+  * span family (corpus-wide: dedup_substring_spans; daily batch:
+  * dedup_substring_incremental; here: continuous). Documents arriving
+  * on a firehose are probed for duplicated K-token runs against the
+  * CORPUS SO FAR, and their own grams then join the standing index —
+  * so tomorrow's arrival of today's boilerplate is flagged without any
+  * offline rebuild.
+  *
+  * State lives entirely in IndexMaintainStream's staged-commit deltas
+  * (`batch=<epoch>/{grams,spans}` + `_COMMIT`, atomic rename), ZERO
+  * Spark state store: the gram set is a parquet table that scales with
+  * distinct corpus content, survives restarts, and compacts under the
+  * shared crash-safe protocol. Exactly-once rides the commit-exists
+  * no-op on same-epoch re-delivery. Gram presence is per-doc-local, so
+  * append ≡ rebuild is exact — the identity the whole delta design
+  * rests on (same argument as the BM25 postings).
+  *
+  * Semantics mirror [[graft.dedup.SubstrDedup.incrementalSpansOn]]:
+  * each micro-batch's spans are measured against PRIOR epochs only —
+  * batch-internal duplication is out of scope (the corpus-wide entry
+  * owns it), and a run first seen in epoch N is flagged from epoch N+1
+  * on. Duplicate gram rows across deltas are harmless (the probe is a
+  * left-semi join); compaction dedups them. */
+object SubstrStream {
+
+  private def gramSchema =
+    new StructType().add("kg", StringType, nullable = true)
+
+  private def priorGrams(spark: SparkSession, root: String): DataFrame =
+    try IndexMaintainStream.readTable(spark, root, "grams")
+    catch {
+      case _: IllegalArgumentException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], gramSchema)
+    }
+
+  /** One micro-batch: probe against the committed gram set, then commit
+    * this epoch's spans AND its distinct grams in ONE atomic delta.
+    * Returns false on re-delivery of a committed epoch. */
+  private[graft] def processBatch(delivered: DataFrame, root: String,
+                                  epoch: Long): Boolean = {
+    val spark = delivered.sparkSession
+    IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
+      SubstrDedup
+        .probeSpans(delivered, priorGrams(spark, root), SubstrDedup.MinRun)
+        .withColumn("epoch", lit(epoch))
+        .write.parquet(s"$staging/spans")
+      SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun)
+        .write.parquet(s"$staging/grams")
+    }
+  }
+
+  /** Start the firehose: `docs` is a streaming frame with at least
+    * (doc_id, text). */
+  def start(docs: DataFrame, root: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        processBatch(batch, root, epoch); ()
+      }
+      .start()
+
+  /** Every duplicated span flagged so far (doc_id, span_start,
+    * span_end, span_len, epoch). */
+  def spansSoFar(spark: SparkSession, root: String): DataFrame =
+    IndexMaintainStream.readTable(spark, root, "spans")
+
+  /** Fold per-epoch deltas into one compacted run (grams clustered on
+    * the gram key — restores min/max file-skipping — and deduped, since
+    * the probe's semi-join never needed the cross-delta duplicates). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    IndexMaintainStream.commitCompactedWith(spark, root) { staging =>
+      graft.sinks.LakeSink.writeClustered(
+        IndexMaintainStream.readTable(spark, root, "grams").distinct(),
+        s"$staging/grams", 1, col("kg"))
+      IndexMaintainStream.readTable(spark, root, "spans")
+        .write.parquet(s"$staging/spans")
+    }
+    IndexMaintainStream.dropCovered(spark, root)
+  }
+}

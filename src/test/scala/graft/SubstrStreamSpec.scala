@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SubstrStream
+
+object SubstrStreamSpec {
+  case class Doc(doc_id: Long, text: String)
+}
+
+/** Streaming exact-substring dedup: spans measured against the corpus
+  * SO FAR (incrementalSpansOn's contract made continuous) — a run first
+  * seen in epoch N flags arrivals from epoch N+1 on, batch-internal
+  * duplication stays out of scope, re-delivery is a no-op, and
+  * compaction (which dedups the gram set) changes nothing probed. */
+class SubstrStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import SubstrStreamSpec.Doc
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def words(prefix: String, n: Int) =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  private def spans(root: String): Set[(Long, Long, Long, Long)] =
+    SubstrStream.spansSoFar(spark, root)
+      .select("doc_id", "span_start", "span_end", "epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("spans flag against prior epochs only; the index grows on the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("substrstream")
+
+    val runA = words("aa", 10)
+    val runC = words("cc", 10)
+    val input = MemoryStream[Doc]
+    val q = SubstrStream.start(input.toDF(), root)
+
+    // epoch 0: A introduces runA; E & F share a run INSIDE the batch
+    val runEF = words("ef", 10)
+    input.addData(Seq(
+      Doc(1L, words("p", 3) + " " + runA),
+      Doc(50L, runEF + " " + words("e", 3)),
+      Doc(51L, runEF + " " + words("f", 3))))
+    q.processAllAvailable()
+    assert(spans(root).isEmpty) // nothing prior; batch-internal excluded
+
+    // epoch 1: C quotes runA (prior) and introduces runC
+    input.addData(Seq(Doc(2L, runC + " " + runA)))
+    q.processAllAvailable()
+    assert(spans(root) === Set((2L, 10L, 19L, 1L)))
+
+    // epoch 2: D quotes runC (first seen in epoch 1) and runEF (epoch 0)
+    input.addData(Seq(Doc(3L, runC + " zz0 " + runEF)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spans(root) === Set(
+      (2L, 10L, 19L, 1L),
+      (3L, 0L, 9L, 2L), (3L, 11L, 20L, 2L)))
+
+    // re-delivery of a committed epoch is a no-op
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    assert(!SubstrStream.processBatch(
+      Seq(Doc(2L, runC + " " + runA)).toDF(), root, epoch = 1L))
+    val before = spans(root)
+
+    // compaction: dedups grams, preserves spans and future probes
+    SubstrStream.compact(spark, root)
+    assert(spans(root) === before)
+    assert(SubstrStream.processBatch(
+      Seq(Doc(9L, runA)).toDF(), root, epoch = 3L))
+    assert(spans(root).contains((9L, 0L, 9L, 3L)))
+  }
+}
