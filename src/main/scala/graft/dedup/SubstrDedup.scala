@@ -211,7 +211,29 @@ object SubstrDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level benchmark decontamination — the exact-collision rule
+    * GPT-3/PaLM-style pipelines run (flag any training text containing
+    * an exact K-gram from a held-out benchmark; the paper convention is
+    * 13-grams, here the family's K=8 over the same machinery):
+    * training docs (the md5 split's 15 non-eval buckets) are probed
+    * against the EVAL bucket's distinct-gram set, reporting the exact
+    * collision SPANS — finer evidence than dedup_contamination's
+    * shingle-share ratio (which answers "how much of the eval doc
+    * leaked" doc-to-doc; this answers "which exact training characters
+    * are benchmark text", the thing a scrub would remove). Eval gram
+    * sets are benchmark-sized (tiny) — the probe's semi-join builds a
+    * broadcast at any corpus scale. */
+  def decontamSpans(spark: SparkSession, dir: String): DataFrame =
+    decontamSpansOn(Tables.documents(spark, dir), MinRun)
+
+  private[graft] def decontamSpansOn(docs: DataFrame, k: Int): DataFrame = {
+    val evalGrams = gramsOf(docs.filter(Dedup.bucket16(col("doc_id")) === 15), k)
+    probeSpans(docs.filter(Dedup.bucket16(col("doc_id")) =!= 15), evalGrams, k)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_decontam" -> (decontamSpans _),
     "dedup_substring_spans" -> (spans _),
     "dedup_substring_scrub" -> (scrub _),
     "dedup_substring_incremental" -> (incrementalSpans _))
@@ -282,6 +304,35 @@ object SubstrDedup {
          corpus AS (SELECT DISTINCT kg FROM g WHERE NOT is_batch),
          hits AS (SELECT DISTINCT g.doc_id, g.pos
                   FROM g JOIN corpus USING (kg) WHERE g.is_batch),
+         brk AS (SELECT doc_id, pos,
+                        CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), -2) + 1
+                             THEN 1 ELSE 0 END AS is_new
+                 FROM hits),
+         isl AS (SELECT doc_id, pos,
+                        sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                          AS island
+                 FROM brk)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                max(pos) + 8 - min(pos) AS span_len
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+    "dedup_substring_decontam" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 1)) AS INTEGER) = 15 AS is_eval
+                    FROM documents),
+         g AS (SELECT doc_id, is_eval, i AS pos,
+                      array_to_string(w[i+1:i+8], ' ') AS kg
+               FROM (SELECT doc_id, is_eval, w,
+                            unnest(range(len(w) - 7)) AS i
+                     FROM t WHERE len(w) >= 8)),
+         ev AS (SELECT DISTINCT kg FROM g WHERE is_eval),
+         hits AS (SELECT DISTINCT g.doc_id, g.pos
+                  FROM g JOIN ev USING (kg) WHERE NOT g.is_eval),
          brk AS (SELECT doc_id, pos,
                         CASE WHEN pos > coalesce(max(pos + 7) OVER (
                                PARTITION BY doc_id ORDER BY pos

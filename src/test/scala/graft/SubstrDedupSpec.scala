@@ -118,6 +118,24 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(out === Seq((batchIds(0), 3L, 12L)))
   }
 
+  test("decontam: only train-vs-eval collision spans — train-train excluded") {
+    def coin15(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.charAt(0) == 'f'
+    val evalIds = (0L until 2000L).filter(coin15).take(1)
+    val trainIds = (0L until 2000L).filterNot(coin15).take(2)
+    val leaked = words("lk", 10)  // benchmark text quoted by a train doc
+    val sharedTT = words("tt", 10) // train<->train only: not contamination
+    val d = df(
+      (evalIds(0), words("b", 4) + " " + leaked),
+      (trainIds(0), words("x", 2) + " " + leaked + " " + sharedTT),
+      (trainIds(1), sharedTT))
+    val out = dedup.SubstrDedup.decontamSpansOn(d, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((trainIds(0), 2L, 11L)))
+  }
+
   test("property: spansOf equals an independent in-Scala reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
