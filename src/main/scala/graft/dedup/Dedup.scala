@@ -123,8 +123,17 @@ object Dedup {
     * ReuseExchange; with zero hot buckets AQE's empty-relation
     * propagation collapses the star branch). Returns `(a, b)` member
     * pairs with `a.idField < b.idField`; callers compute the
-    * similarity measure. */
-  private def guardedStarPairs(rows: DataFrame, keys: Seq[String],
+    * similarity measure.
+    *
+    * Metric-exactness caveat: the observed bucket frame is consumed by
+    * BOTH plan branches, so the audit counts (`n_hot_buckets` /
+    * `n_hot_doc_entries`) are exact only while ReuseExchange
+    * deduplicates the aggregate subtree — if a future Spark version's
+    * AQE missed the reuse, the accumulators would double-count (output
+    * ROWS are unaffected either way). DedupGuardSpec asserts the exact
+    * values, so a reuse regression fails loudly there rather than
+    * silently skewing audits. */
+  private[graft] def guardedStarPairs(rows: DataFrame, keys: Seq[String],
                                member: Column, idField: String,
                                metric: String, maxBucket: Int): DataFrame = {
     val kc = keys.map(col)

@@ -117,6 +117,37 @@ object SubstrDedup {
     spansOf(Tables.documents(spark, dir), MinRun)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** Production-wire variant of [[spansOf]]: grams leave the gram stage
+    * as their xxhash64 — the duplicate-gram groupBy and the start-probe
+    * semi-join shuffle 8-byte keys instead of ~K-token strings (≈6×
+    * less gram-stage wire at K=8 on the synthetic corpus; more on real
+    * prose). Collision odds over n distinct grams are ~n²/2⁶⁵ — at 10¹²
+    * grams (≈100 TB of text) that is ~3%, for a false `hit` whose worst
+    * case is one K-token span over-scrubbed, which is why the string
+    * form stays the oracle-bearing default and this is the documented
+    * swap-in. Spans are identical to [[spansOf]] absent a collision
+    * (SubstrDedupSpec pins set equality; the entry carries the string
+    * form's full oracle). */
+  private[graft] def spansOfHashed(docs: DataFrame, k: Int): DataFrame = {
+    val grams = gramRows(docs, k)
+      .select(col("doc_id"), col("pos"), xxhash64(col("kg")).as("kh"))
+    val dupGrams = grams
+      .groupBy(col("kh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("kh"))
+    val hits = grams
+      .join(dupGrams, Seq("kh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    mergeStarts(hits, k)
+  }
+
+  /** Hashed-wire span entry (same output contract as [[spans]]). */
+  def spansHashed(spark: SparkSession, dir: String): DataFrame =
+    spansOfHashed(Tables.documents(spark, dir), MinRun)
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** One row per distinct K-gram of `docs` — the unit a persisted gram
     * index stores (streaming.SubstrStream appends one such frame per
     * micro-batch). */
@@ -235,6 +266,7 @@ object SubstrDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_decontam" -> (decontamSpans _),
     "dedup_substring_spans" -> (spans _),
+    "dedup_substring_spans_hashed" -> (spansHashed _),
     "dedup_substring_scrub" -> (scrub _),
     "dedup_substring_incremental" -> (incrementalSpans _))
 
@@ -265,6 +297,13 @@ object SubstrDedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" ->
+      s"""WITH $spansCte
+          SELECT doc_id, span_start, span_end, span_len
+          FROM spans ORDER BY doc_id, span_start""",
+    // the hashed wire produces IDENTICAL spans absent an xxhash64
+    // collision (odds ~n²/2⁶⁵ — nil at any test SF), so it carries the
+    // string form's full oracle rather than a weaker rows-only check
+    "dedup_substring_spans_hashed" ->
       s"""WITH $spansCte
           SELECT doc_id, span_start, span_end, span_len
           FROM spans ORDER BY doc_id, span_start""",

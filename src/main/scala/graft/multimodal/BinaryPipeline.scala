@@ -198,11 +198,18 @@ object BinaryPipeline {
     * The decode is the REAL ImageIO codec in bounded batches with
     * cluster-sourced parallelism (the multimodal_image_features
     * lessons); everything after the hash is the simhash relational
-    * skeleton, so a 100 TB image corpus shuffles (band, value) keys,
-    * never pixels. Payloads plant doc_id % 250 duplicates (the
+    * skeleton — including the memory-bounded bucket guard
+    * ([[graft.dedup.Dedup.guardedStarPairs]] over `graft_bounded_bucket`,
+    * round 9): a mass-duplicate image (one blank thumbnail shared by
+    * 10⁹ docs at 100 TB) costs one task `cap + 1` buffer entries, never
+    * O(|bucket|), while the true count/min survive for the star anchor
+    * and the `phash_hot_bands` audit metric. So a 100 TB image corpus
+    * shuffles (band, value) keys, never pixels, and never materializes
+    * a hot bucket. Payloads plant doc_id % 250 duplicates (the
     * re-crawl case); codec output isn't SQL-expressible → rows-only,
-    * MultimodalSpec pins planted-pair recovery at hamming 0 and
-    * precision on the planted corpus. */
+    * MultimodalSpec pins planted-pair recovery at hamming 0, precision
+    * on the planted corpus, mega-bucket star identity, and the
+    * no-collect_list plan shape. */
   def phashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)
@@ -234,6 +241,16 @@ object BinaryPipeline {
         }
       }
     }.toDF()
+    phashPairsOn(hashes)
+  }
+
+  /** Frame-level core of [[phashDedup]] over a (doc_id, phash) frame —
+    * band → guarded pair space → hamming verify. `maxBucket` is the
+    * star threshold (a band bucket past it contributes only edges from
+    * its true min doc); membership is collected through the bounded
+    * aggregate so an over-cap bucket never materializes. */
+  private[graft] def phashPairsOn(hashes: DataFrame,
+                                  maxBucket: Int = 32): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("phash"),
       explode(expr(
         """transform(sequence(0, 3),
@@ -241,15 +258,9 @@ object BinaryPipeline {
                          (shiftright(phash, j * 14) & 16383) AS band_val))"""))
         .as("b"))
       .select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band_val"))
-    banded.groupBy(col("band_idx"), col("band_val"))
-      .agg(min(col("doc_id")).as("min_id"),
-           collect_list(struct(col("doc_id"), col("phash"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(col("min_id"), (size(col("ds")) > 32).as("big"),
-              explode(col("ds")).as("a"), col("ds"))
-      .filter(!col("big") || col("a.doc_id") === col("min_id"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    graft.dedup.Dedup.guardedStarPairs(banded, Seq("band_idx", "band_val"),
+        struct(col("doc_id"), col("phash")), "doc_id",
+        "phash_hot_bands", maxBucket)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
                 .cast("long").as("hamming"))

@@ -193,11 +193,18 @@ object Stats {
     * machinery) bounds the ECDF frame at O(bins) at any scale and is
     * the PSI-dashboard companion: PSI scores overall drift, grid-KS
     * locates the worst single gap. */
-  def ksTest(spark: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val o = Tables.orders(spark, dir)
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksTestOn(Tables.orders(spark, dir)
       .select(floor(col("o_totalprice") / 10000.0).cast("long").as("bin"),
-              (col("o_orderkey") % 2 === 0).as("isA"))
+              (col("o_orderkey") % 2 === 0).as("isA")))
+
+  /** Frame-level core ((bin, isA) rows; OracleEdgeSpec plants the
+    * one-empty-population fixture through it). An empty population
+    * zeroes an ECDF denominator (no distribution to compare against)
+    * — ks_d/critical/significant NULL by construction here and via
+    * nullif in the oracle, never an engine-dependent IEEE x/0. */
+  private[graft] def ksTestOn(o: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val g = o.groupBy(col("bin"))
       .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
            sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"))
@@ -208,14 +215,16 @@ object Stats {
       .withColumn("ta", sum(col("na")).over(wAll))
       .withColumn("tb", sum(col("nb")).over(wAll))
       .withColumn("gap", abs(
-        sum(col("na")).over(wCum).cast("double") / col("ta").cast("double") -
-        sum(col("nb")).over(wCum).cast("double") / col("tb").cast("double")))
+        sum(col("na")).over(wCum).cast("double") /
+          nullif(col("ta").cast("double"), lit(0.0)) -
+        sum(col("nb")).over(wCum).cast("double") /
+          nullif(col("tb").cast("double"), lit(0.0))))
       .groupBy(col("ta"), col("tb"))
       .agg(rnd(max(col("gap")), 6).as("ks_d"))
     // two-sided alpha=0.05: reject if D > 1.358*sqrt((na+nb)/(na*nb))
     val crit = lit(1.358) * sqrt(
       (col("ta") + col("tb")).cast("double") /
-      (col("ta").cast("double") * col("tb").cast("double")))
+      nullif(col("ta").cast("double") * col("tb").cast("double"), lit(0.0)))
     d.select(col("ta").as("n_a"), col("tb").as("n_b"), col("ks_d"),
              rnd(crit, 6).as("critical_05"),
              (col("ks_d") > rnd(crit, 6)).as("significant"))
@@ -480,13 +489,16 @@ object Stats {
                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
                FROM g),
          d AS (SELECT ta, tb,
-                      floor(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) -
-                                    CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))
+                      floor(max(abs(CAST(ca AS DOUBLE) /
+                                      nullif(CAST(ta AS DOUBLE), 0) -
+                                    CAST(cb AS DOUBLE) /
+                                      nullif(CAST(tb AS DOUBLE), 0)))
                             * 1000000 + 0.5) / 1000000 AS ks_d
                FROM w GROUP BY ta, tb),
          cr AS (SELECT ta, tb, ks_d,
                        floor((1.358 * sqrt(CAST(ta + tb AS DOUBLE) /
-                               (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))))
+                               nullif(CAST(ta AS DOUBLE) *
+                                      CAST(tb AS DOUBLE), 0)))
                              * 1000000 + 0.5) / 1000000 AS critical_05
                 FROM d)
          SELECT ta AS n_a, tb AS n_b, ks_d, critical_05,

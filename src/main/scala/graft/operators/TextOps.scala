@@ -570,7 +570,6 @@ object TextOps {
     * bin frame before ANY window runs; the grand totals ride the same
     * bounded frame. */
   def liftCurve(spark: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     // temperature-scaled score (T = 1/12): the raw model's logits sit
     // in ±0.45, so sigmoid(logit) collapses into 3 of the 10 bins —
     // the gain spreads the SAME ranking across the full curve. Derived
@@ -578,11 +577,22 @@ object TextOps {
     val scored = qualityModel(spark, dir).select(col("doc_id"),
       rnd(lit(1.0) / (lit(1.0) + exp(lit(-12.0) * col("logit"))), 4)
         .as("prob"))
-    val labeled = scored.join(
+    liftCurveFrom(scored.join(
       Tables.documents(spark, dir)
         .select(col("doc_id"),
                 when(col("lang") === "en", 1L).otherwise(0L).as("label")),
-      Seq("doc_id"))
+      Seq("doc_id")))
+  }
+
+  /** Frame-level core ((prob, label) rows; OracleEdgeSpec plants the
+    * all-negative fixture through it). A label-free corpus zeroes
+    * total_pos — lift's base rate and the gain's denominator are
+    * undefined with no positives to capture — NULL by construction
+    * here and via nullif in the oracle, never an engine-dependent
+    * IEEE 0/0 (per-bin n_docs ≥ 1 holds by grouping, so pos_rate
+    * needs no guard). */
+  private[graft] def liftCurveFrom(labeled: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val bins = labeled
       .groupBy(least(floor(col("prob") * 10), lit(9.0)).cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
@@ -598,9 +608,11 @@ object TextOps {
         rnd(col("n_pos").cast("double") / col("n_docs").cast("double"), 4)
           .as("pos_rate"),
         rnd((col("n_pos").cast("double") / col("n_docs").cast("double")) /
-            (col("total_pos").cast("double") / col("total_docs").cast("double")),
+            (nullif(col("total_pos").cast("double"), lit(0.0)) /
+             col("total_docs").cast("double")),
             4).as("lift"),
-        rnd(col("cum_pos").cast("double") / col("total_pos").cast("double"), 4)
+        rnd(col("cum_pos").cast("double") /
+            nullif(col("total_pos").cast("double"), lit(0.0)), 4)
           .as("cum_gain"))
       .orderBy(col("bin").desc)
   }
@@ -1065,9 +1077,11 @@ object TextOps {
                  floor((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
                        * 10000 + 0.5) / 10000 AS pos_rate,
                  floor(((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) /
-                        (CAST(total_pos AS DOUBLE) / CAST(total_docs AS DOUBLE)))
+                        (nullif(CAST(total_pos AS DOUBLE), 0) /
+                         CAST(total_docs AS DOUBLE)))
                        * 10000 + 0.5) / 10000 AS lift,
-                 floor((CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE))
+                 floor((CAST(cum_pos AS DOUBLE) /
+                        nullif(CAST(total_pos AS DOUBLE), 0))
                        * 10000 + 0.5) / 10000 AS cum_gain
           FROM wf ORDER BY bin DESC"""
     },

@@ -70,8 +70,18 @@ object Trend {
     * 2^53/100 and the floor-rounding that guarantees cross-engine hash
     * equality silently becomes a no-op; million-units keep every
     * moment in the exactly-representable range at any realistic SF. */
-  def trendForecast(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.orders(spark, dir)
+  def trendForecast(spark: SparkSession, dir: String): DataFrame =
+    trendForecastOn(Tables.orders(spark, dir))
+
+  /** Frame-level core (orders must have o_orderpriority, o_orderdate,
+    * o_totalprice; OracleEdgeSpec plants degenerate groups through it).
+    * Domain guards: a single-month group zeroes det = nΣx²−(Σx)² (no
+    * slope is defined through one point) and a zero-variance-revenue
+    * group zeroes R²'s denominator — both NULL by construction here
+    * and via nullif in the oracle, never an engine-dependent IEEE
+    * 0/0; slope's NULL propagates to intercept and forecast. */
+  private[graft] def trendForecastOn(orders: DataFrame): DataFrame = {
+    val monthly = orders
       .groupBy(col("o_orderpriority"),
         ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
           .cast("long").as("mi"))
@@ -90,11 +100,12 @@ object Trend {
       rnd(sum(col("rev") * col("rev")), 2).as("syy"),
       max(col("x")).as("xmax"))
     val det   = col("n") * col("sxx") - col("sx") * col("sx")
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      nullif(det, lit(0.0))
     val icept = (col("sy") - slope * col("sx")) / col("n")
     val r2num = col("n") * col("sxy") - col("sx") * col("sy")
-    val r2    = (r2num * r2num) /
-      (det * (col("n") * col("syy") - col("sy") * col("sy")))
+    val r2    = (r2num * r2num) / nullif(
+      det * (col("n") * col("syy") - col("sy") * col("sy")), lit(0.0))
     mo.select(col("o_orderpriority"),
         col("n").cast("long").as("n_months"),
         rnd(slope, 4).as("slope_musd"),
@@ -292,12 +303,12 @@ object Trend {
            FROM centered GROUP BY 1),
          d AS (
            SELECT o_orderpriority, n, sx, sy, sxx, sxy, syy, xmax,
-                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+                  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS slope
            FROM mo),
          d2 AS (
            SELECT *, (sy - slope * sx) / n AS icept,
                   ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-                  ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+                  nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0) AS r2
            FROM d)
          SELECT o_orderpriority,
                 CAST(n AS BIGINT) AS n_months,

@@ -752,7 +752,9 @@ object Knn {
     // codebooks themselves. 64-dim test embeddings → subDim 16;
     // 768-dim production embeddings → subDim 192, same plans.
     val M = 4
-    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val dim = e.select(size(col("embedding"))).take(1).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "ivfPqFit: cannot train on an empty embeddings corpus")).getInt(0)
     require(dim % M == 0, s"embedding dim $dim not divisible by M=$M")
     val subDim = dim / M; val K = 16; val CoarseK = 8
     // Train on a BOUNDED deterministic sample — the Faiss train()
@@ -765,13 +767,18 @@ object Knn {
     // the corpus so every entry's output is byte-identical to the
     // train-on-all form. Encoding/assignment (ivfPqAdd) still runs
     // over the full corpus — that part is a pure map.
-    // The sample is gated on a count (parquet-metadata-cheap): under
-    // the cap the frame passes through UNTOUCHED — no extra pass, the
-    // exact pre-sampling plan — so test-SF corpora pay nothing and the
-    // outputs stay byte-identical by construction, not just by cap
-    // arithmetic.
+    // The sample is gated on a BOUNDED existence probe, not a count:
+    // limit(cap+1) truncates per partition before counting, so the gate
+    // reads at most cap+1 zero-column rows however large (or however
+    // derived — the gate stays bounded even when `e` is not a bare
+    // parquet scan) the corpus is. Under the cap the frame passes
+    // through UNTOUCHED — the exact pre-sampling plan — so test-SF
+    // corpora pay one trivial probe and the outputs stay byte-identical
+    // by construction, not just by cap arithmetic.
+    val overCap =
+      e.select(lit(1).as("one")).limit(TrainCap + 1).count() > TrainCap
     val train =
-      if (e.count() <= TrainCap) e
+      if (!overCap) e
       else e
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(TrainCap)

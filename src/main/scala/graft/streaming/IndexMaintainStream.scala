@@ -232,8 +232,10 @@ object IndexMaintainStream {
   def commitCompactedWith(spark: SparkSession, root: String)
                          (write: String => Unit): Boolean = {
     val (best, plain) = committed(spark, root)
-    val covers = (best.map(_._2).toSeq ++ plain.map(_._2)).max
-    commitBatch(spark, root, s"cbatch=$covers")(write)
+    (best.map(_._2).toSeq ++ plain.map(_._2)).maxOption match {
+      case Some(covers) => commitBatch(spark, root, s"cbatch=$covers")(write)
+      case None => false // nothing committed yet — clean no-op
+    }
   }
 
   /** Drop deltas covered by the newest compacted run (safe any time:
@@ -250,10 +252,17 @@ object IndexMaintainStream {
       .sorted.lastOption.getOrElse(return)
     dirs.foreach { s =>
       val n = s.getPath.getName
+      // A staging dir is deleted only when the delta it WOULD publish is
+      // already covered by the compacted run — an in-flight commit's
+      // staging (id above the watermark) survives, so running compact()
+      // concurrently with an active stream never tears a micro-batch.
       val drop =
         (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= covers) ||
         (n.startsWith("cbatch=") && n.stripPrefix("cbatch=").toLong < covers) ||
-        n.startsWith(".staging_")
+        (n.startsWith(".staging_batch=") &&
+          n.stripPrefix(".staging_batch=").toLong <= covers) ||
+        (n.startsWith(".staging_cbatch=") &&
+          n.stripPrefix(".staging_cbatch=").toLong < covers)
       if (drop) fs.delete(s.getPath, true)
     }
   }

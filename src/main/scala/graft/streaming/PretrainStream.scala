@@ -133,7 +133,10 @@ object PretrainStream {
 
   /** Per-language accounting over the accepted corpus — the streaming
     * counterpart of pretrainPipeline's output (PretrainStreamSpec
-    * proves exact equality on an ordered ingest). */
+    * proves exact equality on an ordered ingest, and pins the
+    * unordered contract — first-arrival keeper, held-out keeper
+    * suppression, one-doc-per-hash — against an independent replay of
+    * a shuffled ingest). */
   def accounting(spark: SparkSession, root: String): DataFrame =
     TextOps.pretrainAccounting(acceptedDocs(spark, root))
 }

@@ -130,6 +130,37 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
            rows(IndexMaintainStream.bm25Serve(spark, coldRoot)))
   }
 
+  test("compact on an empty root is a clean no-op") {
+    val root = tmp("bm25empty")
+    // no committed deltas: compaction must return false, not throw
+    assert(!IndexMaintainStream.commitCompacted(spark, root,
+      IndexMaintainStream.Bm25Tables))
+    IndexMaintainStream.dropCovered(spark, root) // and drop must be inert
+  }
+
+  test("dropCovered spares an in-flight staging dir above the watermark") {
+    import spark.implicits._
+    val root = tmp("bm25inflight")
+    docs(20).grouped(10).zipWithIndex.foreach { case (b, i) =>
+      assert(IndexMaintainStream.mergeDocBatch(spark, root, b.toDF(), i.toLong))
+    }
+    assert(IndexMaintainStream.commitCompacted(spark, root,
+      IndexMaintainStream.Bm25Tables))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a micro-batch commit mid-write while compact() runs:
+    // batch=2 is above the compacted watermark (covers=1)
+    val inflight = new org.apache.hadoop.fs.Path(root, ".staging_batch=2")
+    fs.mkdirs(inflight)
+    // and a STALE staging from a covered, long-since-published delta
+    val stale = new org.apache.hadoop.fs.Path(root, ".staging_batch=0")
+    fs.mkdirs(stale)
+    IndexMaintainStream.dropCovered(spark, root)
+    assert(fs.exists(inflight),
+      "in-flight staging above the watermark must survive dropCovered")
+    assert(!fs.exists(stale), "covered staging must be cleaned up")
+  }
+
   test("ANN codes maintained on the stream ≡ cold re-encode, through serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -65,6 +65,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash mega-bucket: star edges only, bounded plan, exact audit") {
+    import spark.implicits._
+    // 240 docs share ONE phash (a blank-thumbnail mass duplicate): all
+    // 4 band buckets go hot at cap 32. Docs 900/901 are a genuine
+    // near-dup pair (hamming 1, the flipped bit inside band 1) on band
+    // values disjoint from the mega hash.
+    val h900 = (0x1555L << 42) | (0x1555L << 28) | (0x1555L << 14) | 0x1555L
+    val hashes = ((0 until 240).map(i => (i.toLong, 0L)) ++
+      Seq((900L, h900), (901L, h900 ^ (1L << 20)))).toDF("doc_id", "phash")
+    val pairs = BinaryPipeline.phashPairsOn(hashes)
+    val got = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Long]("hamming"))).toSet
+    // mega bucket contributes EXACTLY the star from its true min member
+    val want = (1 until 240).map(i => (0L, i.toLong, 0L)).toSet + ((900L, 901L, 1L))
+    assert(got === want)
+    // audit metric carries the TRUE bucket sizes: 4 hot bands × 240 docs
+    val m = pairs.queryExecution.observedMetrics.collectFirst {
+      case (k, row) if k.startsWith("phash_hot_bands") => row
+    }.getOrElse(fail("no phash_hot_bands observed metric"))
+    assert(m.getAs[Long]("n_hot_buckets") === 4L)
+    assert(m.getAs[Long]("n_hot_doc_entries") === 960L)
+    // plan shape: membership collected through the bounded aggregate —
+    // no unbounded collect_list may remain in the image pair generator
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_bounded_bucket"), plan)
+    assert(!plan.contains("collect_list"), plan)
+  }
+
   test("decode kernels are deterministic across runs") {
     def sig(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).toSeq

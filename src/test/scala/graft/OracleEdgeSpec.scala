@@ -72,6 +72,75 @@ class OracleEdgeSpec extends AnyFunSuite {
     assert(flat.isNullAt(flat.fieldIndex("r2")))
   }
 
+  test("trend forecast: single-month and flat-revenue groups degrade to NULL") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = (
+      // single month: det = nΣx²−(Σx)² = 0 — no slope through one point
+      Seq(("1-SINGLE", d("1995-01-10"), 500000.0)) ++
+      // three months of IDENTICAL revenue: slope exactly 0, R² undefined
+      Seq("1995-01-05", "1995-02-05", "1995-03-05")
+        .map(s => ("2-FLAT", d(s), 2000000.0)) ++
+      // clean line rev = month index + 1 (in millions): every stat defined
+      Seq(("1995-01-05", 1000000.0), ("1995-02-05", 2000000.0),
+          ("1995-03-05", 3000000.0))
+        .map { case (s, r) => ("3-LINE", d(s), r) }
+    ).toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val out = operators.Trend.trendForecastOn(orders)
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val single = out("1-SINGLE")
+    assert(single.getAs[Long]("n_months") === 1L)
+    Seq("slope_musd", "intercept_musd", "r2", "forecast_next_musd")
+      .foreach(c => assert(single.isNullAt(single.fieldIndex(c)), c))
+    val flat = out("2-FLAT")
+    assert(flat.getAs[Double]("slope_musd") === 0.0)
+    assert(flat.getAs[Double]("intercept_musd") === 2.0)
+    assert(flat.isNullAt(flat.fieldIndex("r2")), "flat y: R² undefined")
+    assert(flat.getAs[Double]("forecast_next_musd") === 2.0)
+    val line = out("3-LINE")
+    assert(line.getAs[Double]("slope_musd") === 1.0)
+    assert(line.getAs[Double]("r2") === 1.0)
+    assert(line.getAs[Double]("forecast_next_musd") === 4.0)
+  }
+
+  test("ks test: an empty population yields NULL distance, not IEEE x/0") {
+    import spark.implicits._
+    // every order lands in population A: no B distribution to compare
+    val oneSided = operators.Stats.ksTestOn(
+      Seq((0L, true), (1L, true), (2L, true)).toDF("bin", "isA")).head
+    assert(oneSided.getAs[Long]("n_a") === 3L)
+    assert(oneSided.getAs[Long]("n_b") === 0L)
+    Seq("ks_d", "critical_05", "significant")
+      .foreach(c => assert(oneSided.isNullAt(oneSided.fieldIndex(c)), c))
+    // sanity away from the edge: disjoint supports separate completely
+    val disjoint = operators.Stats.ksTestOn(
+      ((0 until 20).map(i => (i.toLong % 2, true)) ++
+       (0 until 20).map(i => (10L + i % 2, false))).toDF("bin", "isA")).head
+    assert(disjoint.getAs[Double]("ks_d") === 1.0)
+    assert(disjoint.getAs[Boolean]("significant"))
+  }
+
+  test("lift curve: a positive-free corpus yields NULL lift/gain, zero rates") {
+    import spark.implicits._
+    val negOnly = operators.TextOps.liftCurveFrom(
+      Seq((0.95, 0L), (0.55, 0L), (0.15, 0L), (0.05, 0L))
+        .toDF("prob", "label")).collect()
+    assert(negOnly.nonEmpty)
+    negOnly.foreach { r =>
+      assert(r.getAs[Double]("pos_rate") === 0.0)
+      assert(r.isNullAt(r.fieldIndex("lift")), "lift undefined with 0 positives")
+      assert(r.isNullAt(r.fieldIndex("cum_gain")))
+    }
+    // sanity away from the edge: a perfectly ranked corpus lifts the top
+    // bin by 1/base-rate and captures all gain there
+    val ranked = operators.TextOps.liftCurveFrom(
+      (Seq((0.95, 1L), (0.91, 1L)) ++
+       (0 until 8).map(i => (0.05 + i * 0.01, 0L))).toDF("prob", "label"))
+      .collect()
+    assert(ranked.head.getAs[Double]("lift") === 5.0)  // 1.0 / (2/10)
+    assert(ranked.head.getAs[Double]("cum_gain") === 1.0)
+  }
+
   test("anomalies: zero-variance types contribute nothing; real outliers still flag") {
     import spark.implicits._
     val ev = (

@@ -54,6 +54,63 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(rows(PretrainStream.accounting(spark, root)) === batchSide)
   }
 
+  test("unordered ingest: accepted set ≡ an independent first-arrival replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.functions.TextFunctions.normText
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("pretrainshuf")
+
+    val all = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[Doc].collect().toSeq
+    val shuffled = new scala.util.Random(42).shuffle(all)
+    assert(shuffled.map(_.doc_id) !== all.sortBy(_.doc_id).map(_.doc_id),
+      "fixture must be a real reorder")
+    val batches = shuffled.grouped(97).toSeq
+
+    val input = MemoryStream[Doc]
+    val q = PretrainStream.start(input.toDF(), contaminated, root)
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    // Independent replay of the documented unordered contract over the
+    // SAME arrival order: the first-arrived batch wins per content
+    // hash (min doc_id within that batch — the batch keeper rule);
+    // the winner is accepted unless held out or contaminated, but its
+    // hash is seen either way (a held-out keeper suppresses the whole
+    // group). Gates/coin reuse the SAME shared per-doc functions the
+    // stream does — what this replay exercises independently is the
+    // cross-epoch dedup/keeper/commit machinery.
+    val meta = operators.TextOps.cleanDocs(all.toDF())
+      .withColumn("norm_hash", md5(normText(col("text"))))
+      .withColumn("held", operators.TextOps.holdoutCoin(col("doc_id")) === 15)
+      .select(col("doc_id"), col("norm_hash"), col("held"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    val contam = contaminated.collect().map(_.getLong(0)).toSet
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = scala.collection.mutable.Set.empty[Long]
+    batches.foreach { b =>
+      b.flatMap(d => meta.get(d.doc_id).map { case (h, held) =>
+          (d.doc_id, h, held) })
+        .groupBy(_._2).foreach { case (h, members) =>
+          if (!seen(h)) {
+            seen += h
+            val (kid, _, kheld) = members.minBy(_._1)
+            if (!kheld && !contam(kid)) expected += kid
+          }
+        }
+    }
+    assert(expected.nonEmpty)
+    val accepted = PretrainStream.acceptedDocs(spark, root)
+    assert(accepted.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet === expected)
+    // dedup invariant regardless of arrival order: one doc per hash
+    assert(accepted.groupBy(md5(normText(col("text")))).count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("cross-batch duplicate content is accepted once, first arrival wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -190,6 +190,26 @@ class SubstrDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed wire: span set ≡ string form on the sf corpus, longs on the gram shuffle") {
+    val dir = TestSpark.Sf
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val strForm = dedup.SubstrDedup.queries("dedup_substring_spans")(spark, dir)
+    val hashed =
+      dedup.SubstrDedup.queries("dedup_substring_spans_hashed")(spark, dir)
+    assert(rows(strForm).nonEmpty, "fixture corpus must contain dup spans")
+    assert(rows(hashed) === rows(strForm))
+    // wire shape: every gram-stage exchange partitions on the 8-byte
+    // hash key, never on the K-token gram string (the string is still
+    // BUILT map-side — concat_ws feeds xxhash64 — but must not ride a
+    // shuffle)
+    val phys = hashed.queryExecution.executedPlan.toString
+    assert(phys.contains("hashpartitioning(kh#"), phys)
+    assert(!phys.contains("hashpartitioning(kg#"),
+      "gram string must not be a shuffle key in the hashed form")
+  }
+
   test("spans/scrub sf entries agree on per-doc duplicated token mass") {
     val dir = TestSpark.Sf
     val sp = dedup.SubstrDedup.queries("dedup_substring_spans")(spark, dir)
