@@ -241,7 +241,13 @@ object BinaryPipeline {
         }
       }
     }.toDF()
-    phashPairsOn(hashes)
+    // The codec decode dominates this entry and the guarded pair space
+    // consumes the hash frame TWICE (bounded aggregation + hot-anchor
+    // join) — pin the decoded (doc_id, phash) rows (16 bytes/doc,
+    // lazy) so the decode runs once; without this the star branch
+    // re-decodes the corpus (measured 3.2 s vs ~half that at fresh-10×
+    // where every planted bucket is hot).
+    phashPairsOn(hashes.localCheckpoint(false))
   }
 
   /** Frame-level core of [[phashDedup]] over a (doc_id, phash) frame —
