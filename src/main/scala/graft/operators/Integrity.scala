@@ -60,10 +60,18 @@ object Integrity {
   /** Pairwise Pearson correlations of the lineitem measures, from one
     * moment pass. Sums are rounded to 2 decimals BEFORE the corr
     * arithmetic — see the class note on cancellation. */
-  def corrMeasures(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  def corrMeasures(spark: SparkSession, dir: String): DataFrame =
+    corrMeasuresOn(Tables.lineitem(spark, dir)
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
-              col("l_discount").as("z"))
+              col("l_discount").as("z")))
+
+  /** Frame-level core ((x, y, z) rows; OracleEdgeSpec plants the
+    * degenerate fixtures through it). A constant measure zeroes its
+    * variance term — Pearson r against a constant is undefined — NULL
+    * by construction here and via nullif in the oracle, never an
+    * engine-dependent IEEE 0/0; an empty frame NULL-propagates through
+    * the moment sums the same way on both engines. */
+  private[graft] def corrMeasuresOn(li: DataFrame): DataFrame = {
     val m = li.agg(
       count(lit(1)).cast("double").as("n"),
       rnd(sum(col("x")), 2).as("sx"),  rnd(sum(col("y")), 2).as("sy"),
@@ -77,8 +85,9 @@ object Integrity {
     def corr(sab: String, sa: String, sb: String,
              saa: String, sbb: String) =
       rnd((col("n") * col(sab) - col(sa) * col(sb)) /
-          sqrt((col("n") * col(saa) - col(sa) * col(sa)) *
-               (col("n") * col(sbb) - col(sb) * col(sb))), 4)
+          nullif(sqrt((col("n") * col(saa) - col(sa) * col(sa)) *
+                      (col("n") * col(sbb) - col(sb) * col(sb))),
+                 lit(0.0)), 4)
     m.withColumn("c_qty_price", corr("sxy", "sx", "sy", "sxx", "syy"))
       .withColumn("c_qty_disc",  corr("sxz", "sx", "sz", "sxx", "szz"))
       .withColumn("c_price_disc", corr("syz", "sy", "sz", "syy", "szz"))
@@ -137,17 +146,17 @@ object Integrity {
          SELECT pair, pearson_r FROM (
            SELECT 'quantity~extendedprice' AS pair,
                   floor(((n * sxy - sx * sy) /
-                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                    nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0))
                     * 10000 + 0.5) / 10000 AS pearson_r FROM m
            UNION ALL
            SELECT 'quantity~discount',
                   floor(((n * sxz - sx * sz) /
-                    sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)))
+                    nullif(sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 0))
                     * 10000 + 0.5) / 10000 FROM m
            UNION ALL
            SELECT 'extendedprice~discount',
                   floor(((n * syz - sy * sz) /
-                    sqrt((n * syy - sy * sy) * (n * szz - sz * sz)))
+                    nullif(sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 0))
                     * 10000 + 0.5) / 10000 FROM m)
          ORDER BY pair""")
 }

@@ -72,6 +72,26 @@ class OracleEdgeSpec extends AnyFunSuite {
     assert(flat.isNullAt(flat.fieldIndex("r2")))
   }
 
+  test("pearson corr: a constant measure yields NULL against every partner") {
+    import spark.implicits._
+    // z constant: its variance term is exactly 0 — r vs a constant is
+    // undefined; the x~y pair stays fully defined in the same output
+    val rows = operators.Integrity.corrMeasuresOn(
+      Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0))
+        .toDF("x", "y", "z")).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    val xy = rows("quantity~extendedprice")
+    assert(xy.getAs[Double]("pearson_r") === 1.0) // y = 2x exactly
+    Seq("quantity~discount", "extendedprice~discount").foreach { p =>
+      assert(rows(p).isNullAt(rows(p).fieldIndex("pearson_r")), p)
+    }
+    // empty frame: moment sums NULL-propagate into all three pairs
+    val empty = operators.Integrity.corrMeasuresOn(
+      Seq.empty[(Double, Double, Double)].toDF("x", "y", "z")).collect()
+    assert(empty.length === 3)
+    empty.foreach(r => assert(r.isNullAt(r.fieldIndex("pearson_r"))))
+  }
+
   test("trend forecast: single-month and flat-revenue groups degrade to NULL") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)
