@@ -169,6 +169,26 @@ object SubstrDedup {
     mergeStarts(hits, k)
   }
 
+  /** Hashed-wire twins of [[gramsOf]]/[[probeSpans]] for a persisted
+    * gram index that stores xxhash64 keys — 8 bytes per distinct gram
+    * instead of a ~K-token string, shrinking BOTH the standing index
+    * and every probe's semi-join wire (the §6.4 ladder's measured 2.1×
+    * at 5M docs applies to the probe shape verbatim). Same collision
+    * caveat as [[spansOfHashed]]. */
+  private[graft] def gramsOfHashed(docs: DataFrame, k: Int): DataFrame =
+    gramRows(docs, k).select(xxhash64(col("kg")).as("kh")).distinct()
+
+  private[graft] def probeSpansHashed(docs: DataFrame,
+                                      corpusGrams: DataFrame,
+                                      k: Int): DataFrame = {
+    val hits = gramRows(docs, k)
+      .select(col("doc_id"), col("pos"), xxhash64(col("kg")).as("kh"))
+      .join(corpusGrams.select(col("kh")), Seq("kh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    mergeStarts(hits, k)
+  }
+
   /** Incremental substring dedup — the daily-increment shape: a new
     * batch (the family's deterministic 1/16 md5 split) finds its
     * duplicated spans AGAINST THE STANDING CORPUS only. The corpus

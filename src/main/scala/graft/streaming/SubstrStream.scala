@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.dedup.SubstrDedup
 
@@ -32,39 +32,57 @@ import graft.dedup.SubstrDedup
   * left-semi join); compaction dedups them. */
 object SubstrStream {
 
-  private def gramSchema =
-    new StructType().add("kg", StringType, nullable = true)
+  /** Wire form of the persisted gram index: `hashed = false` stores
+    * the gram STRING (`kg` — bit-exact, zero collision caveat),
+    * `hashed = true` stores xxhash64 keys (`kh` — 8 bytes per distinct
+    * gram instead of a ~K-token string, so the standing index and
+    * every probe's semi-join shrink by the §6.4-measured wire factor;
+    * same collision odds note as dedup_substring_spans_hashed). A root
+    * is one wire form for its whole life — the form picks the gram
+    * table's schema and the compaction cluster key. */
+  private def gramSchema(hashed: Boolean) =
+    if (hashed) new StructType().add("kh", LongType, nullable = true)
+    else new StructType().add("kg", StringType, nullable = true)
 
-  private def priorGrams(spark: SparkSession, root: String): DataFrame =
+  private def gramKey(hashed: Boolean) = if (hashed) "kh" else "kg"
+
+  private def priorGrams(spark: SparkSession, root: String,
+                         hashed: Boolean): DataFrame =
     try IndexMaintainStream.readTable(spark, root, "grams")
     catch {
       case _: IllegalArgumentException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], gramSchema)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], gramSchema(hashed))
     }
 
   /** One micro-batch: probe against the committed gram set, then commit
     * this epoch's spans AND its distinct grams in ONE atomic delta.
     * Returns false on re-delivery of a committed epoch. */
   private[graft] def processBatch(delivered: DataFrame, root: String,
-                                  epoch: Long): Boolean = {
+                                  epoch: Long,
+                                  hashed: Boolean = false): Boolean = {
     val spark = delivered.sparkSession
     IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
-      SubstrDedup
-        .probeSpans(delivered, priorGrams(spark, root), SubstrDedup.MinRun)
-        .withColumn("epoch", lit(epoch))
-        .write.parquet(s"$staging/spans")
-      SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun)
+      val prior = priorGrams(spark, root, hashed)
+      val spans =
+        if (hashed)
+          SubstrDedup.probeSpansHashed(delivered, prior, SubstrDedup.MinRun)
+        else SubstrDedup.probeSpans(delivered, prior, SubstrDedup.MinRun)
+      spans.withColumn("epoch", lit(epoch)).write.parquet(s"$staging/spans")
+      (if (hashed) SubstrDedup.gramsOfHashed(delivered, SubstrDedup.MinRun)
+       else SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun))
         .write.parquet(s"$staging/grams")
     }
   }
 
   /** Start the firehose: `docs` is a streaming frame with at least
     * (doc_id, text). */
-  def start(docs: DataFrame, root: String): StreamingQuery =
+  def start(docs: DataFrame, root: String,
+            hashed: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        processBatch(batch, root, epoch); ()
+        processBatch(batch, root, epoch, hashed); ()
       }
       .start()
 
@@ -76,11 +94,12 @@ object SubstrStream {
   /** Fold per-epoch deltas into one compacted run (grams clustered on
     * the gram key — restores min/max file-skipping — and deduped, since
     * the probe's semi-join never needed the cross-delta duplicates). */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String,
+              hashed: Boolean = false): Unit = {
     IndexMaintainStream.commitCompactedWith(spark, root) { staging =>
       graft.sinks.LakeSink.writeClustered(
         IndexMaintainStream.readTable(spark, root, "grams").distinct(),
-        s"$staging/grams", 1, col("kg"))
+        s"$staging/grams", 1, col(gramKey(hashed)))
       IndexMaintainStream.readTable(spark, root, "spans")
         .write.parquet(s"$staging/spans")
     }

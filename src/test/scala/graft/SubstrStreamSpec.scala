@@ -76,4 +76,40 @@ class SubstrStreamSpec extends AnyFunSuite {
       Seq(Doc(9L, runA)).toDF(), root, epoch = 3L))
     assert(spans(root).contains((9L, 0L, 9L, 3L)))
   }
+
+  test("hashed wire: same ingest flags identical spans, index stores longs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val strRoot = tmp("substrstr")
+    val khRoot = tmp("substrkh")
+
+    val runA = words("aa", 10)
+    val runC = words("cc", 10)
+    val batches = Seq(
+      Seq(Doc(1L, words("p", 3) + " " + runA)),
+      Seq(Doc(2L, runC + " " + runA)),
+      Seq(Doc(3L, runC + " zz0 " + runA)))
+    // drive BOTH wire forms through the identical epoch sequence
+    Seq((strRoot, false), (khRoot, true)).foreach { case (root, hashed) =>
+      val input = MemoryStream[Doc]
+      val q = SubstrStream.start(input.toDF(), root, hashed)
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    assert(spans(strRoot).nonEmpty)
+    assert(spans(khRoot) === spans(strRoot))
+
+    // the hashed index is 8-byte longs, never the gram string
+    val grams = streaming.IndexMaintainStream.readTable(spark, khRoot, "grams")
+    assert(grams.schema.fields.map(f => (f.name, f.dataType.typeName))
+      .toSeq === Seq(("kh", "long")))
+
+    // compaction under the hashed key preserves spans and future probes
+    SubstrStream.compact(spark, khRoot, hashed = true)
+    assert(spans(khRoot) === spans(strRoot))
+    assert(SubstrStream.processBatch(
+      Seq(Doc(9L, runA)).toDF(), khRoot, epoch = 3L, hashed = true))
+    assert(spans(khRoot).contains((9L, 0L, 9L, 3L)))
+  }
 }
