@@ -131,23 +131,34 @@ object Stats {
     * z-statistic, 5% two-sided significance. */
   def abTest(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val u = ev.groupBy(col("user_id"))
+    abTestOn(ev.groupBy(col("user_id"))
       .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
                   >= 14L, 1L).otherwise(0L)
-        .as("conv"))
+        .as("conv")))
+  }
+
+  /** Frame-level core ((user_id, conv) rows; OracleEdgeSpec plants the
+    * degenerate fixtures through it). An empty arm has no rate, and a
+    * pooled rate of exactly 0 or 1 zeroes the z denominator (no
+    * variance to test against) — NULL by construction here and via
+    * nullif in the oracle, never an engine-dependent IEEE 0/0. */
+  private[graft] def abTestOn(u: DataFrame): DataFrame = {
     val a = u.agg(
       sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("user_id") % 2 === 0, col("conv")).otherwise(0L)).as("conv_a"),
       sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("user_id") % 2 === 1, col("conv")).otherwise(0L)).as("conv_b"))
-    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
-    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") /
+      nullif(col("n_a").cast("double"), lit(0.0))
+    val pb = col("conv_b").cast("double") /
+      nullif(col("n_b").cast("double"), lit(0.0))
     val p = (col("conv_a") + col("conv_b")).cast("double") /
-            (col("n_a") + col("n_b")).cast("double")
+            nullif((col("n_a") + col("n_b")).cast("double"), lit(0.0))
     val z = (pa - pb) /
-      sqrt(p * (lit(1.0) - p) *
-           (lit(1.0) / col("n_a").cast("double") +
-            lit(1.0) / col("n_b").cast("double")))
+      nullif(sqrt(p * (lit(1.0) - p) *
+           (lit(1.0) / nullif(col("n_a").cast("double"), lit(0.0)) +
+            lit(1.0) / nullif(col("n_b").cast("double"), lit(0.0)))),
+        lit(0.0))
     a.select(col("n_a"), col("conv_a"), rnd(pa, 6).as("rate_a"),
              col("n_b"), col("conv_b"), rnd(pb, 6).as("rate_b"),
              rnd(z, 4).as("z_score"),
@@ -281,9 +292,19 @@ object Stats {
     * any SF (the rpt_trend_forecast discipline); group sums round
     * 2 dp before the F arithmetic. The 0.05 critical value 2.372 is
     * F(4, ∞) — valid for this fixed 5-group shape with large n. */
-  def anova(spark: SparkSession, dir: String): DataFrame = {
+  def anova(spark: SparkSession, dir: String): DataFrame =
+    anovaOn(Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice")))
+
+  /** Frame-level core ((o_orderpriority, o_totalprice) rows;
+    * OracleEdgeSpec plants the degenerate fixtures through it). A
+    * single group (no between dof), one row per group (no within
+    * dof), and zero within-group variance each zero a term of F's
+    * denominator — NULL by construction here and via nullif in the
+    * oracle, never an engine-dependent IEEE 0/0. */
+  private[graft] def anovaOn(orders: DataFrame): DataFrame = {
     val x = col("o_totalprice") / 1000.0
-    val g = Tables.orders(spark, dir)
+    val g = orders
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_g"),
            rnd(sum(x), 2).as("s_g"),
@@ -296,8 +317,9 @@ object Stats {
       sum(col("s_g") * col("s_g") / col("n_g").cast("double")).as("a"))
     val ssb = col("a") - col("s") * col("s") / col("n").cast("double")
     val ssw = col("ss") - col("a")
-    val f = (ssb / (col("k") - 1).cast("double")) /
-            (ssw / (col("n") - col("k")).cast("double"))
+    val f = (ssb / nullif((col("k") - 1).cast("double"), lit(0.0))) /
+            nullif(ssw / nullif((col("n") - col("k")).cast("double"),
+                                lit(0.0)), lit(0.0))
     t.select(col("k").as("k_groups"), col("n").as("n_rows"),
              rnd(f, 4).as("f_stat"),
              (col("k") - 1).as("dof_between"),
@@ -398,8 +420,10 @@ object Stats {
            FROM g),
          f AS (
            SELECT k, n,
-                  floor((((a - s * s / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-                         / ((ss - a) / CAST(n - k AS DOUBLE)))
+                  floor((((a - s * s / CAST(n AS DOUBLE)) /
+                          nullif(CAST(k - 1 AS DOUBLE), 0))
+                         / nullif((ss - a) /
+                                  nullif(CAST(n - k AS DOUBLE), 0), 0))
                         * 10000 + 0.5) / 10000 AS f_stat
            FROM t)
          SELECT k AS k_groups, n AS n_rows, f_stat,
@@ -523,17 +547,17 @@ object Stats {
            FROM u),
          d AS (
            SELECT n_a, conv_a, n_b, conv_b,
-                  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
-                  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                  CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0) AS pa,
+                  CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0) AS pb,
                   CAST(conv_a + conv_b AS DOUBLE)
-                    / CAST(n_a + n_b AS DOUBLE) AS p
+                    / nullif(CAST(n_a + n_b AS DOUBLE), 0) AS p
            FROM a),
          zc AS (
            SELECT *,
                   floor(((pa - pb) /
-                         sqrt(p * (1.0 - p) *
-                              (1.0 / CAST(n_a AS DOUBLE) +
-                               1.0 / CAST(n_b AS DOUBLE))))
+                         nullif(sqrt(p * (1.0 - p) *
+                              (1.0 / nullif(CAST(n_a AS DOUBLE), 0) +
+                               1.0 / nullif(CAST(n_b AS DOUBLE), 0))), 0))
                         * 10000 + 0.5) / 10000 AS z_score
            FROM d)
          SELECT n_a, conv_a,

@@ -72,6 +72,50 @@ class OracleEdgeSpec extends AnyFunSuite {
     assert(flat.isNullAt(flat.fieldIndex("r2")))
   }
 
+  test("anova: single group, singleton groups, zero within-variance are NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double)]) =
+      operators.Stats.anovaOn(rows.toDF("o_orderpriority", "o_totalprice")).head
+    // one group: between dof = 0 — nothing to compare across
+    val one = run((0 until 5).map(i => ("P1", 1000.0 * (i + 1))))
+    assert(one.getAs[Long]("k_groups") === 1L)
+    assert(one.isNullAt(one.fieldIndex("f_stat")))
+    // one row per group: within dof = 0 — no residual variance estimate
+    val singletons = run(Seq(("P1", 1000.0), ("P2", 2000.0)))
+    assert(singletons.getAs[Long]("n_rows") === 2L)
+    assert(singletons.isNullAt(singletons.fieldIndex("f_stat")))
+    // constant within every group, distinct means: SSW exactly 0
+    val flat = run(Seq(("P1", 1000.0), ("P1", 1000.0),
+                       ("P2", 3000.0), ("P2", 3000.0)))
+    assert(flat.isNullAt(flat.fieldIndex("f_stat")))
+    // sanity away from the edges: genuine within-variance → defined F
+    val ok = run(Seq(("P1", 1000.0), ("P1", 2000.0),
+                     ("P2", 5000.0), ("P2", 7000.0)))
+    assert(!ok.isNullAt(ok.fieldIndex("f_stat")))
+  }
+
+  test("ab test: an empty arm or a degenerate pooled rate is NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      operators.Stats.abTestOn(rows.toDF("user_id", "conv")).head
+    // every user lands in arm A: arm B has no rate, z has no contrast
+    val oneArm = run(Seq((0L, 1L), (2L, 0L), (4L, 1L)))
+    assert(oneArm.getAs[Long]("n_b") === 0L)
+    Seq("rate_b", "z_score", "significant").foreach(c =>
+      assert(oneArm.isNullAt(oneArm.fieldIndex(c)), c))
+    // nobody converts: pooled p = 0 — zero variance to test against
+    val noConv = run(Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L)))
+    assert(noConv.getAs[Double]("rate_a") === 0.0)
+    assert(noConv.isNullAt(noConv.fieldIndex("z_score")))
+    // everyone converts: pooled p = 1 — the same edge from above
+    val allConv = run(Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    assert(allConv.isNullAt(allConv.fieldIndex("z_score")))
+    // sanity away from the edge: separated rates → defined z
+    val ok = run(Seq((0L, 1L), (2L, 1L), (4L, 0L),
+                     (1L, 0L), (3L, 0L), (5L, 0L)))
+    assert(!ok.isNullAt(ok.fieldIndex("z_score")))
+  }
+
   test("pearson corr: a constant measure yields NULL against every partner") {
     import spark.implicits._
     // z constant: its variance term is exactly 0 — r vs a constant is
