@@ -29,7 +29,12 @@ import graft.functions.Num.rnd
   */
 object PageRank {
 
-  /** @param edges (src, dst, w) weighted directed edges
+  /** @param edges (src, dst, w) weighted directed edges. PRECONDITION:
+    *              w > 0 — a src whose weights sum to exactly 0 has no
+    *              transition distribution, and under ANSI mode the
+    *              w/Σw normalization would throw DIVIDE_BY_ZERO.
+    *              Filter zero-weight edges out before calling (they
+    *              carry no rank mass by definition).
     * @param nodes single-column frame of node ids
     * @param n     node count (pass the dimension's known size; counting
     *              a 100 TB-derived frame to learn a constant is a job)

@@ -259,8 +259,15 @@ object Events {
     * many later purchased (strictly after their first signup)? One
     * groupBy user with conditional min/max aggregates — no self-join,
     * single shuffle on the high-cardinality key. */
-  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    funnelConversionOn(Tables.events(spark, dir))
+
+  /** Frame-level core ((user_id, event_type, ts) rows; OracleEdgeSpec
+    * plants the signup-free fixture through it). A corpus with no
+    * signups has no conversion base — conv_pct NULL by construction
+    * (and via nullif in the oracle), never an ANSI DIVIDE_BY_ZERO. */
+  private[graft] def funnelConversionOn(events: DataFrame): DataFrame = {
+    val perUser = events
       .withColumn("us", unix_micros(col("ts")))
       .groupBy(col("user_id"))
       .agg(
@@ -272,7 +279,8 @@ object Events {
       sum(when(col("last_purchase") > col("first_signup"), 1L).otherwise(0L))
         .as("n_converted"))
       .withColumn("conv_pct",
-        rnd(col("n_converted") * 100.0 / col("n_signed_up"), 1))
+        rnd(col("n_converted") * 100.0 /
+            nullif(col("n_signed_up").cast("double"), lit(0.0)), 1))
   }
 
   /** Batch click→purchase attribution: for each purchase, the clicks
@@ -802,7 +810,8 @@ object Events {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
                 floor((CAST(SUM(CASE WHEN last_purchase > first_signup
                                      THEN 1 ELSE 0 END) AS BIGINT)
-                       * 100.0 / count(*)) * 10 + 0.5) / 10 AS conv_pct
+                       * 100.0 / nullif(count(*), 0)) * 10 + 0.5) / 10
+                  AS conv_pct
          FROM s""",
     "evt_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -96,7 +96,10 @@ object Search {
       .join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
 
-    val avgdl = col("sum_dl") / col("n_docs")
+    // a zero-doc stats row (an index over an empty corpus — reachable
+    // through the streaming serve path) has no average length; NULL
+    // degrades every score to NULL instead of ANSI-crashing the serve
+    val avgdl = col("sum_dl") / nullif(col("n_docs"), lit(0.0))
     // Okapi BM25, k1=1.2 b=0.75; literals written identically in the
     // oracle SQL so both engines execute the same IEEE expression tree
     val idf = log(lit(1.0) +
@@ -371,7 +374,7 @@ object Search {
                   ((CAST(p.tf AS DOUBLE) * 2.2) /
                    (CAST(p.tf AS DOUBLE) +
                     1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
-                                  / (s.sum_dl / s.n_docs)))) AS c
+                                  / (s.sum_dl / nullif(s.n_docs, 0))))) AS c
            FROM postings p
            JOIN q qq ON qq.term = p.term
            JOIN dl l ON l.doc_id = p.doc_id

@@ -785,9 +785,18 @@ object TextOps {
     * separates the classes. No DuckDB oracle — zlib isn't SQL — so this
     * is rows-only by design; SketchSpec pins known-answer orderings,
     * determinism, and interpreted-vs-codegen parity. */
-  def compressRatio(spark: SparkSession, dir: String): DataFrame = {
+  def compressRatio(spark: SparkSession, dir: String): DataFrame =
+    compressRatioOn(spark, Tables.documents(spark, dir))
+
+  /** Frame-level core ((doc_id, text) rows; OracleEdgeSpec plants the
+    * empty-document fixture through it). A zero-byte document has no
+    * compressibility — ratio/degenerate NULL by construction, never an
+    * ANSI DIVIDE_BY_ZERO crash (the crash class the edge sweep
+    * exists for — an empty text field WILL occur in a web corpus). */
+  private[graft] def compressRatioOn(spark: SparkSession,
+                                     docs: DataFrame): DataFrame = {
     graft.functions.Registry.register(spark)
-    val seeded = Tables.documents(spark, dir).select(
+    val seeded = docs.select(
       col("doc_id"),
       when(col("doc_id") % 8 === 0, repeat(substring(col("text"), 1, 16), 40))
         .otherwise(col("text")).as("txt"))
@@ -795,7 +804,8 @@ object TextOps {
         col("doc_id"),
         octet_length(col("txt")).cast("long").as("n_bytes"),
         call_function("graft_deflate_len", col("txt")).as("z_bytes"))
-      .withColumn("ratio", rnd(col("z_bytes") * 1.0 / col("n_bytes"), 4))
+      .withColumn("ratio",
+        rnd(col("z_bytes") * 1.0 / nullif(col("n_bytes"), lit(0L)), 4))
       .withColumn("degenerate", col("ratio") < 0.1)
       .orderBy(col("doc_id"))
   }

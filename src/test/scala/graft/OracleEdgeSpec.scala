@@ -205,6 +205,29 @@ class OracleEdgeSpec extends AnyFunSuite {
     assert(ranked.head.getAs[Double]("cum_gain") === 1.0)
   }
 
+  test("funnel conversion: a signup-free event stream yields NULL rate") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((1L, "purchase", ts0), (2L, "click", ts0))
+      .toDF("user_id", "event_type", "ts")
+    val r = operators.Events.funnelConversionOn(ev).head
+    assert(r.getAs[Long]("n_signed_up") === 0L)
+    assert(r.isNullAt(r.fieldIndex("conv_pct")),
+      "no signups: conversion has no base population")
+  }
+
+  test("compress ratio: an empty document is NULL, not an ANSI crash") {
+    import spark.implicits._
+    val out = operators.TextOps.compressRatioOn(spark,
+      Seq((1L, ""), (2L, "hello world hello world"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_bytes") === 0L)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("ratio")))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("degenerate")))
+    assert(!out(2L).isNullAt(out(2L).fieldIndex("ratio")))
+  }
+
   test("anomalies: zero-variance types contribute nothing; real outliers still flag") {
     import spark.implicits._
     val ev = (
