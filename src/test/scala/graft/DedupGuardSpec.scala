@@ -137,4 +137,46 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("verdict") === "near_dup_of_corpus")
     assert(out.head.getAs[Long]("matched_doc_id") === corpusId)
   }
+
+  test("property: star guard ≡ independent reference on random skewed buckets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+
+    // skewed bucket sizes: most keys small, some far over the cap
+    val corpusGen: Gen[(Int, List[(Long, Long)])] = for {
+      cap <- Gen.choose(2, 6)
+      nKeys <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(nKeys, for {
+        k <- Gen.choose(0L, 5L)
+        size <- Gen.frequency((3, Gen.choose(1, 4)), (2, Gen.choose(5, 25)))
+        ids <- Gen.listOfN(size, Gen.choose(0L, 30L))
+      } yield ids.map(id => (k, id))).map(_.flatten)
+    } yield (cap, rows)
+
+    def reference(rows: Seq[(Long, Long)], cap: Int): Map[(Long, Long), Int] =
+      rows.groupBy(_._1).toSeq.flatMap { case (_, members) =>
+        val ids = members.map(_._2)
+        if (ids.size > cap) {
+          val mn = ids.min
+          ids.filter(mn < _).map(m => (mn, m))
+        } else if (ids.size >= 2) {
+          for (x <- ids; y <- ids; if x < y) yield (x, y)
+        } else Nil
+      }.groupBy(identity).view.mapValues(_.size).toMap
+
+    (1 to 8).foreach { trial =>
+      val (cap, rows) = corpusGen.pureApply(
+        org.scalacheck.Gen.Parameters.default, Seed(trial.toLong))
+      val df = rows.toDF("k", "doc_id")
+      val got = dedup.Dedup.guardedStarPairs(df, Seq("k"),
+          struct(col("doc_id")), "doc_id", s"prop_guard_$trial", cap)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === reference(rows, cap),
+        s"trial $trial cap $cap rows $rows")
+    }
+  }
 }
