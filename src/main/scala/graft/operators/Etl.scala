@@ -354,10 +354,17 @@ object Etl {
     * (p_cur − p_base)·ln(p_cur/p_base) with add-half Laplace smoothing
     * against empty bins, all from ONE map-side-combined (bucket ×
     * split) count — O(buckets) everything after the scan. */
-  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftOn(Tables.orders(spark, dir))
+
+  /** Frame-level core ((o_orderkey, o_totalprice) rows; OracleEdgeSpec
+    * drives the one-side-entirely-empty fixture through it — the
+    * add-half smoothing keeps every psi_term finite and non-null even
+    * when a whole split is absent, so PSI needs no nullif guard). */
+  private[graft] def psiDriftOn(orders: DataFrame): DataFrame = {
     val nib = conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
       .cast("int")
-    val binned = Tables.orders(spark, dir).select(
+    val binned = orders.select(
       least(floor(col("o_totalprice") / 50000.0), lit(5.0)).cast("long")
         .as("bucket"),
       (nib === 0).as("is_cur"))

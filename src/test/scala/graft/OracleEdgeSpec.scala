@@ -228,6 +228,30 @@ class OracleEdgeSpec extends AnyFunSuite {
     assert(!out(2L).isNullAt(out(2L).fieldIndex("ratio")))
   }
 
+  test("psi drift: an entirely empty split stays finite via smoothing") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def nibble(id: Long): Int = Integer.parseInt(
+      MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+        .map("%02x".format(_)).mkString.substring(0, 1), 16)
+    // every order lands in the CURRENT split (md5 nibble 0): the
+    // baseline side is completely absent — add-half smoothing must
+    // keep every psi_term finite and non-null, with no guard needed
+    val curKeys = (0L until 400L).filter(nibble(_) == 0).take(6)
+    assert(curKeys.size === 6, "fixture needs 6 nibble-0 keys")
+    val orders = curKeys.zipWithIndex
+      .map { case (k, i) => (k, 50000.0 * i + 1000.0) }
+      .toDF("o_orderkey", "o_totalprice")
+    val rows = operators.Etl.psiDriftOn(orders).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_base") === 0L)
+      val t = r.getAs[Double]("psi_term")
+      assert(!r.isNullAt(r.fieldIndex("psi_term")) && !t.isNaN &&
+             !t.isInfinite, s"psi_term $t must be finite")
+    }
+  }
+
   test("anomalies: zero-variance types contribute nothing; real outliers still flag") {
     import spark.implicits._
     val ev = (
