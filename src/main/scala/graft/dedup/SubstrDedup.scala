@@ -107,8 +107,10 @@ object SubstrDedup {
       .select(col("kg"))
     val hits = grams
       .join(dupGrams, Seq("kg"), "left_semi")
+      // hits are already distinct: gramRows emits ONE row per
+      // (doc_id, pos) and a left-semi join never duplicates left rows
+      // (even against duplicate gram keys) — no dedup exchange needed
       .select(col("doc_id"), col("pos"))
-      .distinct()
     mergeStarts(hits, k)
   }
 
@@ -138,8 +140,10 @@ object SubstrDedup {
       .select(col("kh"))
     val hits = grams
       .join(dupGrams, Seq("kh"), "left_semi")
+      // hits are already distinct: gramRows emits ONE row per
+      // (doc_id, pos) and a left-semi join never duplicates left rows
+      // (even against duplicate gram keys) — no dedup exchange needed
       .select(col("doc_id"), col("pos"))
-      .distinct()
     mergeStarts(hits, k)
   }
 
@@ -164,8 +168,10 @@ object SubstrDedup {
                                 k: Int): DataFrame = {
     val hits = gramRows(docs, k)
       .join(corpusGrams.select(col("kg")), Seq("kg"), "left_semi")
+      // hits are already distinct: gramRows emits ONE row per
+      // (doc_id, pos) and a left-semi join never duplicates left rows
+      // (even against duplicate gram keys) — no dedup exchange needed
       .select(col("doc_id"), col("pos"))
-      .distinct()
     mergeStarts(hits, k)
   }
 
@@ -184,8 +190,10 @@ object SubstrDedup {
     val hits = gramRows(docs, k)
       .select(col("doc_id"), col("pos"), xxhash64(col("kg")).as("kh"))
       .join(corpusGrams.select(col("kh")), Seq("kh"), "left_semi")
+      // hits are already distinct: gramRows emits ONE row per
+      // (doc_id, pos) and a left-semi join never duplicates left rows
+      // (even against duplicate gram keys) — no dedup exchange needed
       .select(col("doc_id"), col("pos"))
-      .distinct()
     mergeStarts(hits, k)
   }
 
@@ -215,8 +223,10 @@ object SubstrDedup {
       .select(col("kg")).distinct()
     val hits = grams.filter(col("is_batch"))
       .join(corpusGrams, Seq("kg"), "left_semi")
+      // hits are already distinct: gramRows emits ONE row per
+      // (doc_id, pos) and a left-semi join never duplicates left rows
+      // (even against duplicate gram keys) — no dedup exchange needed
       .select(col("doc_id"), col("pos"))
-      .distinct()
     mergeStarts(hits, k)
       .orderBy(col("doc_id"), col("span_start"))
   }
