@@ -132,10 +132,15 @@ object SubstrDedup {
     * as their xxhash64 — the duplicate-gram groupBy and the start-probe
     * semi-join shuffle 8-byte keys instead of ~K-token strings (≈6×
     * less gram-stage wire at K=8 on the synthetic corpus; more on real
-    * prose). Collision odds over n distinct grams are ~n²/2⁶⁵ — at 10¹²
-    * grams (≈100 TB of text) that is ~3%, for a false `hit` whose worst
-    * case is one K-token span over-scrubbed, which is why the string
-    * form stays the oracle-bearing default and this is the documented
+    * prose). Expected xxhash64 collisions over n distinct grams are
+    * ~n²/2⁶⁵ (birthday bound): ~3% at n=10⁹ grams, but at n=10¹² grams
+    * (≈100 TB of text) that is ~2.7·10⁴ expected colliding PAIRS —
+    * collisions are certain at that scale, not rare. Each collision
+    * aliases two unrelated grams, whose worst case is one K-token span
+    * over-scrubbed per colliding occurrence; ~10⁴ false spans against
+    * ~10¹² token positions is a bounded ~10⁻⁸ over-scrub rate, which is
+    * acceptable for corpus dedup but is why the string form stays the
+    * oracle-bearing default and this is the documented, quantified
     * swap-in. Spans are identical to [[spansOf]] absent a collision
     * (SubstrDedupSpec pins set equality; the entry carries the string
     * form's full oracle). */
@@ -340,8 +345,10 @@ object SubstrDedup {
           SELECT doc_id, span_start, span_end, span_len
           FROM spans ORDER BY doc_id, span_start""",
     // the hashed wire produces IDENTICAL spans absent an xxhash64
-    // collision (odds ~n²/2⁶⁵ — nil at any test SF), so it carries the
-    // string form's full oracle rather than a weaker rows-only check
+    // collision (expected pairs ~n²/2⁶⁵ — nil at any test SF; ~3% at
+    // 10⁹ grams, certain-but-bounded ~10⁻⁸ over-scrub at 10¹² grams,
+    // see spansOfHashed), so it carries the string form's full oracle
+    // rather than a weaker rows-only check
     "dedup_substring_spans_hashed" ->
       s"""WITH $spansCte
           SELECT doc_id, span_start, span_end, span_len

@@ -107,7 +107,10 @@ object IndexMaintainStream {
         fs.exists(new Path(s.getPath, Commit)))
     def idOf(prefix: String) = dirs.flatMap { s =>
       val n = s.getPath.getName
-      if (n.startsWith(prefix)) Some((s.getPath, n.stripPrefix(prefix).toLong))
+      if (n.startsWith(prefix))
+        // toLongOption: a malformed or foreign dir name is skipped, not
+        // a listing-wide NumberFormatException
+        n.stripPrefix(prefix).toLongOption.map((s.getPath, _))
       else None
     }
     val best = idOf("cbatch=").sortBy(_._2).lastOption
@@ -238,31 +241,48 @@ object IndexMaintainStream {
     }
   }
 
+  /** Staging dirs untouched for this long are treated as orphans (a
+    * crashed commit whose epoch was never re-delivered, or a foreign
+    * `.staging_*` name) and removed by [[dropCovered]]. An ACTIVE
+    * commit's staging is being written, so its mtime is fresh and it
+    * always survives; deleting a genuinely orphaned staging dir is safe
+    * unconditionally because commitBatch clears staging before writing
+    * on any later re-delivery. */
+  val DefaultStaleStagingMs: Long = 24L * 3600 * 1000
+
   /** Drop deltas covered by the newest compacted run (safe any time:
-    * readers never see covered deltas once the run is committed). */
-  def dropCovered(spark: SparkSession, root: String): Unit = {
+    * readers never see covered deltas once the run is committed), plus
+    * orphaned staging dirs older than `staleStagingMs`. Malformed dir
+    * names never throw — unparseable ids are skipped (and, for
+    * `.staging_*`, fall to the age-based path). */
+  def dropCovered(spark: SparkSession, root: String,
+                  staleStagingMs: Long = DefaultStaleStagingMs): Unit = {
     val rootPath = new Path(root)
     val fs = fsFor(spark, rootPath)
     if (!fs.exists(rootPath)) return
     val dirs = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
-    val covers = dirs.map(_.getPath.getName)
-      .filter(_.startsWith("cbatch="))
-      .filter(n => fs.exists(new Path(rootPath, s"$n/$Commit")))
-      .map(_.stripPrefix("cbatch=").toLong)
-      .sorted.lastOption.getOrElse(return)
+    def id(n: String, prefix: String): Option[Long] =
+      if (n.startsWith(prefix)) n.stripPrefix(prefix).toLongOption else None
+    val covers = dirs
+      .flatMap(s => id(s.getPath.getName, "cbatch="))
+      .filter(c => fs.exists(new Path(rootPath, s"cbatch=$c/$Commit")))
+      .maxOption.getOrElse(return)
+    val staleBefore = System.currentTimeMillis() - staleStagingMs
     dirs.foreach { s =>
       val n = s.getPath.getName
-      // A staging dir is deleted only when the delta it WOULD publish is
+      // A staging dir is deleted when the delta it WOULD publish is
       // already covered by the compacted run — an in-flight commit's
       // staging (id above the watermark) survives, so running compact()
-      // concurrently with an active stream never tears a micro-batch.
+      // concurrently with an active stream never tears a micro-batch —
+      // OR when it has sat untouched past the stale window (crashed
+      // commit never re-delivered, unparseable name): age catches what
+      // the watermark can't, so orphans no longer leak forever.
       val drop =
-        (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= covers) ||
-        (n.startsWith("cbatch=") && n.stripPrefix("cbatch=").toLong < covers) ||
-        (n.startsWith(".staging_batch=") &&
-          n.stripPrefix(".staging_batch=").toLong <= covers) ||
-        (n.startsWith(".staging_cbatch=") &&
-          n.stripPrefix(".staging_cbatch=").toLong < covers)
+        id(n, "batch=").exists(_ <= covers) ||
+        id(n, "cbatch=").exists(_ < covers) ||
+        id(n, ".staging_batch=").exists(_ <= covers) ||
+        id(n, ".staging_cbatch=").exists(_ < covers) ||
+        (n.startsWith(".staging_") && s.getModificationTime < staleBefore)
       if (drop) fs.delete(s.getPath, true)
     }
   }

@@ -39,12 +39,27 @@ object SubstrStream {
     * every probe's semi-join shrink by the §6.4-measured wire factor;
     * same collision odds note as dedup_substring_spans_hashed). A root
     * is one wire form for its whole life — the form picks the gram
-    * table's schema and the compaction cluster key. */
+    * table's schema and the compaction cluster key. The AUTHORITATIVE
+    * form is the committed gram table's own schema (`kh` vs `kg`
+    * column, [[wireFormOf]]); the caller's flag only decides the form
+    * of a root's FIRST batch — after that a stale or wrong flag is
+    * ignored, so a misconfigured restart can no longer flip an
+    * established root's wire form. */
   private def gramSchema(hashed: Boolean) =
     if (hashed) new StructType().add("kh", LongType, nullable = true)
     else new StructType().add("kg", StringType, nullable = true)
 
   private def gramKey(hashed: Boolean) = if (hashed) "kh" else "kg"
+
+  /** The root's established wire form, read from the committed gram
+    * table's schema — None when nothing is committed yet (the only
+    * moment the caller's flag decides). */
+  private[graft] def wireFormOf(spark: SparkSession,
+                                root: String): Option[Boolean] =
+    try {
+      val cols = IndexMaintainStream.readTable(spark, root, "grams").columns
+      Some(cols.contains("kh"))
+    } catch { case _: IllegalArgumentException => None }
 
   private def priorGrams(spark: SparkSession, root: String,
                          hashed: Boolean): DataFrame =
@@ -62,14 +77,17 @@ object SubstrStream {
                                   epoch: Long,
                                   hashed: Boolean = false): Boolean = {
     val spark = delivered.sparkSession
+    // established roots keep their committed wire form regardless of
+    // the caller's flag — see the wire-form scaladoc above
+    val form = wireFormOf(spark, root).getOrElse(hashed)
     IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
-      val prior = priorGrams(spark, root, hashed)
+      val prior = priorGrams(spark, root, form)
       val spans =
-        if (hashed)
+        if (form)
           SubstrDedup.probeSpansHashed(delivered, prior, SubstrDedup.MinRun)
         else SubstrDedup.probeSpans(delivered, prior, SubstrDedup.MinRun)
       spans.withColumn("epoch", lit(epoch)).write.parquet(s"$staging/spans")
-      (if (hashed) SubstrDedup.gramsOfHashed(delivered, SubstrDedup.MinRun)
+      (if (form) SubstrDedup.gramsOfHashed(delivered, SubstrDedup.MinRun)
        else SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun))
         .write.parquet(s"$staging/grams")
     }
@@ -96,10 +114,12 @@ object SubstrStream {
     * the probe's semi-join never needed the cross-delta duplicates). */
   def compact(spark: SparkSession, root: String,
               hashed: Boolean = false): Unit = {
+    // cluster on the root's ESTABLISHED key column, not the flag
+    val form = wireFormOf(spark, root).getOrElse(hashed)
     IndexMaintainStream.commitCompactedWith(spark, root) { staging =>
       graft.sinks.LakeSink.writeClustered(
         IndexMaintainStream.readTable(spark, root, "grams").distinct(),
-        s"$staging/grams", 1, col(gramKey(hashed)))
+        s"$staging/grams", 1, col(gramKey(form)))
       IndexMaintainStream.readTable(spark, root, "spans")
         .write.parquet(s"$staging/spans")
     }

@@ -161,6 +161,44 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
     assert(!fs.exists(stale), "covered staging must be cleaned up")
   }
 
+  test("dropCovered skips malformed names and ages out orphan staging") {
+    import spark.implicits._
+    val root = tmp("bm25orphan")
+    docs(20).grouped(10).zipWithIndex.foreach { case (b, i) =>
+      assert(IndexMaintainStream.mergeDocBatch(spark, root, b.toDF(), i.toLong))
+    }
+    assert(IndexMaintainStream.commitCompacted(spark, root,
+      IndexMaintainStream.Bm25Tables))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // malformed names that used to throw NumberFormatException and abort
+    // the whole cleanup — now skipped (and, for staging, age-governed)
+    val malformedBatch = new org.apache.hadoop.fs.Path(root, "batch=notanum")
+    val freshOrphan = new org.apache.hadoop.fs.Path(root, ".staging_tmpXYZ")
+    fs.mkdirs(malformedBatch)
+    fs.mkdirs(freshOrphan)
+    // an orphan above the watermark from an epoch never re-delivered:
+    // covered by the AGE path, not the watermark
+    val oldOrphan = new org.apache.hadoop.fs.Path(root, ".staging_batch=9")
+    fs.mkdirs(oldOrphan)
+    fs.setTimes(oldOrphan, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+
+    IndexMaintainStream.dropCovered(spark, root) // must not throw
+    assert(fs.exists(malformedBatch),
+      "unparseable non-staging dirs are left alone")
+    assert(fs.exists(freshOrphan),
+      "a fresh unknown staging dir survives (could be an active writer)")
+    assert(!fs.exists(oldOrphan),
+      "staging older than the stale window is cleaned up even above the watermark")
+
+    // explicit short window: the same orphan, aged past it, is dropped
+    fs.setTimes(freshOrphan, System.currentTimeMillis() - 60000L, -1)
+    IndexMaintainStream.dropCovered(spark, root, staleStagingMs = 1000L)
+    assert(!fs.exists(freshOrphan))
+    // and the data dirs are untouched throughout
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "cbatch=1")))
+  }
+
   test("ANN codes maintained on the stream ≡ cold re-encode, through serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -112,4 +112,34 @@ class SubstrStreamSpec extends AnyFunSuite {
       Seq(Doc(9L, runA)).toDF(), khRoot, epoch = 3L, hashed = true))
     assert(spans(khRoot).contains((9L, 0L, 9L, 3L)))
   }
+
+  test("established root keeps its committed wire form over a wrong flag") {
+    import spark.implicits._
+    val root = tmp("substrwire")
+    val runA = words("aa", 10)
+
+    // first batch of an empty root: the flag decides → hashed wire
+    assert(SubstrStream.processBatch(
+      Seq(Doc(1L, runA)).toDF(), root, epoch = 0L, hashed = true))
+
+    // a misconfigured restart passes hashed=false — the committed gram
+    // schema (kh) wins: the batch probes AND appends in the hashed form,
+    // so the prior-epoch run is still flagged and the index stays longs
+    assert(SubstrStream.processBatch(
+      Seq(Doc(2L, words("q", 2) + " " + runA)).toDF(),
+      root, epoch = 1L, hashed = false))
+    assert(spans(root).contains((2L, 2L, 11L, 1L)))
+    val grams = streaming.IndexMaintainStream.readTable(spark, root, "grams")
+    assert(grams.schema.fields.map(f => (f.name, f.dataType.typeName))
+      .toSeq === Seq(("kh", "long")))
+
+    // compact with the wrong flag clusters on the ESTABLISHED key —
+    // no analysis error, schema unchanged, future probes intact
+    SubstrStream.compact(spark, root, hashed = false)
+    assert(streaming.IndexMaintainStream.readTable(spark, root, "grams")
+      .columns.toSeq === Seq("kh"))
+    assert(SubstrStream.processBatch(
+      Seq(Doc(3L, runA)).toDF(), root, epoch = 2L, hashed = false))
+    assert(spans(root).contains((3L, 0L, 9L, 2L)))
+  }
 }
