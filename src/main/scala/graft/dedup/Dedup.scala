@@ -85,15 +85,22 @@ object Dedup {
     * `n <= maxBucket`; the audit metrics observe this frame. */
   private def boundedBuckets(rows: DataFrame, keys: Seq[String],
                              member: Column, metric: String,
-                             maxBucket: Int): DataFrame = {
+                             maxBucket: Int): DataFrame =
+    observeHotBuckets(boundedBucketsRaw(rows, keys, member, maxBucket),
+      metric, maxBucket)
+
+  /** The bounded aggregate WITHOUT the audit observe — for consumers
+    * that branch the bucket frame and must attach CollectMetrics to
+    * exactly one branch (guardedStarPairs' structural-exactness
+    * contract). */
+  private def boundedBucketsRaw(rows: DataFrame, keys: Seq[String],
+                                member: Column, maxBucket: Int): DataFrame = {
     graft.functions.Registry.register(rows.sparkSession)
     val kc = keys.map(col)
-    observeHotBuckets(
-      rows.select(kc :+ member.as("m"): _*)
-        .groupBy(kc: _*)
-        .agg(call_function("graft_bounded_bucket", col("m"),
-          lit(maxBucket)).as("b")),
-      metric, maxBucket)
+    rows.select(kc :+ member.as("m"): _*)
+      .groupBy(kc: _*)
+      .agg(call_function("graft_bounded_bucket", col("m"),
+        lit(maxBucket)).as("b"))
   }
 
   /** DROP-regime guarded bucket collect (exact pair generators and
@@ -125,26 +132,31 @@ object Dedup {
     * pairs with `a.idField < b.idField`; callers compute the
     * similarity measure.
     *
-    * Metric-exactness caveat: the observed bucket frame is consumed by
-    * BOTH plan branches, so the audit counts (`n_hot_buckets` /
-    * `n_hot_doc_entries`) are exact only while ReuseExchange
-    * deduplicates the aggregate subtree — if a future Spark version's
-    * AQE missed the reuse, the accumulators would double-count (output
-    * ROWS are unaffected either way). DedupGuardSpec asserts the exact
-    * values, so a reuse regression fails loudly there rather than
-    * silently skewing audits. */
+    * Metric exactness is structural (round 10): EACH branch carries
+    * its OWN CollectMetrics node (same `metric` prefix, distinct
+    * auto-suffixed names — consumers match by prefix), each below its
+    * branch's filter so each sees ALL bucket rows, and each inside
+    * exactly one consumer's subtree so each executes AT MOST ONCE by
+    * construction — audit counts can no longer double whether or not
+    * ReuseExchange deduplicates the aggregate under the branches (it
+    * still does: the observes sit above the exchange). When AQE's
+    * empty-relation propagation collapses one branch (all-hot or
+    * zero-hot corpora), the surviving branch's observe still reports —
+    * the metric is absent only when the whole output is empty, exactly
+    * the pre-round-10 availability. */
   private[graft] def guardedStarPairs(rows: DataFrame, keys: Seq[String],
                                member: Column, idField: String,
                                metric: String, maxBucket: Int): DataFrame = {
     val kc = keys.map(col)
     val m = rows.select(kc :+ member.as("m"): _*)
-    val buckets = boundedBuckets(rows, keys, member, metric, maxBucket)
-    val allPairs = buckets
+    val buckets = boundedBucketsRaw(rows, keys, member, maxBucket)
+    val allPairs = observeHotBuckets(buckets, metric, maxBucket)
       .filter(col("b.n") <= maxBucket && col("b.n") >= 2)
       .select(kc :+ col("b.ds").as("ds"): _*)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
-    val hot = buckets.filter(col("b.n") > maxBucket)
+    val hot = observeHotBuckets(buckets, metric, maxBucket)
+      .filter(col("b.n") > maxBucket)
       .select(kc :+ col("b.mn").as("mn"): _*)
     val starPairs = m.join(hot, keys)
       .select(col("mn").as("a"), col("m").as("b"))
@@ -320,7 +332,22 @@ object Dedup {
     * Oversized band buckets (mass-duplicates share every signature
     * band) star-expand to the bucket's min doc_id — O(|bucket|) rows,
     * component connectivity preserved, counted in the
-    * `minhash_hot_buckets` observed metric. */
+    * `minhash_hot_buckets` observed metric.
+    *
+    * Wire shape (round 10 — found by the §6.5 ladder): the band
+    * exchange used to ship struct(doc_id, sig) — 136 bytes/row with
+    * the 16-long signature riding every one of the 4N band rows so
+    * est_jaccard could be computed inside the bucket. At 1.5M docs
+    * that exchange entered the single-box spill regime and the entry
+    * left linear (9.5× wall for 3× data) with bucket occupancy
+    * MEASURED flat (max 4, pair volume exactly 3.0× — tools.
+    * MinhashDiag), i.e. pure wire weight, not pair growth. Now only
+    * doc_id rides the band shuffle (~32 B/row) and the signatures
+    * join back onto the CANDIDATE PAIRS — a frame ~N/20th the band
+    * rows — from the sig frame pinned once (lazy localCheckpoint, the
+    * phash decode-once pattern; also stops guardedStarPairs' two
+    * branches re-running the shingle window + signature aggregate).
+    * Output identical: est_jaccard is a function of the pair. */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
                    maxBucket: Int = MaxBucket): DataFrame = {
     graft.functions.Registry.register(spark)
@@ -329,24 +356,30 @@ object Dedup {
       .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
     val sigs = hashed.groupBy(col("doc_id"))
       .agg(call_function("graft_minhash_sig", col("h")).as("sig"))
+      .localCheckpoint(false)
     val bands = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)),
         j => struct(j.as("band_idx"),
                     xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("band_hash"))))
         .as("band"))
-      .select(col("doc_id"), col("sig"),
-              col("band.band_idx"), col("band.band_hash"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
     // Bucket-collect + double explode: candidates generated per bucket
-    // with the signature pipeline computed exactly once (a self-join
-    // would re-run it per side — no exchange reuse across aliases).
-    guardedStarPairs(bands, Seq("band_idx", "band_hash"),
-      struct(col("doc_id"), col("sig")), "doc_id",
-      "minhash_hot_buckets", maxBucket)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        rnd(size(filter(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => x === y), b => b)) / lit(16.0), 4).as("est_jaccard"))
+    // (a self-join would re-run the band pipeline per side — no
+    // exchange reuse across aliases); pairs dedup'd across bands
+    // BEFORE the signature joins so each pair scores once.
+    val cand = guardedStarPairs(bands, Seq("band_idx", "band_hash"),
+      struct(col("doc_id")), "doc_id", "minhash_hot_buckets", maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        rnd(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)) / lit(16.0), 4).as("est_jaccard"))
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
@@ -714,13 +747,32 @@ object Dedup {
   def ngramIncremental(spark: SparkSession, dir: String): DataFrame =
     ngramIncrementalOn(Tables.documents(spark, dir))
 
+  /** Hashed-wire twin: the persisted shingle→postings index and the
+    * batch probe join key on xxhash64(shingle) — 8-byte wire keys for
+    * BOTH the standing index (8 bytes/posting key instead of a 3-token
+    * string, a direct index-size cut) and every day's probe shuffle. A
+    * collision merges two shingles' postings, inflating `inter` by at
+    * most the colliding occurrences — jaccard over-estimate, i.e. the
+    * conservative direction for dedup (a non-dup flagged similar, never
+    * a dup missed); odds as the spans_hashed note, nil at test SF →
+    * full oracle. Per-doc `n_sh` is computed on the STRING shingles
+    * before hashing, so denominators are exact either way. */
+  def ngramIncrementalHashed(spark: SparkSession, dir: String): DataFrame =
+    ngramIncrementalOn(Tables.documents(spark, dir), hashed = true)
+
   /** Frame-level core (docs must have doc_id + text; the quality spec
     * plants batch/corpus near-dup fixtures through it). */
-  private[graft] def ngramIncrementalOn(docs: DataFrame): DataFrame = {
-    val ex = shingleRows(docs.select(col("doc_id"), col("text")))
+  private[graft] def ngramIncrementalOn(docs: DataFrame,
+                                        hashed: Boolean = false): DataFrame = {
+    val strRows = shingleRows(docs.select(col("doc_id"), col("text")))
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("is_batch", bucket16(col("doc_id")) === 0)
+    // hash AFTER n_sh: denominators stay exact string-shingle counts;
+    // only the postings/probe key rides the wire as 8 bytes
+    val ex = if (hashed)
+      strRows.withColumn("shingle", xxhash64(col("shingle")))
+    else strRows
     val corpus = ex.filter(!col("is_batch"))
     // minSize = 1: a batch doc can match a singleton corpus posting
     val postings = guardedBuckets(corpus, Seq("shingle"),
@@ -847,6 +899,16 @@ object Dedup {
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contaminationOn(Tables.documents(spark, dir))
 
+  /** Hashed-wire twin: the shingle bucket-collect keys on
+    * xxhash64(shingle) — the one exchange this operator runs carries
+    * 8-byte keys instead of 3-token strings. A collision merges two
+    * shingles' buckets, inflating `inter` — overlap over-estimate, the
+    * conservative direction for decontamination (suspect more, miss
+    * nothing); odds as the spans_hashed note, nil at test SF → full
+    * oracle. `n_sh` denominators are exact (computed pre-hash). */
+  def contaminationHashed(spark: SparkSession, dir: String): DataFrame =
+    contaminationOn(Tables.documents(spark, dir), hashed = true)
+
   /** Frame-level core (docs must have doc_id + text). Same hot-shingle
     * drop guard as jaccardPairsOn (`contamination_hot_shingles` observed
     * metric): a shingle in >maxBucket docs identifies nothing about
@@ -857,10 +919,15 @@ object Dedup {
     * with a maxBucket above any real benchmark's doc count (eval sets
     * are tiny; a benchmark shingle can never legitimately be hot). */
   private[graft] def contaminationOn(docs: DataFrame,
-                                     maxBucket: Int = MaxBucket): DataFrame = {
-    val ex = shingleRows(docs)
+                                     maxBucket: Int = MaxBucket,
+                                     hashed: Boolean = false): DataFrame = {
+    val strRows = shingleRows(docs)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("is_eval", bucket16(col("doc_id")) === 15)
+    // hash AFTER n_sh (exact denominators); the bucket key is 8 bytes
+    val ex = if (hashed)
+      strRows.withColumn("shingle", xxhash64(col("shingle")))
+    else strRows
     val byShingle = guardedBuckets(ex, Seq("shingle"),
       struct(col("doc_id"), col("is_eval"), col("n_sh")),
       "contamination_hot_shingles", maxBucket)
@@ -1134,16 +1201,18 @@ object Dedup {
     "dedup_canonical"     -> (canonicalEntry _),
     "dedup_incremental"   -> (incremental _),
     "dedup_ngram_incremental" -> (ngramIncremental _),
+    "dedup_ngram_incremental_hashed" -> (ngramIncrementalHashed _),
     "dedup_minhash_incremental" -> (minhashIncremental _),
     "dedup_bloom_incremental" -> (bloomIncremental _),
     "dedup_contamination" -> (contamination _),
+    "dedup_contamination_hashed" -> (contaminationHashed _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_minhash_verified" -> (minhashVerified _),
     "dedup_simhash"       -> (simhash _),
     "dedup_embed_cosine"  -> (embedCosine _),
     "dedup_embed_incremental" -> (embedIncremental _))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dedup_url" ->
       """WITH u AS (
            SELECT doc_id,
@@ -1491,4 +1560,12 @@ object Dedup {
          FROM e LEFT JOIN best b USING (vec_id)
          WHERE e.is_batch
          ORDER BY e.vec_id""")
+
+  /** Hashed-wire twins carry their string form's FULL oracle — rows are
+    * identical absent an xxhash64 collision (the spans_hashed
+    * precedent; odds in the twin scaladocs, nil at any test SF). */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "dedup_ngram_incremental_hashed" ->
+      baseOracles("dedup_ngram_incremental"),
+    "dedup_contamination_hashed" -> baseOracles("dedup_contamination"))
 }

@@ -485,7 +485,68 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Audit-trail activity report — the reference's audit-statistics
+    * endpoint (audit_logger.py:284-332, get_statistics) re-expressed
+    * over the events stream: total event count, counts by category,
+    * top-10 most-active users, and the success/failure split, as one
+    * long-format (dim, key, n_events) frame the UI pivots. Category =
+    * event_type; failure = the 'error' type (the stream's failed-action
+    * analog). The same shape serves database.py:570-577's
+    * data-quality-issues rollup (issues by type / by table).
+    *
+    * Scale: ONE map-side-combined count per dimension; the success
+    * split and the grand total DERIVE from the O(categories) aggregate
+    * (no second scan — at 100 TB the category rollup is bytes). The
+    * user dimension is its own count + a global top-10
+    * (TakeOrderedAndProject — O(k) per partition, never a full sort). */
+  def auditActivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val byCat = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val cat = byCat.select(lit("category").as("dim"),
+      col("event_type").as("key"), col("n_events"))
+    val user = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id")).limit(10)
+      .select(lit("user").as("dim"), col("user_id").cast("string").as("key"),
+              col("n_events"))
+    val success = byCat
+      .groupBy(when(col("event_type") === "error", "failure")
+        .otherwise("success").as("key"))
+      .agg(sum(col("n_events")).as("n_events"))
+      .select(lit("success").as("dim"), col("key"), col("n_events"))
+    val total = byCat.agg(sum(col("n_events")).as("n_events"))
+      .select(lit("total").as("dim"), lit("all").as("key"), col("n_events"))
+    cat.union(user).union(success).union(total)
+      .orderBy(col("dim"), col("n_events").desc, col("key"))
+  }
+
+  /** Failed-login burst detector — the security-ops tail of the same
+    * endpoint (audit_logger.py:316-332: per-user failed-login count +
+    * MAX(timestamp), top offenders first): users with ≥2 'error'
+    * events in the TRAILING 24 h window ending at the corpus max ts
+    * (the reference anchors on NOW; a static corpus anchors on its own
+    * frontier), worst first, top 5 — the evt_slo_burn shape pointed at
+    * auth failures. Last-attempt emitted as integer MICROSECONDS (the
+    * no-float-time rule). Scale: the frontier is a 1-row broadcast;
+    * the filter cuts to one day of one event type before the per-user
+    * count, so the agg is increment-sized however old the corpus. */
+  def failedLoginBurst(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val frontier = e.agg(max(col("ts")).as("mx"))
+    e.filter(col("event_type") === "error")
+      .crossJoin(broadcast(frontier))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_failed"), max(col("ts")).as("la"))
+      .filter(col("n_failed") >= 2)
+      .orderBy(col("n_failed").desc, col("user_id"))
+      .limit(5)
+      .select(col("user_id"), col("n_failed"),
+              expr("unix_micros(la)").as("last_attempt_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_audit_activity" -> (auditActivity _),
+    "evt_failed_login_burst" -> (failedLoginBurst _),
     "evt_gaps"          -> (gaps _),
     "evt_heatmap"       -> (heatmap _),
     "evt_transitions"   -> (transitions _),
@@ -506,6 +567,40 @@ object Events {
     "evt_json_extract"  -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "evt_audit_activity" ->
+      """WITH cat AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         u AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1
+           ORDER BY n DESC, user_id LIMIT 10),
+         unioned AS (
+           SELECT 'category' AS dim, event_type AS key, n AS n_events
+           FROM cat
+           UNION ALL
+           SELECT 'user', CAST(user_id AS VARCHAR), n FROM u
+           UNION ALL
+           SELECT 'success',
+                  CASE WHEN event_type = 'error' THEN 'failure'
+                       ELSE 'success' END,
+                  CAST(sum(n) AS BIGINT)
+           FROM cat GROUP BY 2
+           UNION ALL
+           SELECT 'total', 'all', CAST(sum(n) AS BIGINT) FROM cat)
+         SELECT dim, key, n_events FROM unioned
+         ORDER BY dim, n_events DESC, key""",
+    "evt_failed_login_burst" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+         b AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_failed,
+                  max(ts) AS la
+           FROM events, m
+           WHERE event_type = 'error' AND ts >= mx - INTERVAL 24 HOUR
+           GROUP BY 1 HAVING count(*) >= 2
+           ORDER BY n_failed DESC, user_id LIMIT 5)
+         SELECT user_id, n_failed, epoch_us(la) AS last_attempt_us
+         FROM b ORDER BY n_failed DESC, user_id""",
     "evt_gaps" ->
       """WITH s AS (
            SELECT user_id, event_type, ts,

@@ -871,8 +871,28 @@ object TextOps {
     * pre-partitioned, the explode side shuffles once); the per-doc
     * rollup is a second map-side-combined agg. No collect_list — no
     * hot-shingle memory risk — and no corpus² anywhere. */
-  def dupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(Tables.documents(spark, dir))
+  def dupNgramFrac(spark: SparkSession, dir: String): DataFrame =
+    dupNgramFracOn(Tables.documents(spark, dir), hashed = false)
+
+  /** Hashed-wire twin (the dedup_substring_spans_hashed precedent): the
+    * doc-frequency groupBy and the join back shuffle xxhash64 longs
+    * instead of the 3-token shingle STRING — 8 bytes per key on both
+    * exchanges. A collision aliases two shingles' df counts, whose only
+    * effect is a unique gram counted as duplicated (df inflation ⇒
+    * dup_frac over-estimate, never under) — expected colliding pairs
+    * ~n²/2⁶⁵ over n distinct shingles (~3% at 10⁹; bounded over-count
+    * at 10¹², see SubstrDedup.spansOfHashed), nil at any test SF, so
+    * the entry carries the string form's full oracle. */
+  def dupNgramFracHashed(spark: SparkSession, dir: String): DataFrame =
+    dupNgramFracOn(Tables.documents(spark, dir), hashed = true)
+
+  private def dupNgramFracOn(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val raw = shingleRows(docs)
+    // the string is still BUILT map-side (concat_ws feeds xxhash64);
+    // hashing before the first exchange keeps it off every shuffle
+    val ex = if (hashed)
+      raw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    else raw
     val df = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     ex.join(df, Seq("shingle"))
       .groupBy(col("doc_id"))
@@ -896,16 +916,43 @@ object TextOps {
     * unique. A line is boilerplate when it appears in > 6 distinct
     * docs. Mechanism verified is the real one:
     * per-line doc-frequency as ONE map-side-combined count on the line
-    * content key, tiny frequent-line set joined back, per-doc rollup —
-    * no step corpus-global, lines partition by content hash at 100 TB. */
-  def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    * CONTENT (the fixture renders each pool key as a content string, so
+    * the entry exercises the production string-keyed shuffle), tiny
+    * frequent-line set joined back, per-doc rollup — no step
+    * corpus-global, lines partition by content hash at 100 TB. */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame =
+    boilerplateLinesOn(Tables.documents(spark, dir), hashed = false)
+
+  /** Hashed-wire twin: the doc-frequency groupBy and the join back key
+    * on xxhash64(line) — 8 bytes on the wire instead of the full line
+    * string (lines are the LONGEST keys in this family — headers and
+    * cookie banners run to hundreds of bytes on real crawl data). A
+    * collision merges two lines' doc frequencies, so a rare line
+    * sharing a bucket with a frequent one can be over-dropped — the
+    * conservative direction for boilerplate removal; odds as the
+    * spans_hashed note. Output ≡ the string form absent a collision →
+    * full oracle. */
+  def boilerplateLinesHashed(spark: SparkSession, dir: String): DataFrame =
+    boilerplateLinesOn(Tables.documents(spark, dir), hashed = true)
+
+  private def boilerplateLinesOn(docs: DataFrame,
+                                 hashed: Boolean): DataFrame = {
     val DfThreshold = 6
-    val lines = Tables.documents(spark, dir)
+    val keyed = docs
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("line_idx"))
-      .withColumn("line_key",
+      .withColumn("lk",
         when(col("line_idx") === 0, col("doc_id") % 59)
           .when(col("line_idx") === 1, lit(1000) + col("doc_id") % 499)
           .otherwise(lit(100000) + col("doc_id") * 4 + col("line_idx")))
+      // the line is its CONTENT — rendered from the pool key so df math
+      // is unchanged (the mapping is injective) while the shuffle key
+      // is a real string, as on a real line-structured corpus
+      .withColumn("line",
+        concat(lit("shared site boilerplate line "), col("lk").cast("string")))
+      .drop("lk")
+    val lines =
+      if (hashed) keyed.withColumn("line_key", xxhash64(col("line")))
+      else keyed.withColumn("line_key", col("line"))
     val lineDf = lines.groupBy(col("line_key"))
       .agg(countDistinct(col("doc_id")).as("df"))
     lines.join(lineDf, Seq("line_key"))
@@ -920,7 +967,9 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate_lines" -> (boilerplateLines _),
+    "text_boilerplate_lines_hashed" -> (boilerplateLinesHashed _),
     "text_dup_ngram_frac" -> (dupNgramFrac _),
+    "text_dup_ngram_frac_hashed" -> (dupNgramFracHashed _),
     "text_normalize" -> (normalizeText _),
     "text_length_hist" -> (lengthHistogram _),
     "text_entropy" -> (entropy _),
@@ -947,25 +996,53 @@ object TextOps {
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _))
 
+  // hashed-wire twins produce IDENTICAL rows absent an xxhash64
+  // collision (nil at any test SF — see the scaladoc odds), so each
+  // carries its string form's full oracle, the spans_hashed precedent
+  private val boilerplateSql =
+    """WITH l AS (
+         SELECT doc_id, i AS line_idx,
+                CASE WHEN i = 0 THEN doc_id % 59
+                     WHEN i = 1 THEN 1000 + doc_id % 499
+                     ELSE 100000 + doc_id * 4 + i END AS line_key
+         FROM documents, (SELECT unnest(range(4)) AS i) ix),
+       f AS (
+         SELECT line_key, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+       SELECT l.doc_id, count(*) AS n_lines,
+              CAST(sum(CASE WHEN f.df > 6 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boiler,
+              floor((sum(CASE WHEN f.df > 6 THEN 1 ELSE 0 END) * 1.0
+                     / count(*)) * 10000 + 0.5) / 10000 AS boiler_frac
+       FROM l JOIN f USING (line_key)
+       GROUP BY l.doc_id ORDER BY doc_id"""
+
+  private val dupNgramSql =
+    """WITH toks AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(len(w) - 2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+           ELSE [] END) AS s
+         FROM toks),
+       ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       g AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+       SELECT e.doc_id,
+              count(*) AS n_grams,
+              CAST(sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_grams,
+              floor((sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) /
+                     CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+                AS dup_frac
+       FROM ex e JOIN g USING (shingle)
+       GROUP BY e.doc_id ORDER BY e.doc_id"""
+
   // DuckDB notes: list indices are 1-based (as is Spark's element_at);
   // list_sum over INTs would be HUGEINT, so char totals are CAST.
   val oracles: Map[String, String] = Map(
-    "text_boilerplate_lines" ->
-      """WITH l AS (
-           SELECT doc_id, i AS line_idx,
-                  CASE WHEN i = 0 THEN doc_id % 59
-                       WHEN i = 1 THEN 1000 + doc_id % 499
-                       ELSE 100000 + doc_id * 4 + i END AS line_key
-           FROM documents, (SELECT unnest(range(4)) AS i) ix),
-         f AS (
-           SELECT line_key, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
-         SELECT l.doc_id, count(*) AS n_lines,
-                CAST(sum(CASE WHEN f.df > 6 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_boiler,
-                floor((sum(CASE WHEN f.df > 6 THEN 1 ELSE 0 END) * 1.0
-                       / count(*)) * 10000 + 0.5) / 10000 AS boiler_frac
-         FROM l JOIN f USING (line_key)
-         GROUP BY l.doc_id ORDER BY doc_id""",
+    "text_boilerplate_lines" -> boilerplateSql,
+    "text_boilerplate_lines_hashed" -> boilerplateSql,
     "text_normalize" ->
       """WITH s AS (SELECT doc_id,
                            substr(text, 1, 40) || ' caf' || chr(101) || chr(769) AS raw
@@ -975,27 +1052,8 @@ object TextOps {
                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
                 right(nfc_normalize(raw), 4) AS norm_tail
          FROM s ORDER BY doc_id""",
-    "text_dup_ngram_frac" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-             THEN list_transform(range(len(w) - 2),
-                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-             ELSE [] END) AS s
-           FROM toks),
-         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         g AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
-         SELECT e.doc_id,
-                count(*) AS n_grams,
-                CAST(sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_dup_grams,
-                floor((sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) /
-                       CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
-                  AS dup_frac
-         FROM ex e JOIN g USING (shingle)
-         GROUP BY e.doc_id ORDER BY e.doc_id""",
+    "text_dup_ngram_frac" -> dupNgramSql,
+    "text_dup_ngram_frac_hashed" -> dupNgramSql,
     "text_length_hist" ->
       """WITH t AS (SELECT CAST(len(regexp_extract_all(lower(text),
                           '[a-z0-9]+')) AS BIGINT) AS n
