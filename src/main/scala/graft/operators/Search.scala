@@ -51,6 +51,13 @@ object Search {
   private[graft] val QueryTermList: Seq[String] =
     QueryTerms.map(_._2).distinct
 
+  /** The benchmark query set as a frame (for serve paths that re-key
+    * the term column, e.g. the hashed-postings index). */
+  private[operators] def queryTermsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QueryTerms.toDF("query_id", "term")
+  }
+
   private val RrfK = 60 // standard reciprocal-rank-fusion damping
 
   /** (doc_id, term, tf) inverted index. Tokenization = lowercase split
@@ -89,7 +96,19 @@ object Search {
                                   dl: DataFrame, stats: DataFrame,
                                   k: Int): DataFrame = {
     import spark.implicits._
-    val terms = QueryTerms.toDF("query_id", "term")
+    bm25FromTerms(spark, scoredPost, dl, stats, k,
+      QueryTerms.toDF("query_id", "term"))
+  }
+
+  /** [[bm25From]] with a caller-supplied (query_id, term) frame — the
+    * term column's CONTENT is opaque to the scoring tree (it only ever
+    * rides equi-joins and never reaches the output), which is what lets
+    * the hashed-postings index serve pass xxhash64 keys through the
+    * identical core (SearchIndex.bm25IndexedHashed). */
+  private[graft] def bm25FromTerms(spark: SparkSession, scoredPost: DataFrame,
+                                   dl: DataFrame, stats: DataFrame,
+                                   k: Int, terms: DataFrame): DataFrame = {
+    import spark.implicits._
     // document frequency of the query terms only (postings are unique
     // per (doc, term), so count(*) = #docs containing the term)
     val dft = scoredPost
@@ -347,6 +366,7 @@ object Search {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rag_bm25"               -> (bm25 _),
     "rag_bm25_indexed"       -> (SearchIndex.bm25Indexed _),
+    "rag_bm25_indexed_hashed" -> (SearchIndex.bm25IndexedHashed _),
     "rag_hybrid_rrf"         -> (hybridRrf _),
     "rag_hybrid_rrf_indexed" -> (hybridRrfIndexed _),
     "rag_mmr"                -> (mmrRerank _),
@@ -395,9 +415,17 @@ object Search {
                 CAST(rank AS BIGINT) AS rank, doc_id, score_bm25
          FROM bm25r WHERE rank <= 10
          ORDER BY query_id, rank"""),
-    // the indexed serve is score-identical to the inline form (same
-    // postings content, same expression tree) — same oracle
+    // the indexed serves are score-identical to the inline form (same
+    // postings content, same expression tree; the hashed index's term
+    // keys only ride equi-joins — identical rows absent an xxhash64
+    // vocabulary collision, nil at test SF) — same oracle
     "rag_bm25_indexed" -> (BaseCtes +
+      """
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+                CAST(rank AS BIGINT) AS rank, doc_id, score_bm25
+         FROM bm25r WHERE rank <= 10
+         ORDER BY query_id, rank"""),
+    "rag_bm25_indexed_hashed" -> (BaseCtes +
       """
          SELECT CAST(query_id AS BIGINT) AS query_id,
                 CAST(rank AS BIGINT) AS rank, doc_id, score_bm25

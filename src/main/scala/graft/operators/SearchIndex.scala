@@ -94,4 +94,60 @@ object SearchIndex {
       col("term").isin(Search.QueryTermList.map(t => t: Any): _*))
     Search.bm25From(spark, pruned, dl, stats, k)
   }
+
+  /** Hashed-wire twin of [[bm25Cached]] (the §6.5 pattern applied to
+    * the STANDING index): postings persist (doc_id, term=xxhash64(term)
+    * long, tf) — 8 bytes per posting key instead of the term string, a
+    * direct index-size cut on top of the build shuffle's, with the
+    * term-range file clustering intact (hash-range min/max skips files
+    * for an exact-match IN probe just as well — the probe is literal
+    * equality, never a lexical range). Separate cache tag, so both
+    * wire forms can coexist per corpus fingerprint. */
+  def bm25CachedHashed(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cache = CorpusCache.dirFor(dir, "documents", "bm25h")
+    val postPath = new java.io.File(cache, "postings").getPath
+    val dlPath   = new java.io.File(cache, "doclen").getPath
+    val stPath   = new java.io.File(cache, "stats").getPath
+    if (!CorpusCache.isBuilt(new java.io.File(cache, "stats"))) {
+      val post = Search.postings(Tables.documents(spark, dir))
+        .withColumn("term", xxhash64(col("term")))
+      graft.sinks.LakeSink.writeClustered(post, postPath, nFiles = 4,
+        col("term"))
+      val dl = spark.read.parquet(postPath)
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      graft.sinks.LakeSink.writeClustered(dl, dlPath, nFiles = 2,
+        col("doc_id"))
+      // stats LAST: its _SUCCESS is the build-complete marker
+      spark.read.parquet(dlPath)
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+             sum(col("dl")).cast("double").as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(stPath)
+    }
+    (spark.read.parquet(postPath), spark.read.parquet(dlPath),
+     spark.read.parquet(stPath))
+  }
+
+  /** The `rag_bm25_indexed_hashed` entry: the same serve as
+    * [[bm25Indexed]] against the hashed index — the query vocabulary
+    * is hashed ONCE into 8-byte literals (a bounded model parameter,
+    * one |vocab|-row driver job, same contract as the probed-cell
+    * list) and pushed into the hash-clustered postings scan; the
+    * scoring tree is IDENTICAL (bm25FromTerms — the term column only
+    * rides equi-joins and never reaches the output). A collision
+    * aliases one corpus term onto a query term, inflating its df/tf —
+    * expected colliding pairs ~n²/2⁶⁵ over the corpus VOCABULARY
+    * (~10⁷ terms on real text → ~10⁻⁶), nil at any test SF → carries
+    * rag_bm25_indexed's FULL oracle. */
+  def bm25IndexedHashed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (post, dl, stats) = bm25CachedHashed(spark, dir)
+    val hashedVocab: Seq[Long] = Search.QueryTermList.toDF("term")
+      .select(xxhash64(col("term"))).as[Long].collect().toSeq
+    val pruned = post.filter(col("term").isin(hashedVocab: _*))
+    val terms = Search.queryTermsDF(spark)
+      .withColumn("term", xxhash64(col("term")))
+    Search.bm25FromTerms(spark, pruned, dl, stats, 10, terms)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -60,11 +60,28 @@ class HashedWireSpec extends AnyFunSuite {
       "shingle")
   }
 
+  test("rag_bm25_indexed: hashed index serves identical rows on 8-byte keys") {
+    val strForm = SparkEntry.queries("rag_bm25_indexed")(spark, Sf)
+    val hashed = SparkEntry.queries("rag_bm25_indexed_hashed")(spark, Sf)
+    val expected = rows(strForm)
+    assert(expected.nonEmpty)
+    assert(rows(hashed) === expected)
+
+    // the standing index stores longs, never the term string
+    val (post, _, _) = operators.SearchIndex.bm25CachedHashed(spark, Sf)
+    assert(post.schema("term").dataType.typeName === "long")
+
+    // the serve pushes the hashed query vocabulary into the scan as a
+    // literal IN over the 8-byte key (the probed-cell contract)
+    val phys = hashed.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters: [In(term"), phys)
+  }
+
   test("hashed twins share their string form's oracle SQL verbatim") {
     val o = SparkEntry.oracleSql
     Seq("text_dup_ngram_frac", "text_boilerplate_lines",
         "dedup_contamination", "dedup_ngram_incremental",
-        "dedup_substring_spans").foreach { base =>
+        "dedup_substring_spans", "rag_bm25_indexed").foreach { base =>
       assert(o(s"${base}_hashed") === o(base),
         s"$base: twin must carry the identical full oracle")
     }
