@@ -53,7 +53,7 @@ object Search {
 
   /** The benchmark query set as a frame (for serve paths that re-key
     * the term column, e.g. the hashed-postings index). */
-  private[operators] def queryTermsDF(spark: SparkSession): DataFrame = {
+  private[graft] def queryTermsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     QueryTerms.toDF("query_id", "term")
   }

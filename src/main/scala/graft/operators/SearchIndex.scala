@@ -140,14 +140,25 @@ object SearchIndex {
     * (~10⁷ terms on real text → ~10⁻⁶), nil at any test SF → carries
     * rag_bm25_indexed's FULL oracle. */
   def bm25IndexedHashed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (post, dl, stats) = bm25CachedHashed(spark, dir)
-    val hashedVocab: Seq[Long] = Search.QueryTermList.toDF("term")
-      .select(xxhash64(col("term"))).as[Long].collect().toSeq
-    val pruned = post.filter(col("term").isin(hashedVocab: _*))
-    val terms = Search.queryTermsDF(spark)
-      .withColumn("term", xxhash64(col("term")))
-    Search.bm25FromTerms(spark, pruned, dl, stats, 10, terms)
+    val pruned = post.filter(col("term").isin(hashedQueryVocab(spark): _*))
+    Search.bm25FromTerms(spark, pruned, dl, stats, 10,
+      hashedQueryTerms(spark))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** The query vocabulary as 8-byte literals for the hashed-index IN
+    * pushdown — one |vocab|-row driver job, a bounded model parameter
+    * (the probed-cell-list contract). Shared with the stream-maintained
+    * hashed index (IndexMaintainStream.bm25Serve). */
+  private[graft] def hashedQueryVocab(spark: SparkSession): Seq[Long] = {
+    import spark.implicits._
+    Search.QueryTermList.toDF("term")
+      .select(xxhash64(col("term"))).as[Long].collect().toSeq
+  }
+
+  /** The (query_id, term) frame re-keyed to xxhash64 for the hashed
+    * serve's scoring joins. */
+  private[graft] def hashedQueryTerms(spark: SparkSession): DataFrame =
+    Search.queryTermsDF(spark).withColumn("term", xxhash64(col("term")))
 }

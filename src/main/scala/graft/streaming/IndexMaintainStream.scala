@@ -128,15 +128,34 @@ object IndexMaintainStream {
 
   // ---------------------------------------------------------------- BM25
 
+  /** Wire form of a stream-maintained BM25 root, read from the
+    * committed postings schema (term: long = hashed, string = lexical)
+    * — the SubstrStream contract: the schema is authoritative, a
+    * caller flag only decides the FIRST batch of an empty root, so a
+    * misconfigured restart cannot flip an established root. */
+  private[graft] def bm25WireFormOf(spark: SparkSession,
+                                    root: String): Option[Boolean] =
+    try {
+      val t = readTable(spark, root, "postings").schema("term").dataType
+      Some(t == org.apache.spark.sql.types.LongType)
+    } catch { case _: IllegalArgumentException => None }
+
   /** One BM25 delta: tokenize ONLY the batch (SearchIndex.addBatch),
     * publish postings term-clustered (file-skipping parity with the
     * offline build), doc lengths, and the delta's additive 1-row stats.
     * doclen/stats derive from the STAGED postings read back, so the
-    * batch tokenizes once. */
+    * batch tokenizes once. `hashed = true` stores xxhash64(term) — the
+    * 8-byte wire form of the standing index (SearchIndex.
+    * bm25CachedHashed's streaming twin); per-doc lengths and the
+    * additive stats are term-agnostic, so the delta algebra is
+    * unchanged. */
   def mergeDocBatch(spark: SparkSession, root: String, docs: DataFrame,
-                    batchId: Long): Boolean =
+                    batchId: Long, hashed: Boolean = false): Boolean = {
+    val form = bm25WireFormOf(spark, root).getOrElse(hashed)
     commitBatch(spark, root, s"batch=$batchId") { stg =>
-      val (post, _) = SearchIndex.addBatch(docs)
+      val (post0, _) = SearchIndex.addBatch(docs)
+      val post = if (form) post0.withColumn("term", xxhash64(col("term")))
+                 else post0
       graft.sinks.LakeSink.writeClustered(post, s"$stg/postings", 1,
         col("term"))
       spark.read.parquet(s"$stg/postings")
@@ -147,26 +166,41 @@ object IndexMaintainStream {
              sum(col("dl")).cast("double").as("sum_dl"))
         .coalesce(1).write.parquet(s"$stg/stats")
     }
+  }
 
   /** Attach BM25 maintenance to a document stream (doc_id, text). */
-  def startDocStream(stream: DataFrame, root: String): StreamingQuery =
+  def startDocStream(stream: DataFrame, root: String,
+                     hashed: Boolean = false): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
-        mergeDocBatch(b.sparkSession, root, b, id); ()
+        mergeDocBatch(b.sparkSession, root, b, id, hashed); ()
       }
       .start()
 
   /** BM25 top-k served from the stream-maintained index: term-pruned
     * union scan of the postings deltas + summed additive stats —
     * the same expression tree as rag_bm25, so scores are
-    * byte-identical to a cold rebuild over the same documents. */
+    * byte-identical to a cold rebuild over the same documents. The
+    * root's wire form is inferred from the postings schema: a hashed
+    * root is pruned by the 8-byte query-vocabulary literals and scored
+    * through the identical bm25FromTerms core. */
   def bm25Serve(spark: SparkSession, root: String, k: Int = 10): DataFrame = {
-    val pruned = readTable(spark, root, "postings")
-      .filter(col("term").isin(Search.QueryTermList.map(t => t: Any): _*))
+    val hashed = bm25WireFormOf(spark, root).getOrElse(false)
+    val post = readTable(spark, root, "postings")
+    val (pruned, terms) =
+      if (hashed)
+        (post.filter(col("term").isin(
+           SearchIndex.hashedQueryVocab(spark): _*)),
+         SearchIndex.hashedQueryTerms(spark))
+      else
+        (post.filter(col("term").isin(
+           Search.QueryTermList.map(t => t: Any): _*)),
+         Search.queryTermsDF(spark))
     val stats = readTable(spark, root, "stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    Search.bm25From(spark, pruned, readTable(spark, root, "doclen"), stats, k)
+    Search.bm25FromTerms(spark, pruned, readTable(spark, root, "doclen"),
+      stats, k, terms)
       .orderBy(col("query_id"), col("rank"))
   }
 

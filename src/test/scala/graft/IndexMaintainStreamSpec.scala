@@ -70,6 +70,49 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
     assert(served === offline)
   }
 
+  test("hashed wire: streamed index serves rows identical to the lexical form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val strRoot = tmp("bm25str")
+    val khRoot = tmp("bm25kh")
+    val all = docs(45)
+
+    // identical ingest through BOTH wire forms
+    Seq((strRoot, false), (khRoot, true)).foreach { case (root, hashed) =>
+      val input = MemoryStream[Doc]
+      val q = IndexMaintainStream.startDocStream(input.toDF(), root, hashed)
+      all.grouped(17).foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    val lexical = rows(IndexMaintainStream.bm25Serve(spark, strRoot))
+    assert(lexical.nonEmpty)
+    assert(rows(IndexMaintainStream.bm25Serve(spark, khRoot)) === lexical)
+
+    // the hashed index stores 8-byte keys, never the term string
+    val post = IndexMaintainStream.readTable(spark, khRoot, "postings")
+    assert(post.schema("term").dataType.typeName === "long")
+
+    // established root keeps its committed wire form over a wrong flag:
+    // appending with hashed=false must still write longs and serve right
+    assert(IndexMaintainStream.mergeDocBatch(spark, khRoot,
+      Seq(Doc(100L, "spark stream merge window hash")).toDF(),
+      batchId = 99, hashed = false))
+    assert(IndexMaintainStream.readTable(spark, khRoot, "postings")
+      .schema("term").dataType.typeName === "long")
+    val coldRoot = tmp("bm25khcold")
+    assert(IndexMaintainStream.mergeDocBatch(spark, coldRoot,
+      (all :+ Doc(100L, "spark stream merge window hash")).toDF(), 0,
+      hashed = true))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, khRoot)) ===
+           rows(IndexMaintainStream.bm25Serve(spark, coldRoot)))
+
+    // compaction under the hashed key preserves the serve
+    IndexMaintainStream.compact(spark, khRoot, IndexMaintainStream.Bm25Tables)
+    assert(rows(IndexMaintainStream.bm25Serve(spark, khRoot)) ===
+           rows(IndexMaintainStream.bm25Serve(spark, coldRoot)))
+  }
+
   test("torn staging and unmarked dirs are invisible; re-delivery repairs them") {
     import spark.implicits._
     val root = tmp("bm25torn")
