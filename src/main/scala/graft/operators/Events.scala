@@ -501,7 +501,12 @@ object Events {
     * (TakeOrderedAndProject — O(k) per partition, never a full sort). */
   def auditActivity(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    // the O(categories) rollup feeds three output branches; pin it
+    // (lazy localCheckpoint — rows, not lineage) so the corpus scan
+    // behind it runs once, not once per branch (PlanQualitySpec locks
+    // the two-scan shape: this rollup + the user rollup)
     val byCat = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(false)
     val cat = byCat.select(lit("category").as("dim"),
       col("event_type").as("key"), col("n_events"))
     val user = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))

@@ -42,6 +42,34 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("evt_failed_login_burst pushes the error-type filter into the scan") {
+    // the burst detector filters to ONE event type before anything
+    // shuffles — at 100 TB the scan-level pushdown is the difference
+    // between reading one type's row groups and reading the firehose
+    val plan = operators.Events.failedLoginBurst(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,error)"), plan.take(3000))
+  }
+
+  test("evt_audit_activity derives success/total from the category rollup") {
+    // the success split and grand total must aggregate the pinned
+    // O(categories) frame, not re-scan events: exactly TWO event scans
+    // (category rollup + user rollup) and the three rollup branches on
+    // the checkpoint RDD
+    val df = operators.Events.auditActivity(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // visible scans: ONE (the user rollup); the category rollup's scan
+    // lives inside the checkpointed lineage and runs once at pin time
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 visible event scan, got $scans\n" +
+      plan.take(3000))
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans >= 3, s"expected 3 branches on the pinned rollup\n" +
+      plan.take(3000))
+    df.count() // materializes through the checkpoint without error
+  }
+
   test("evt_sliding_hourly expands windows map-side, below the partial agg") {
     // the 4-row window expansion (Expand) must sit UNDER the partial
     // HashAggregate and its Exchange: the shuffle then carries only
