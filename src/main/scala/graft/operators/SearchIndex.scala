@@ -110,8 +110,15 @@ object SearchIndex {
     val dlPath   = new java.io.File(cache, "doclen").getPath
     val stPath   = new java.io.File(cache, "stats").getPath
     if (!CorpusCache.isBuilt(new java.io.File(cache, "stats"))) {
+      // Re-aggregate AFTER hashing: an intra-doc xxhash64 collision
+      // would otherwise leave two posting rows with the same
+      // (doc_id, term) — double-counting that doc in bm25FromTerms' df
+      // and splitting its tf across rows. The extra shuffle rides
+      // 8-byte keys over the already-aggregated postings, a tiny cost
+      // for keeping the one-row-per-(doc, term) invariant exact.
       val post = Search.postings(Tables.documents(spark, dir))
         .withColumn("term", xxhash64(col("term")))
+        .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
       graft.sinks.LakeSink.writeClustered(post, postPath, nFiles = 4,
         col("term"))
       val dl = spark.read.parquet(postPath)

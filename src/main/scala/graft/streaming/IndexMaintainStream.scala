@@ -69,6 +69,7 @@ import graft.similarity.{AnnIndex, Knn}
 object IndexMaintainStream {
 
   private val Commit = "_COMMIT"
+  private val Begin = "_BEGIN"
 
   private def fsFor(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,17 +77,31 @@ object IndexMaintainStream {
   /** Publish one delta dir under the staged-commit protocol. `write` is
     * handed the staging path and writes the delta's table subdirs into
     * it. Returns false (and writes nothing) when `dirName` is already
-    * committed — the re-delivery no-op. */
-  private[streaming] def commitBatch(spark: SparkSession, root: String,
-                                     dirName: String)
-                                    (write: String => Unit): Boolean = {
+    * committed — the re-delivery no-op.
+    *
+    * A `_BEGIN` token is written at staging creation and re-checked
+    * just before the `_COMMIT` marker: if a concurrent [[dropCovered]]
+    * age-sweep (or anything else) removed the staging dir mid-write,
+    * whatever `write` recreated afterwards is a torn delta — the check
+    * fails the batch BEFORE the marker exists, so foreachBatch
+    * re-delivers the epoch cleanly instead of publishing a torn delta
+    * carrying the commit marker. */
+  private[graft] def commitBatch(spark: SparkSession, root: String,
+                                 dirName: String)
+                                (write: String => Unit): Boolean = {
     val dst = new Path(root, dirName)
     val fs = fsFor(spark, dst)
     if (fs.exists(new Path(dst, Commit))) return false
     val staging = new Path(root, s".staging_$dirName")
     fs.delete(staging, true) // partial prior attempt
     fs.delete(dst, true)     // published-but-unmarked cannot exist; clear anyway
+    fs.mkdirs(staging)
+    fs.create(new Path(staging, Begin)).close()
     write(staging.toString)
+    if (!fs.exists(new Path(staging, Begin)))
+      throw new java.io.IOException(
+        s"commitBatch: staging $staging was removed mid-write " +
+          "(concurrent cleanup?); failing the batch for clean re-delivery")
     fs.create(new Path(staging, Commit)).close()
     if (!fs.rename(staging, dst))
       throw new java.io.IOException(
@@ -154,7 +169,15 @@ object IndexMaintainStream {
     val form = bm25WireFormOf(spark, root).getOrElse(hashed)
     commitBatch(spark, root, s"batch=$batchId") { stg =>
       val (post0, _) = SearchIndex.addBatch(docs)
+      // Re-aggregate after hashing: an intra-doc xxhash64 collision
+      // would otherwise leave two rows with the same (doc_id, term),
+      // breaking the one-row-per-(doc, term) invariant bm25FromTerms'
+      // df count relies on (SearchIndex.bm25CachedHashed has the same
+      // guard). Keys are already 8-byte longs, so the extra shuffle
+      // rides the cheap wire.
       val post = if (form) post0.withColumn("term", xxhash64(col("term")))
+                   .groupBy(col("doc_id"), col("term"))
+                   .agg(sum(col("tf")).as("tf"))
                  else post0
       graft.sinks.LakeSink.writeClustered(post, s"$stg/postings", 1,
         col("term"))
@@ -277,18 +300,33 @@ object IndexMaintainStream {
 
   /** Staging dirs untouched for this long are treated as orphans (a
     * crashed commit whose epoch was never re-delivered, or a foreign
-    * `.staging_*` name) and removed by [[dropCovered]]. An ACTIVE
-    * commit's staging is being written, so its mtime is fresh and it
-    * always survives; deleting a genuinely orphaned staging dir is safe
-    * unconditionally because commitBatch clears staging before writing
-    * on any later re-delivery. */
+    * `.staging_*` name) and removed by [[dropCovered]]. Freshness is
+    * the max mtime across the staging SUBTREE, not the top-level dir —
+    * a dir's own mtime only refreshes on direct-child creation, so a
+    * long nested table write would otherwise look idle mid-write. Even
+    * if a pathological writer outlives the window, [[commitBatch]]'s
+    * `_BEGIN` re-check fails the batch before the commit marker, so a
+    * swept active staging is re-delivered, never published torn. */
   val DefaultStaleStagingMs: Long = 24L * 3600 * 1000
+
+  /** Newest mtime anywhere under `p`. A path that vanishes while we
+    * walk (concurrent delete/rename) reads as fresh — skipping it this
+    * sweep is always safe. */
+  private def maxMtime(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
+    try {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(s => maxMtime(fs, s.getPath))).max
+    } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
 
   /** Drop deltas covered by the newest compacted run (safe any time:
     * readers never see covered deltas once the run is committed), plus
-    * orphaned staging dirs older than `staleStagingMs`. Malformed dir
-    * names never throw — unparseable ids are skipped (and, for
-    * `.staging_*`, fall to the age-based path). */
+    * orphaned staging dirs whose subtree is older than `staleStagingMs`
+    * — the age sweep runs FIRST and unconditionally, so orphans age out
+    * even on roots that have never been compacted. Malformed dir names
+    * never throw — unparseable ids are skipped (and, for `.staging_*`,
+    * fall to the age-based path). */
   def dropCovered(spark: SparkSession, root: String,
                   staleStagingMs: Long = DefaultStaleStagingMs): Unit = {
     val rootPath = new Path(root)
@@ -297,26 +335,32 @@ object IndexMaintainStream {
     val dirs = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
     def id(n: String, prefix: String): Option[Long] =
       if (n.startsWith(prefix)) n.stripPrefix(prefix).toLongOption else None
+    val staleBefore = System.currentTimeMillis() - staleStagingMs
+    // Age sweep first, independent of any compacted run: a staging dir
+    // whose whole subtree sat untouched past the stale window is a
+    // crashed commit never re-delivered (or a foreign name) — age
+    // catches what the covers watermark can't, so orphans never leak,
+    // compacted root or not.
+    dirs.foreach { s =>
+      if (s.getPath.getName.startsWith(".staging_") &&
+          maxMtime(fs, s.getPath) < staleBefore)
+        fs.delete(s.getPath, true)
+    }
     val covers = dirs
       .flatMap(s => id(s.getPath.getName, "cbatch="))
       .filter(c => fs.exists(new Path(rootPath, s"cbatch=$c/$Commit")))
       .maxOption.getOrElse(return)
-    val staleBefore = System.currentTimeMillis() - staleStagingMs
     dirs.foreach { s =>
       val n = s.getPath.getName
       // A staging dir is deleted when the delta it WOULD publish is
       // already covered by the compacted run — an in-flight commit's
       // staging (id above the watermark) survives, so running compact()
-      // concurrently with an active stream never tears a micro-batch —
-      // OR when it has sat untouched past the stale window (crashed
-      // commit never re-delivered, unparseable name): age catches what
-      // the watermark can't, so orphans no longer leak forever.
+      // concurrently with an active stream never tears a micro-batch.
       val drop =
         id(n, "batch=").exists(_ <= covers) ||
         id(n, "cbatch=").exists(_ < covers) ||
         id(n, ".staging_batch=").exists(_ <= covers) ||
-        id(n, ".staging_cbatch=").exists(_ < covers) ||
-        (n.startsWith(".staging_") && s.getModificationTime < staleBefore)
+        id(n, ".staging_cbatch=").exists(_ < covers)
       if (drop) fs.delete(s.getPath, true)
     }
   }

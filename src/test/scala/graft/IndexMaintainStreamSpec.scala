@@ -242,6 +242,96 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "cbatch=1")))
   }
 
+  test("age sweep ages out orphan staging on a NEVER-compacted root") {
+    import spark.implicits._
+    val root = tmp("bm25nocompact")
+    // committed deltas but NO cbatch= run ever — the age sweep must
+    // still run (it used to early-return with the covers watermark)
+    assert(IndexMaintainStream.mergeDocBatch(spark, root, docs(10).toDF(), 0))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, ".staging_batch=7")
+    fs.mkdirs(orphan)
+    fs.setTimes(orphan, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    IndexMaintainStream.dropCovered(spark, root)
+    assert(!fs.exists(orphan),
+      "orphan staging must age out even when no compacted run exists")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "batch=0")),
+      "committed deltas untouched")
+
+    // and on a root with NOTHING committed at all
+    val bare = tmp("bm25bare")
+    val bareOrphan = new org.apache.hadoop.fs.Path(bare, ".staging_tmpA")
+    fs.mkdirs(bareOrphan)
+    fs.setTimes(bareOrphan, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    IndexMaintainStream.dropCovered(spark, bare)
+    assert(!fs.exists(bareOrphan))
+  }
+
+  test("age sweep freshness is the staging SUBTREE's max mtime, not the dir's") {
+    val root = tmp("bm25subtree")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an active long write: the top-level staging dir and its table
+    // subdir look idle (mtime only refreshes on direct-child creation)
+    // but a nested part file was just written — must survive the sweep
+    val active = new org.apache.hadoop.fs.Path(root, ".staging_batch=3")
+    val tbl = new org.apache.hadoop.fs.Path(active, "postings")
+    fs.mkdirs(tbl)
+    fs.create(new org.apache.hadoop.fs.Path(tbl, "part-0.parquet")).close()
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.setTimes(active, old, -1)
+    fs.setTimes(tbl, old, -1)
+    IndexMaintainStream.dropCovered(spark, root)
+    assert(fs.exists(active),
+      "a staging dir with a fresh nested file is an active writer, not an orphan")
+    // once the nested file is old too, the whole subtree is stale
+    fs.setTimes(new org.apache.hadoop.fs.Path(tbl, "part-0.parquet"), old, -1)
+    IndexMaintainStream.dropCovered(spark, root)
+    assert(!fs.exists(active))
+  }
+
+  test("a staging dir swept mid-write fails the batch BEFORE the commit marker") {
+    import spark.implicits._
+    val root = tmp("bm25midwrite")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate dropCovered's age sweep firing between the writer's
+    // table writes: the write callback deletes staging (as the sweep
+    // would) and then keeps writing — the _BEGIN re-check must fail the
+    // batch so nothing carrying a commit marker is ever published
+    val ex = intercept[java.io.IOException] {
+      IndexMaintainStream.commitBatch(spark, root, "batch=0") { stg =>
+        fs.delete(new org.apache.hadoop.fs.Path(stg), true)
+        docs(3).toDF().write.parquet(s"$stg/postings") // torn recreation
+      }
+    }
+    assert(ex.getMessage.contains("re-delivery"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "batch=0")),
+      "no delta may be published from a swept staging dir")
+    // clean re-delivery of the same epoch then commits normally
+    assert(IndexMaintainStream.mergeDocBatch(spark, root, docs(10).toDF(), 0))
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)).nonEmpty)
+  }
+
+  test("hashed postings hold one row per (doc_id, term) after re-aggregation") {
+    import spark.implicits._
+    val root = tmp("bm25khdedup")
+    assert(IndexMaintainStream.mergeDocBatch(spark, root, docs(20).toDF(), 0,
+      hashed = true))
+    val post = IndexMaintainStream.readTable(spark, root, "postings")
+    assert(post.groupBy(col("doc_id"), col("term")).count()
+      .filter(col("count") > 1).isEmpty,
+      "streamed hashed postings must be unique per (doc_id, term)")
+    // same invariant on the offline hashed index (bm25CachedHashed)
+    val corpusDir = tmp("bm25khcorpus")
+    docs(20).toDF().write.parquet(s"$corpusDir/documents.parquet")
+    val (offPost, _, _) =
+      graft.operators.SearchIndex.bm25CachedHashed(spark, corpusDir)
+    assert(offPost.groupBy(col("doc_id"), col("term")).count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("ANN codes maintained on the stream ≡ cold re-encode, through serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
