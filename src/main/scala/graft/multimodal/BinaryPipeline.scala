@@ -7,16 +7,19 @@ import graft.Tables
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata.
   *
-  * Image and audio decode are REAL as of round 4 — the JDK ships
-  * codecs (javax.imageio PNG/JPEG, javax.sound.sampled WAV/PCM), so
-  * [[imageFeatures]] and [[audioFeatures]] run genuine byte-level
-  * decodes inside batched mapPartitions kernels. The corpus has no
-  * binary column, so payloads are synthesized deterministically per
-  * doc THROUGH the same codecs (ImageIO.write / AudioSystem.write) —
-  * the decode parses real PNG/WAV containers, and MultimodalSpec pins
-  * the decoded features to closed-form expectations. Video decode
-  * stays a clearly-marked stub ([[features]]'s fakeDecode): the JDK
-  * has no video codec and the zero-egress image ships none.
+  * All three decode paths are REAL byte-level container parses as of
+  * round 11 — the JDK ships image/audio codecs (javax.imageio PNG/JPEG,
+  * javax.sound.sampled WAV/PCM) used by [[imageFeatures]] and
+  * [[audioFeatures]]; video has no JDK codec, so [[features]] decodes
+  * the UNCOMPRESSED Y4M (YUV4MPEG2) container — an ASCII parameter
+  * header plus raw per-frame YCbCr planes, the interchange format raw
+  * video tools emit — with a hand-written parser ([[decodeY4m]]:
+  * header grammar, FRAME markers, 4:4:4/4:2:2/4:2:0 plane geometry).
+  * The corpus has no binary column, so payloads are synthesized
+  * deterministically per doc (image/audio THROUGH the JDK encoders;
+  * video as a spec-conformant Y4M byte stream), and MultimodalSpec
+  * pins every decoded feature to closed-form expectations computed
+  * independently of the pipeline.
   *
   * Scale notes: payloads never leave columnar storage until the feature
   * stage; metadata (size/hash/chunk) is map-only and gives downstream
@@ -42,38 +45,137 @@ object BinaryPipeline {
       (col("doc_id") / 100).cast("long").as("chunk_id"),
       lit("text/plain").as("mime"))
 
-  case class Payload(doc_id: Long, payload: Array[Byte])
-  case class Features(doc_id: Long, n_bytes: Long,
-                      f0: Double, f1: Double, f2: Double, f3: Double)
+  case class VideoPayload(doc_id: Long, y4m: Array[Byte])
+  case class VideoFeatures(doc_id: Long, n_bytes: Long, n_frames: Long,
+                           width: Int, height: Int, duration_ms: Long,
+                           sum_luma: Long, motion_abs: Long)
 
-  /** Batched feature extraction over the binary column.
-    *
-    * The decode kernel below is a STUB: a real deployment swaps
-    * `fakeDecode` for an image/audio library call; the batching shape,
-    * schema, and partitioning are the real, tested plumbing.
-    */
+  /** Deterministic Y4M (YUV4MPEG2) payload per doc: 8×8 @ 25 fps,
+    * 3 + doc_id % 5 frames, colorspace C444 for even ids and C420 for
+    * odd (so the decoder's subsampled-plane geometry is exercised by
+    * half the corpus). Luma pixel (x,y) of frame f is
+    * (doc_id·31 + 7x + 13y + 29f) % 256 — the pngPayload gradient plus
+    * a per-frame phase, the closed form both MultimodalSpec and the
+    * DuckDB oracle check decoded features against; chroma follows the
+    * g/b channel forms at plane resolution. */
+  private[graft] def y4mPayload(docId: Long): Array[Byte] = {
+    val (w, h) = (8, 8)
+    val frames = (3 + docId % 5).toInt
+    val c444 = docId % 2 == 0
+    val (cw, ch) = if (c444) (w, h) else (w / 2, h / 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write((s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 " +
+      s"C${if (c444) "444" else "420"}\n").getBytes("US-ASCII"))
+    var f = 0
+    while (f < frames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      def plane(pw: Int, ph: Int)(px: (Int, Int) => Long): Unit = {
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) { bos.write((px(x, y) % 256).toInt); x += 1 }
+          y += 1
+        }
+      }
+      plane(w, h)((x, y) => docId * 31 + 7 * x + 13 * y + 29 * f)
+      plane(cw, ch)((x, y) => docId * 17 + 11 * x + 3 * y + 5 * f)
+      plane(cw, ch)((x, y) => docId * 23 + 5 * x + 19 * y + 7 * f)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL Y4M container decode: parses the ASCII parameter header
+    * (magic, W/H/F required; C colorspace defaulting to 4:2:0 per the
+    * format; I/A/X ignored — they don't change plane layout), then
+    * walks `FRAME` markers (parameters after the marker allowed)
+    * reading raw Y/Cb/Cr planes at the colorspace's geometry. Features
+    * are the frame count, exact duration at the header's rational
+    * frame rate, the corpus-comparable luma mass (Σ Y over all frames'
+    * pixels), and a motion measure (Σ |ΔY| between consecutive frames
+    * — the cut/static-content discriminator a video-curation gate
+    * keys on). All integers, so the entry is hash-exact cross-engine
+    * and carries a FULL oracle; per-pixel means are trivial
+    * projections (sum_luma / (n_frames·w·h)) left to the caller.
+    * Malformed input (bad magic, truncated frame, unknown colorspace)
+    * throws rather than mis-decodes. */
+  private[graft] def decodeY4m(docId: Long, bytes: Array[Byte]): VideoFeatures = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      require(i < bytes.length, s"y4m: unterminated line at $from")
+      i
+    }
+    val hEnd = lineEnd(0)
+    val header = new String(bytes, 0, hEnd, "US-ASCII").split(' ')
+    require(header(0) == "YUV4MPEG2", "y4m: bad magic")
+    var (w, h, fpsNum, fpsDen) = (-1, -1, -1, 1)
+    var cs = "420jpeg" // the format's default when C is absent
+    header.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'F' =>
+          val Array(n, d) = p.substring(1).split(':')
+          fpsNum = n.toInt; fpsDen = d.toInt
+        case 'C' => cs = p.substring(1)
+        case _   => // I interlace / A aspect / X extension: layout-neutral
+      }
+    }
+    require(w > 0 && h > 0 && fpsNum > 0 && fpsDen > 0,
+      "y4m: missing or invalid W/H/F header parameters")
+    val (cw, ch) =
+      if (cs.startsWith("444")) (w, h)
+      else if (cs.startsWith("422")) ((w + 1) / 2, h)
+      else if (cs.startsWith("420")) ((w + 1) / 2, (h + 1) / 2)
+      else throw new IllegalArgumentException(s"y4m: unsupported C$cs")
+    val frameBytes = w * h + 2 * cw * ch
+    var pos = hEnd + 1
+    var frames = 0L
+    var sumLuma = 0L
+    var motion = 0L
+    val prev = new Array[Byte](w * h)
+    while (pos < bytes.length) {
+      val fEnd = lineEnd(pos)
+      require(new String(bytes, pos, fEnd - pos, "US-ASCII")
+        .startsWith("FRAME"), s"y4m: expected FRAME marker at $pos")
+      pos = fEnd + 1
+      require(pos + frameBytes <= bytes.length, "y4m: truncated frame")
+      var i = 0
+      while (i < w * h) {
+        val v = bytes(pos + i) & 0xFF
+        sumLuma += v
+        if (frames > 0) motion += math.abs(v - (prev(i) & 0xFF))
+        prev(i) = bytes(pos + i)
+        i += 1
+      }
+      pos += frameBytes // chroma planes skipped: features are luma-based
+      frames += 1
+    }
+    VideoFeatures(docId, bytes.length.toLong, frames, w, h,
+      frames * 1000L * fpsDen / fpsNum, sumLuma, motion)
+  }
+
+  /** The `multimodal_features` entry — REAL video decode (the last
+    * modality, stubbed rounds 4-10): per-doc Y4M payloads parsed by
+    * [[decodeY4m]] inside the same bounded-batch, cluster-parallel
+    * kernel shape as image/audio. Integer-only features → full DuckDB
+    * oracle reproduces them from the closed pixel form. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .as[Payload]
+      .select(col("doc_id")).as[Long]
+      // see imageFeatures: decode parallelism from the cluster, not the
+      // tiny projection's file layout
+      .repartition(spark.sparkContext.defaultParallelism)
+      // producer stand-in: a real lake stores these bytes in a binary
+      // parquet column; the container-decode downstream is identical
+      .mapPartitions(_.map(id => VideoPayload(id, y4mPayload(id))))
     payloads.mapPartitions { it =>
       it.grouped(64).flatMap { batch => // bounded decoder batches
-        batch.iterator.map { p =>
-          val bytes = p.payload
-          fakeDecode(p.doc_id, bytes)
-        }
+        batch.iterator.map(p => decodeY4m(p.doc_id, p.y4m))
       }
-    }.toDF()
-  }
-
-  /** STUB decode — deterministic fake features standing in for a VIDEO
-    * codec (the one modality the JDK cannot decode). */
-  private def fakeDecode(docId: Long, bytes: Array[Byte]): Features = {
-    val n = bytes.length.toLong
-    val first = if (bytes.nonEmpty) (bytes(0) & 0xFF).toDouble else 0.0
-    val checksum = bytes.foldLeft(0L)((a, b) => (a + (b & 0xFF)) % 997).toDouble
-    Features(docId, n, n.toDouble, first, checksum, (n % 251).toDouble)
+    }.toDF().orderBy(col("doc_id"))
   }
 
   /** Deterministic 8×8 RGB PNG payload per doc, produced THROUGH the
@@ -401,5 +503,34 @@ object BinaryPipeline {
                 md5(text) AS content_hash,
                 CAST(doc_id // 100 AS BIGINT) AS chunk_id,
                 'text/plain' AS mime
-         FROM documents""")
+         FROM documents""",
+    // The decoded video features re-derived from the closed pixel form
+    // (y4mPayload's scaladoc): every column is an exact integer, so the
+    // container decode is hash-checked end to end. n_bytes: 35-byte
+    // header + per-frame 6-byte marker + planes (C444 192, C420 96).
+    "multimodal_features" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+                  (doc_id % 2 = 0) AS c444
+           FROM documents
+         ), px AS (
+           SELECT g.doc_id, g.n_frames, g.c444, fx.f,
+                  (g.doc_id*31 + 7*gx.x + 13*gy.y + 29*fx.f) % 256 AS yv,
+                  (g.doc_id*31 + 7*gx.x + 13*gy.y + 29*(fx.f-1)) % 256 AS pv
+           FROM g, range(8) fx(f), range(8) gx(x), range(8) gy(y)
+           WHERE fx.f < g.n_frames
+         )
+         SELECT doc_id,
+                CAST(35 + n_frames * (CASE WHEN c444 THEN 198 ELSE 102 END)
+                     AS BIGINT) AS n_bytes,
+                n_frames,
+                CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+                CAST(n_frames * 40 AS BIGINT) AS duration_ms,
+                CAST(SUM(yv) AS BIGINT) AS sum_luma,
+                CAST(SUM(CASE WHEN f > 0 THEN ABS(yv - pv) ELSE 0 END)
+                     AS BIGINT) AS motion_abs
+         FROM px
+         GROUP BY doc_id, n_frames, c444
+         ORDER BY doc_id""")
 }

@@ -32,6 +32,70 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("Y4M video decode reproduces the closed-form luma sums exactly") {
+    val rows = BinaryPipeline.features(spark, Sf).collect()
+    assert(rows.length === 500)
+    rows.take(25).foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val frames = 3 + d % 5
+      assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+      assert(r.getAs[Long]("n_frames") === frames)
+      assert(r.getAs[Long]("duration_ms") === frames * 40) // 25 fps exact
+      // container size from the format grammar: 35-byte header + per
+      // frame a 6-byte marker and raw Y+Cb+Cr planes (C444 even ids
+      // → 3·64 bytes, C420 odd → 64 + 2·16)
+      val planes = if (d % 2 == 0) 192 else 96
+      assert(r.getAs[Long]("n_bytes") === 35 + frames * (6 + planes))
+      // luma mass + motion straight from the pixel formula
+      def yv(x: Int, y: Int, f: Long): Long = (d * 31 + 7 * x + 13 * y + 29 * f) % 256
+      val px = for { f <- 0L until frames; y <- 0 until 8; x <- 0 until 8 }
+        yield (x, y, f)
+      assert(r.getAs[Long]("sum_luma") === px.map { case (x, y, f) => yv(x, y, f) }.sum)
+      assert(r.getAs[Long]("motion_abs") ===
+        px.filter(_._3 > 0).map { case (x, y, f) =>
+          math.abs(yv(x, y, f) - yv(x, y, f - 1)) }.sum, s"doc $d motion")
+    }
+  }
+
+  test("Y4M parser: defaults, frame parameters, and malformed containers") {
+    def y4m(header: String, frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write((header + "\n").getBytes("US-ASCII"))
+      frames.foreach(bos.write)
+      bos.toByteArray
+    }
+    def frame(marker: String, planeBytes: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write((marker + "\n").getBytes("US-ASCII"))
+      bos.write(Array.fill(planeBytes)(10.toByte))
+      bos.toByteArray
+    }
+    // absent C parameter defaults to 4:2:0 (4×4 chroma planes at 8×8),
+    // and FRAME markers may carry parameters
+    val dflt = BinaryPipeline.decodeY4m(0L,
+      y4m("YUV4MPEG2 W8 H8 F30:1", frame("FRAME Xinterlaced", 64 + 32)))
+    assert(dflt.n_frames === 1L && dflt.sum_luma === 640L)
+    assert(dflt.duration_ms === 33L) // 1 frame at 30 fps, integer ms
+    // 4:2:2 geometry: half-width full-height chroma
+    val c422 = BinaryPipeline.decodeY4m(0L,
+      y4m("YUV4MPEG2 W8 H8 F25:1 C422", frame("FRAME", 64 + 64)))
+    assert(c422.n_frames === 1L)
+    // malformed inputs throw, never mis-decode
+    intercept[IllegalArgumentException] { // bad magic
+      BinaryPipeline.decodeY4m(0L, y4m("RIFFXXXX W8 H8 F25:1"))
+    }
+    intercept[IllegalArgumentException] { // truncated frame payload
+      BinaryPipeline.decodeY4m(0L,
+        y4m("YUV4MPEG2 W8 H8 F25:1 C444", frame("FRAME", 100)))
+    }
+    intercept[IllegalArgumentException] { // unknown colorspace
+      BinaryPipeline.decodeY4m(0L, y4m("YUV4MPEG2 W8 H8 F25:1 Cmono"))
+    }
+    intercept[IllegalArgumentException] { // missing frame rate
+      BinaryPipeline.decodeY4m(0L, y4m("YUV4MPEG2 W8 H8"))
+    }
+  }
+
   test("WAV decode recovers sine RMS and zero-crossing rate") {
     val rows = BinaryPipeline.audioFeatures(spark, Sf).collect()
     assert(rows.length === 500)
@@ -101,5 +165,7 @@ class MultimodalSpec extends AnyFunSuite {
            sig(BinaryPipeline.imageFeatures(spark, Sf)))
     assert(sig(BinaryPipeline.audioFeatures(spark, Sf)) ===
            sig(BinaryPipeline.audioFeatures(spark, Sf)))
+    assert(sig(BinaryPipeline.features(spark, Sf)) ===
+           sig(BinaryPipeline.features(spark, Sf)))
   }
 }
