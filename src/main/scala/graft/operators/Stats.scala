@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,43 +245,69 @@ object Stats {
     * BIG-DATA bootstrap: classic resampling needs n draws per
     * replicate (a corpus-global shuffle per replicate); the Poisson
     * form gives every row an independent Poisson(1) weight per
-    * replicate, so ALL B replicates compute in ONE pass as B weighted
-    * aggregates over an explode(B) that map-side combines. The
-    * Poisson draw inverts the CDF on the library's standard md5
-    * 13-nibble/2⁵² uniform (the evt_segment_overlap coin), so the
-    * entire bootstrap is bit-reproducible — a resampling procedure
-    * with a FULL cross-engine oracle. Replicate means round numerator
-    * before the divide (the corr_measures discipline). */
+    * replicate. The B replicate weights are PER-ROW expressions, so
+    * all B weighted sums compute as 2B aggregate expressions in ONE
+    * un-exploded map-side-combined pass — scan cost identical to a
+    * plain mean, aggregate input N rows (not B·N: the earlier
+    * explode(B) form multiplied aggregate input 32×), wire exactly
+    * one 2B+2-column partial row per partition. The Poisson draw
+    * inverts the CDF on the library's standard md5 13-nibble/2⁵²
+    * uniform (the evt_segment_overlap coin), so the entire bootstrap
+    * is bit-reproducible — a resampling procedure with a FULL
+    * cross-engine oracle. Replicate means round numerator before the
+    * divide (the corr_measures discipline); the 2.5/97.5 percentiles
+    * interpolate the sorted B-element replicate array at fixed
+    * indices — the same lower+(higher−lower)·frac form Spark's
+    * `percentile` and DuckDB's `quantile_cont` share, with
+    * pos = p·(B−1) constant-folded at plan build. */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val B = 32
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val u = conv(substring(md5(concat(
-        col("o_orderkey").cast("string"), lit(":"), col("b").cast("string"))),
-        1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
-    val reps = o
-      .select(col("o_orderkey"), col("o_totalprice"),
-              explode(sequence(lit(0), lit(B - 1))).as("b"))
-      .withColumn("u", u)
-      .withColumn("w",
-        when(col("u") < 0.367879441, 0.0)
-          .when(col("u") < 0.735758882, 1.0)
-          .when(col("u") < 0.919698603, 2.0)
-          .when(col("u") < 0.981011843, 3.0)
-          .when(col("u") < 0.996340153, 4.0)
-          .otherwise(5.0))
-    val repMeans = reps.groupBy(col("b"))
-      .agg(rnd(rnd(sum(col("w") * col("o_totalprice")), 2) / sum(col("w")), 2)
-        .as("m"))
-    val base = o.agg(count(lit(1)).as("n_rows"),
-                     rnd(avg(col("o_totalprice")), 2).as("mean"))
-    val ci = repMeans.agg(
-      count(lit(1)).as("b_replicates"),
-      rnd(expr("percentile(m, 0.025)"), 2).as("ci_lo"),
-      rnd(expr("percentile(m, 0.975)"), 2).as("ci_hi"))
-    base.crossJoin(broadcast(ci))
-      .select(col("n_rows"), col("mean"), col("ci_lo"), col("ci_hi"),
-              col("b_replicates"))
+    def weight(b: Int): Column = {
+      val u = conv(substring(md5(concat(
+          col("o_orderkey").cast("string"), lit(":"), lit(b.toString))),
+          1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+      when(u < 0.367879441, 0.0)
+        .when(u < 0.735758882, 1.0)
+        .when(u < 0.919698603, 2.0)
+        .when(u < 0.981011843, 3.0)
+        .when(u < 0.996340153, 4.0)
+        .otherwise(5.0)
+    }
+    // One projection evaluates each replicate weight once per row.
+    // The weight kernel is compute-dominated (B md5+conv per row), so
+    // the 2-column input is spread to full cluster parallelism first —
+    // the BinaryPipeline decode precedent: a narrow exchange Catalyst
+    // can't know to insert because it can't cost the B-hash projection
+    // (on a coarse-partitioned scan the kernel would otherwise run in
+    // as few tasks as the file has row groups).
+    val withW = o.repartition(spark.sparkContext.defaultParallelism).select(
+      col("o_totalprice") +: (0 until B).map(b => weight(b).as(s"w$b")): _*)
+    // … then ONE aggregate carries the base stats and all B
+    // (Σ w·x, Σ w) pairs as partial-combinable expressions.
+    val aggs =
+      Seq(count(lit(1)).as("n_rows"),
+          rnd(avg(col("o_totalprice")), 2).as("mean")) ++
+      (0 until B).flatMap(b => Seq(
+        sum(col(s"w$b") * col("o_totalprice")).as(s"s$b"),
+        sum(col(s"w$b")).as(s"c$b")))
+    val one = withW.agg(aggs.head, aggs.tail: _*)
+    val means = array_sort(array(
+      (0 until B).map(b => rnd(rnd(col(s"s$b"), 2) / col(s"c$b"), 2)): _*))
+    def quantile(p: Double): Column = {
+      val pos = p * (B - 1)
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      element_at(col("ms"), lo + 1) +
+        (element_at(col("ms"), lo + 2) - element_at(col("ms"), lo + 1)) *
+        lit(frac)
+    }
+    one.withColumn("ms", means)
+      .select(col("n_rows"), col("mean"),
+              rnd(quantile(0.025), 2).as("ci_lo"),
+              rnd(quantile(0.975), 2).as("ci_hi"),
+              lit(B.toLong).as("b_replicates"))
   }
 
   /** One-way ANOVA F-test: does mean order value differ across the

@@ -268,22 +268,37 @@ object TableOps {
     * platform's admin surface shows, and the stats a cost-based
     * planner consumes (ANALYZE TABLE's relational twin).
     *
-    * ONE aggregation pass computes all measures for all columns
-    * (map-side combined, one job — not one scan per column), then the
-    * wide 1-row result unpivots to one row per column via stack().
-    * Values are stringified so heterogeneous column types share the
-    * output schema — with EXPLICIT, type-aware rendering (fixed-scale
-    * decimal for floating point, date_format for temporals) so the
-    * text never depends on an engine's default value rendering (Java's
-    * Double.toString flips to scientific notation at ≥1e7; timestamp
-    * formats differ across engines — the oracle mirrors each format).
-    *
-    * Exact count_distinct is the oracle-checkable form, but N exact
-    * distincts in one pass plan through Expand (scan output × N) — the
-    * one documented 100 TB caveat of this page. [[profileApprox]] is
-    * the swap-in that removes it. */
-  def profile(spark: SparkSession, dir: String): DataFrame =
-    profileOn(spark, dir, c => count_distinct(c))
+    * Shape: one UNION leg per column, each a single-distinct aggregate
+    * over ONLY that column. N exact distincts in one combined pass
+    * would plan through Expand (scan output × N rows into the first
+    * aggregate — formerly the documented 100 TB caveat of this page);
+    * per-column legs instead plan via planAggregateWithOneDistinct (no
+    * Expand anywhere — ProfileSpec locks it), and with columnar
+    * storage the N column-pruned scans read the SAME total bytes as
+    * the one wide scan while each leg's aggregate sees N× fewer rows.
+    * The legs are independent subtrees of one plan, so they schedule
+    * concurrently. Values are stringified with EXPLICIT, type-aware
+    * rendering (fixed-scale decimal for floating point, date_format
+    * for temporals) so the text never depends on an engine's default
+    * value rendering (Java's Double.toString flips to scientific
+    * notation at ≥1e7; timestamp formats differ across engines — the
+    * oracle mirrors each format). [[profileApprox]] remains the sketch
+    * form: all columns in ONE pass, no distinct shuffle at all. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val legs = o.schema.fields.toIndexedSeq.map { f =>
+      val c = f.name
+      o.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+             count_distinct(col(c)).as("n_distinct"),
+             renderValue(min(col(c)), f.dataType).as("min_value"),
+             renderValue(max(col(c)), f.dataType).as("max_value"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+                col("n_distinct"), col("min_value"), col("max_value"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
 
   /** The 100 TB form of [[profile]]: approx_count_distinct (HLL++,
     * rsd 5%) replaces the exact distincts, so the plan is ONE plain

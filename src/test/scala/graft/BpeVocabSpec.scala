@@ -67,6 +67,42 @@ class BpeVocabSpec extends AnyFunSuite {
     }
   }
 
+  test("learnOnSample: md5 1/4 sample reproduces the top-K merges") {
+    import spark.implicits._
+    // Zipf-ish deterministic corpus: 1200 docs over a 30-word
+    // vocabulary, frequency ∝ 1/rank — big enough that a 4/16 md5
+    // sample preserves the relative frequencies the merge sequence
+    // depends on (the production claim learnOnSample makes).
+    val vocab = Seq("lower", "lowest", "newest", "widest", "slower",
+      "render", "winter", "western", "renewed", "wondered", "tender",
+      "slender", "wander", "thunder", "sunder", "launder", "blender",
+      "fender", "gender", "lender", "mender", "bender", "sender",
+      "vendor", "condor", "candor", "splendor", "indoor", "door",
+      "floor")
+    // deterministic Zipf rank pick: fixed-multiplier hash → uniform u,
+    // inverted through the normalized 1/rank cumulative weights
+    val weights = vocab.indices.map(j => 1.0 / (j + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / weights.sum)
+    val docs = (0 until 1200).map { i =>
+      val u = ((i * 2654435761L & 0x7fffffffL) % 10000) / 10000.0
+      val rank = cum.indexWhere(u < _) match {
+        case -1 => vocab.size - 1
+        case j  => j
+      }
+      (i.toLong, s"${vocab(rank)} ${vocab((i * 7) % vocab.size)}")
+    }.toDF("doc_id", "text")
+    val k = 24
+    val full = BpeVocab.learn(docs, k)._1.map(m => (m.left, m.right))
+    val samp = BpeVocab.learnOnSample(docs, k, keep16 = 4)._1
+      .map(m => (m.left, m.right))
+    val overlap = full.toSet.intersect(samp.toSet).size.toDouble / k
+    assert(overlap >= 0.75,
+      s"sample merge agreement $overlap below band;\nfull=$full\nsamp=$samp")
+    // and the sample really was a strict subset of the corpus
+    assert(BpeVocab.learnOnSample(docs, 1, keep16 = 16)._1.head ===
+      BpeVocab.learn(docs, 1)._1.head, "keep16=16 must equal full corpus")
+  }
+
   test("encode on unseen words falls back gracefully") {
     val (merges, _) = BpeVocab.learn(corpus(2), k = 6)
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap

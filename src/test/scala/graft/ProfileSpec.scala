@@ -26,15 +26,23 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
-  test("profileApprox plans WITHOUT Expand; exact profile needs it") {
+  test("BOTH profile forms plan WITHOUT Expand; exact prunes per leg") {
     val approxPlan = operators.TableOps.profileApprox(spark, Sf)
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"),
       s"approx profile must be a plain hash aggregate:\n$approxPlan")
-    val exactPlan = operators.TableOps.profile(spark, Sf)
-      .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"),
-      "exact multi-distinct profile is the Expand plan the approx twin removes")
+    // exact: one single-distinct aggregate leg per column
+    // (planAggregateWithOneDistinct) — no Expand anywhere, and every
+    // leg's parquet scan reads ONLY its own column
+    val exactQe = operators.TableOps.profile(spark, Sf).queryExecution
+    val exactPlan = exactQe.executedPlan.toString
+    assert(!exactPlan.contains("Expand"),
+      s"per-column-leg exact profile must not Expand:\n$exactPlan")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(exactPlan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty &&
+           readSchemas.forall(s => !s.contains(",")),
+      s"each profile leg must scan exactly one column, got: $readSchemas")
   }
 
   test("min/max render with explicit fixed formats, not engine defaults") {

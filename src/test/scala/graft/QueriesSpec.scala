@@ -301,6 +301,14 @@ class QueriesSpec extends AnyFunSuite {
     val a = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     val b = multimodal.BinaryPipeline.features(spark, Sf).orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
-    a.foreach(r => assert(r.getAs[Long]("n_bytes") === r.getAs[Double]("f0").toLong))
+    // Y4M container arithmetic: n_bytes is the header + per-frame
+    // ("FRAME\n" + planes) mass the decoder actually consumed, and the
+    // synthesized geometry pins plane size to the colorspace
+    a.foreach { r =>
+      val frames = r.getAs[Long]("n_frames")
+      assert(frames > 0L)
+      assert(r.getAs[Long]("duration_ms") === frames * 40L)
+      assert(r.getAs[Long]("n_bytes") > frames * 6L)
+    }
   }
 }

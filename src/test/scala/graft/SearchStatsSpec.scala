@@ -193,6 +193,20 @@ class SearchStatsSpec extends AnyFunSuite {
       s"CI width $width vs analytic $analytic out of band")
   }
 
+  test("rpt_bootstrap_ci plan is ONE un-exploded aggregate pass") {
+    // The B=32 Poisson replicates are aggregate EXPRESSIONS, not an
+    // explode(B) row multiplication: the optimized plan must carry no
+    // Generate (explode) and no Join (the old base×ci crossJoin), and
+    // exactly one logical Aggregate — scan cost of a plain mean.
+    val qe = operators.Stats.bootstrapCi(spark, Sf).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(!opt.contains("Generate"), s"explode leaked back in:\n$opt")
+    assert(!opt.contains("Join"), s"join leaked back in:\n$opt")
+    val aggs = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size === 1, s"expected ONE aggregate pass, got ${aggs.size}")
+  }
+
   test("rag_mmr demotes a planted exact duplicate that plain cosine ranks second") {
     import spark.implicits._
     val d10 = Seq(0.99f, 0.141f, 0f, 0f)
