@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.expressions.{BoundedBucket, DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature, UnicodeNormalize}
+import graft.functions.expressions.{BloomFileMightContain, BoundedBucket, DeflateLength, DotProduct, FreqItemsSketch, HyperplaneBands, MinHashSignature, SimHashSignature, UnicodeNormalize}
 
 /** Per-session registration of graft's native Catalyst expressions.
   * Idempotent; the function registry is the supported route to custom
@@ -54,6 +54,13 @@ object Registry {
           s"got ${exprs.length} arguments")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_probe", { exprs =>
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_bloom_probe expects (sidecar path, xxhash64 value), " +
+          s"got ${exprs.length} arguments")
+        BloomFileMightContain(exprs(0), exprs(1))
       }, "built-in")
   }
 }

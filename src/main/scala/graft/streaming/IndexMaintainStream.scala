@@ -141,6 +141,17 @@ object IndexMaintainStream {
     spark.read.parquet(paths: _*)
   }
 
+  /** Visible delta dirs (newest compacted run first, then plain deltas
+    * above its watermark) — for consumers that keep PER-DELTA sidecar
+    * tables (e.g. PretrainStream's bloom membership sketches) and so
+    * need the delta paths, not just the union read. Same driver-side
+    * metadata listing as [[readTable]]. */
+  private[streaming] def visibleDeltas(spark: SparkSession,
+                                       root: String): Seq[Path] = {
+    val (best, plain) = committed(spark, root)
+    (best.toSeq ++ plain).map(_._1)
+  }
+
   // ---------------------------------------------------------------- BM25
 
   /** Wire form of a stream-maintained BM25 root, read from the
@@ -262,6 +273,75 @@ object IndexMaintainStream {
                coarse: IndexedSeq[Array[Double]]): DataFrame =
     Knn.ivfPqServe(spark, e, k, nprobe, cbooks, coarse,
       readTable(spark, root, "codes"))
+
+  // ------------------------------------------------------- bloom sidecars
+
+  /** Bloom sizing floor (the dedup_bloom_incremental convention: ~10
+    * bits/item ≈ 1% FPP, floored so tiny deltas don't build a
+    * saturating sketch). */
+  private val BloomFloorItems = 1000L
+
+  private[streaming] def raiseBloomCaps(spark: SparkSession, est: Long,
+                                        bits: Long): Unit = {
+    def raiseTo(key: String, v: Long): Unit =
+      if (spark.conf.getOption(key).forall(_.toLong < v))
+        spark.conf.set(key, v.toString)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", est)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+  }
+
+  /** Build + write a bloom sidecar over the rows of `srcParquet`
+    * (read back from staging — the mergeDocBatch precedent, so a batch
+    * is hashed once), keyed by `key` (must evaluate to a LONG — pass
+    * xxhash64(stringCol) for string keys). The sidecar is a RAW FILE
+    * of the aggregate's serialized filter (BloomFilterAggregate's byte
+    * format), NOT a parquet cell: the probe side
+    * ([[bloomProbe]] → graft_bloom_probe) loads it executor-side by
+    * path, once per executor lifetime — so the per-epoch probe cost is
+    * O(plan-literal path bytes), not O(filter bytes) (the collected-
+    * literal and scalar-subquery alternatives both re-ship the filter
+    * every epoch — measured 4–6.5 s/epoch at 25–125 MB filters,
+    * tools.PregateDiag). The one driver collect here is the BUILD:
+    * per-epoch filters are batch-sized; a compaction's state-sized
+    * rebuild is amortized over its cadence. An empty source writes a
+    * zero-length file (loads as an always-false filter). Sized ~10
+    * bits/item ≈ 1% FPP with the aggregate's silent conf clamp caps
+    * raised (the bloomIncrementalOn lesson). */
+  private[graft] def writeBloomSidecar(spark: SparkSession,
+                                       srcParquet: String,
+                                       bloomPath: String,
+                                       key: org.apache.spark.sql.Column)
+      : Unit = {
+    graft.functions.Registry.register(spark)
+    val src = spark.read.parquet(srcParquet)
+    val est = math.max(src.count(), BloomFloorItems)
+    val bits = est * 10
+    raiseBloomCaps(spark, est, bits)
+    val row = src.agg(
+      call_function("graft_bloom_agg", key, lit(est), lit(bits))).head()
+    val p = new Path(bloomPath)
+    val out = fsFor(spark, p).create(p, true)
+    try { if (!row.isNullAt(0)) out.write(row.getAs[Array[Byte]](0)) }
+    finally out.close()
+  }
+
+  /** Whether `deltaPath` carries a bloom sidecar file at all (a
+    * zero-length sidecar — an empty delta — still counts: it covers
+    * its zero keys). */
+  private[streaming] def hasBloomSidecar(spark: SparkSession,
+                                         deltaPath: Path): Boolean =
+    fsFor(spark, deltaPath).exists(new Path(deltaPath, "bloom"))
+
+  /** OR-of-probes predicate over a set of bloom sidecar files —
+    * `graft_bloom_probe` per sidecar, executor-cached by path (see
+    * BloomFileCache for why neither a literal nor a scalar subquery
+    * survives at mature filter sizes). `key` must evaluate to the LONG
+    * the sidecars were built over. None when `sidecars` is empty. */
+  private[graft] def bloomProbe(sidecars: Seq[String],
+                                key: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.Column] =
+    sidecars.map(p => call_function("graft_bloom_probe", lit(p), key))
+      .reduceOption(_ || _)
 
   // ----------------------------------------------------------- compaction
 

@@ -24,17 +24,61 @@ import graft.operators.TextOps
   * verbatim, so batch/stream parity is by construction, not by
   * re-derivation) or keyed on the content hash (the dedup). The dedup's
   * "seen" set lives in the SAME staged-commit delta layout
-  * IndexMaintainStream uses (`batch=<epoch>/{hashes,docs}` + `_COMMIT`
-  * marker, atomic rename): each micro-batch anti-joins its cleaned docs
-  * against the union of committed hash deltas, resolves within-batch
-  * groups to the min doc_id (the batch pipeline's keeper rule), and
-  * commits the epoch's new hashes and accepted docs in ONE atomic
-  * delta. Re-delivery of a committed epoch is a no-op (the commit
-  * marker short-circuits), a crash mid-write leaves an invisible
-  * staging dir — exactly-once without any Spark state store, which is
-  * also the 100 TB shape: the seen-set is a parquet table that scales
-  * with distinct content, partitions like any other table, and is
-  * shared by restarts instead of rebuilt into executor state.
+  * IndexMaintainStream uses (`batch=<epoch>/{hashes,docs,bloom}` +
+  * `_COMMIT` marker, atomic rename): each micro-batch dedups its
+  * cleaned docs against the committed hash deltas, resolves
+  * within-batch groups to the min doc_id (the batch pipeline's keeper
+  * rule), and commits the epoch's new hashes, accepted docs, AND a
+  * bloom sketch of the new hashes in ONE atomic delta. Re-delivery of
+  * a committed epoch is a no-op (the commit marker short-circuits), a
+  * crash mid-write leaves an invisible staging dir — exactly-once
+  * without any Spark state store, which is also the 100 TB shape: the
+  * seen-set is a parquet table that scales with distinct content,
+  * partitions like any other table, and is shared by restarts instead
+  * of rebuilt into executor state.
+  *
+  * == Per-epoch cost: O(batch), not O(state) ==
+  *
+  * The naive per-batch dedup — `batch LEFT ANTI JOIN all committed
+  * hashes` — SHUFFLES the full seen-set every epoch (left-anti cannot
+  * broadcast its left side), so per-epoch wall grows linearly with
+  * committed state and total ingest cost is QUADRATIC in corpus size
+  * (tools.StreamLadder measures exactly this). Instead, each delta
+  * carries a bloom sidecar over its OWN new hashes (Spark's mergeable
+  * BloomFilterAggregate, the dedup_bloom_incremental precedent), and a
+  * micro-batch runs:
+  *
+  *   1. probe — a map-only pass flags batch rows whose hash ANY
+  *      visible delta's bloom maybe-contains. Blooms have no false
+  *      negatives, so unflagged rows are DEFINITELY new; in the
+  *      steady-state firehose (mostly novel content) the flagged
+  *      sliver is dup-rate + FPP of the batch.
+  *   2. verify — only flagged hashes meet the state exactly: pushed as
+  *      IN-literals into the hash-clustered compacted run when few
+  *      (row-group min/max skip the rest of the scan — the
+  *      SearchIndex literal-pushdown precedent), or a broadcast semi
+  *      join (state scanned map-side, never shuffled) past the
+  *      literal cap. Zero flagged rows skip the state read entirely.
+  *   3. the confirmed-dup hash set (≤ flagged, tiny) broadcast
+  *      anti-joins the batch — false positives are removed, so the
+  *      output is EXACTLY the naive path's (`pregate = false` keeps
+  *      that path runnable; PretrainStreamSpec proves equality).
+  *
+  * Deltas are immutable once committed, so each sidecar's
+  * deserialized filter is cached EXECUTOR-side by path
+  * (graft_bloom_probe → BloomFileCache): the plan carries only path
+  * literals, the driver never touches filter bytes at probe time, and
+  * a mature root's filter loads once per executor lifetime — the two
+  * obvious alternatives both re-ship the filter every epoch and were
+  * measured off the table (parse-time literal ~4 s/epoch at a 25 MB
+  * filter; scalar subquery 6.5 s/epoch at 125 MB —
+  * tools.PregateDiag). Compaction rebuilds ONE bloom over the folded
+  * hash set
+  * (sized to its count, conf clamp caps raised — the
+  * bloomIncrementalOn lesson) so the probe cost stays O(#deltas)
+  * bounded by compaction cadence. Pre-bloom roots (deltas without the
+  * sidecar) are handled conservatively: their hashes keep the exact
+  * anti-join, so upgrading a standing root never loses a hash.
   *
   * == Dedup semantics across the stream ==
   *
@@ -67,6 +111,62 @@ object PretrainStream {
           spark.sparkContext.emptyRDD[Row], hashSchema)
     }
 
+  /** Verified-dup hashes pushed as IN-literals into the clustered state
+    * scan up to this many; past it the verify falls back to a broadcast
+    * semi join (still scan-only on the state side). */
+  private val InPushdownCap = 10000
+
+  /** Rows of `clean` whose norm_hash is NOT in the committed seen-set.
+    * `pregate = true` is the bloom-probe path documented on the object
+    * (exactly the naive result — FPs verified away, no FNs possible);
+    * `false` is the naive full anti-join, kept for A/B measurement.
+    *
+    * The probe runs over `delivered`'s RAW content hashes (one cheap
+    * map pass — md5 of the normalized text), not over `clean`: gates
+    * can only SHRINK the batch, so every clean row's hash is among the
+    * raw hashes and no-false-negatives is preserved, while the probe
+    * job skips re-evaluating the gate chain's windows. Extra positives
+    * from gate-failing docs only pad the verify sliver. */
+  private def firstSeenOf(spark: SparkSession, root: String,
+                          delivered: DataFrame, clean: DataFrame,
+                          pregate: Boolean): DataFrame = {
+    if (!pregate)
+      return clean.join(priorHashes(spark, root), Seq("norm_hash"),
+        "left_anti")
+    val deltas = IndexMaintainStream.visibleDeltas(spark, root)
+    if (deltas.isEmpty) return clean
+    val (bloomed, legacy) = deltas.partition(d =>
+      IndexMaintainStream.hasBloomSidecar(spark, d))
+    graft.functions.Registry.register(spark)
+    val probe = IndexMaintainStream.bloomProbe(
+      bloomed.map(d => s"$d/bloom"), xxhash64(col("norm_hash")))
+    val afterBloomed = probe match {
+      case None => clean
+      case Some(maybeSeen) =>
+        val positives = delivered
+          .select(md5(normText(col("text"))).as("norm_hash"))
+          .distinct().filter(maybeSeen)
+        val ph = positives.limit(InPushdownCap + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (ph.isEmpty) clean // every row definitely new — no state read
+        else {
+          val state = spark.read.parquet(bloomed.map(d => s"$d/hashes"): _*)
+          val confirmed =
+            if (ph.length <= InPushdownCap)
+              state.filter(col("norm_hash").isin(ph: _*))
+            else state.join(broadcast(positives), Seq("norm_hash"),
+              "left_semi")
+          clean.join(
+            broadcast(confirmed.select(col("norm_hash")).distinct()),
+            Seq("norm_hash"), "left_anti")
+        }
+    }
+    if (legacy.isEmpty) afterBloomed
+    else afterBloomed.join(
+      spark.read.parquet(legacy.map(d => s"$d/hashes"): _*),
+      Seq("norm_hash"), "left_anti")
+  }
+
   /** One micro-batch: gate, dedup against the committed seen-set,
     * holdout + decontaminate, commit the epoch delta atomically.
     * Returns false when the epoch was already committed (re-delivery).
@@ -76,15 +176,15 @@ object PretrainStream {
     * pre-materialized so the per-epoch work is one small anti-join, not
     * a re-run of the contamination plan. */
   private[graft] def processBatch(delivered: DataFrame,
-                                      contaminated: DataFrame,
-                                      root: String,
-                                      epoch: Long): Boolean = {
+                                  contaminated: DataFrame,
+                                  root: String,
+                                  epoch: Long,
+                                  pregate: Boolean = true): Boolean = {
     val spark = delivered.sparkSession
     IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
       val clean = TextOps.cleanDocs(delivered)
         .withColumn("norm_hash", md5(normText(col("text"))))
-      val firstSeen = clean.join(
-        priorHashes(spark, root), Seq("norm_hash"), "left_anti")
+      val firstSeen = firstSeenOf(spark, root, delivered, clean, pregate)
       val byHash = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
       // Consumed twice (hashes + docs). Recomputation is deterministic —
       // row_number over (norm_hash, doc_id) is a total order — and the
@@ -95,6 +195,8 @@ object PretrainStream {
         .filter(col("rk") === 1)
       keepers.select(col("norm_hash"))
         .write.parquet(s"$staging/hashes")
+      if (pregate) IndexMaintainStream.writeBloomSidecar(spark,
+        s"$staging/hashes", s"$staging/bloom", xxhash64(col("norm_hash")))
       keepers
         .filter(TextOps.holdoutCoin(col("doc_id")) =!= 15)
         .join(contaminated, col("doc_id") === col("train_doc_id"),
@@ -107,12 +209,12 @@ object PretrainStream {
   /** Start the firehose: `docs` is a streaming frame with at least
     * (doc_id, lang, text). The accepted corpus and the seen-hash set
     * accumulate under `root`. */
-  def start(docs: DataFrame, contaminated: DataFrame,
-            root: String): StreamingQuery =
+  def start(docs: DataFrame, contaminated: DataFrame, root: String,
+            pregate: Boolean = true): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        processBatch(batch, contaminated, root, epoch); ()
+        processBatch(batch, contaminated, root, epoch, pregate); ()
       }
       .start()
 
@@ -122,14 +224,27 @@ object PretrainStream {
 
   /** Fold accumulated per-epoch deltas into one compacted run —
     * thousands of micro-batches otherwise mean thousands of small
-    * files. Same crash-safe protocol as the index roots
-    * (IndexMaintainStream.compact): the `cbatch=<covers>` run commits
-    * atomically before covered deltas drop, so a reader (including the
-    * NEXT micro-batch's priorHashes anti-join) never double-sees or
-    * misses a hash, and dedup state survives compaction unchanged. */
-  def compact(spark: SparkSession, root: String): Unit =
-    IndexMaintainStream.compact(spark, root,
-      Seq(("hashes", Some(col("norm_hash"))), ("docs", None)))
+    * files — and REBUILD the bloom sidecar over the folded hash set
+    * (per-epoch blooms have differing geometries, so they fold by
+    * re-aggregation, not bit-OR). Hashes are written clustered by
+    * norm_hash so the verify stage's IN-literal pushdown prunes row
+    * groups. Same crash-safe protocol as the index roots: the
+    * `cbatch=<covers>` run commits atomically before covered deltas
+    * drop, so a reader (including the NEXT micro-batch's probe) never
+    * double-sees or misses a hash, and dedup state survives compaction
+    * unchanged. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    IndexMaintainStream.commitCompactedWith(spark, root) { stg =>
+      graft.sinks.LakeSink.writeClustered(
+        IndexMaintainStream.readTable(spark, root, "hashes"),
+        s"$stg/hashes", 1, col("norm_hash"))
+      IndexMaintainStream.readTable(spark, root, "docs")
+        .write.parquet(s"$stg/docs")
+      IndexMaintainStream.writeBloomSidecar(spark,
+        s"$stg/hashes", s"$stg/bloom", xxhash64(col("norm_hash")))
+    }
+    IndexMaintainStream.dropCovered(spark, root)
+  }
 
   /** Per-language accounting over the accepted corpus — the streaming
     * counterpart of pretrainPipeline's output (PretrainStreamSpec

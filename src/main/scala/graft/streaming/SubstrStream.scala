@@ -29,7 +29,13 @@ import graft.dedup.SubstrDedup
   * batch-internal duplication is out of scope (the corpus-wide entry
   * owns it), and a run first seen in epoch N is flagged from epoch N+1
   * on. Duplicate gram rows across deltas are harmless (the probe is a
-  * left-semi join); compaction dedups them. */
+  * left-semi join); compaction dedups them.
+  *
+  * Per-epoch cost is O(batch), not O(state): each delta carries a
+  * bloom sidecar over its own gram keys, and the probe join's state
+  * side shrinks to the bloom-confirmed batch-relevant sliver before
+  * any join — see [[probeTarget]] (the PretrainStream seen-set design
+  * applied to the gram index; tools.StreamLadder measures both). */
 object SubstrStream {
 
   /** Wire form of the persisted gram index: `hashed = false` stores
@@ -70,18 +76,86 @@ object SubstrStream {
           spark.sparkContext.emptyRDD[Row], gramSchema(hashed))
     }
 
-  /** One micro-batch: probe against the committed gram set, then commit
-    * this epoch's spans AND its distinct grams in ONE atomic delta.
-    * Returns false on re-delivery of a committed epoch. */
+  /** Confirmed-gram keys pushed as IN-literals into the clustered state
+    * scan up to this many; past it the verify falls back to a broadcast
+    * semi join (still scan-only on the state side). */
+  private val InPushdownCap = 10000
+
+  /** The probe TARGET for one micro-batch. The naive target (`pregate =
+    * false`) is the full committed gram set — a left-semi whose state
+    * side re-shuffles every epoch, O(state) per batch
+    * (tools.StreamLadder's finding on the pretrain root applies
+    * verbatim). With the bloom sidecars the target shrinks to the
+    * CONFIRMED batch-relevant sliver: batch gram keys that any delta's
+    * bloom maybe-contains (no false negatives — an unflagged key
+    * cannot be in the corpus) verified exactly against the state scan
+    * (IN-literal pushdown into the key-clustered compacted run when
+    * few; broadcast semi past the cap — either way the state never
+    * shuffles), so the downstream probe join's right side is tiny and
+    * broadcastable. Any delta without a sidecar (pre-bloom root)
+    * contributes its grams verbatim — exact, slower, self-healing at
+    * the next compaction (which rebuilds one bloom over everything).
+    * Correctness: the target is a SUBSET of the committed grams
+    * containing every key the batch can match, so the left-semi probe
+    * is row-identical to the naive path's. */
+  private def probeTarget(spark: SparkSession, root: String, form: Boolean,
+                          delivered: DataFrame, pregate: Boolean)
+      : DataFrame = {
+    if (!pregate) return priorGrams(spark, root, form)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], gramSchema(form))
+    val deltas = IndexMaintainStream.visibleDeltas(spark, root)
+    if (deltas.isEmpty) return empty
+    val (bloomed, legacy) = deltas.partition(d =>
+      IndexMaintainStream.hasBloomSidecar(spark, d))
+    graft.functions.Registry.register(spark)
+    val key = gramKey(form)
+    val confirmed: Option[DataFrame] = IndexMaintainStream.bloomProbe(
+        bloomed.map(d => s"$d/bloom"),
+        if (form) col("kh") else xxhash64(col("kg")))
+      .flatMap { maybeSeen =>
+        val posit =
+          (if (form) SubstrDedup.gramsOfHashed(delivered, SubstrDedup.MinRun)
+           else SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun))
+            .filter(maybeSeen)
+        val pk = posit.limit(InPushdownCap + 1).collect()
+          .map(_.get(0)).toSeq
+        if (pk.isEmpty) None
+        else {
+          val state = spark.read.parquet(bloomed.map(d => s"$d/grams"): _*)
+          Some(
+            if (pk.length <= InPushdownCap)
+              state.filter(col(key).isin(pk: _*))
+                .select(col(key)).distinct()
+            else state.join(broadcast(posit), Seq(key), "left_semi")
+              .select(col(key)).distinct())
+        }
+      }
+    val legacyGrams =
+      if (legacy.isEmpty) None
+      else Some(spark.read.parquet(legacy.map(d => s"$d/grams"): _*))
+    (confirmed, legacyGrams) match {
+      case (None, None)       => empty
+      case (Some(c), None)    => broadcast(c)
+      case (None, Some(l))    => l
+      case (Some(c), Some(l)) => c.unionByName(l.select(col(key)))
+    }
+  }
+
+  /** One micro-batch: probe against the committed gram set (bloom
+    * pregated — see [[probeTarget]]), then commit this epoch's spans,
+    * its distinct grams, AND a bloom sidecar over those grams in ONE
+    * atomic delta. Returns false on re-delivery of a committed epoch. */
   private[graft] def processBatch(delivered: DataFrame, root: String,
                                   epoch: Long,
-                                  hashed: Boolean = false): Boolean = {
+                                  hashed: Boolean = false,
+                                  pregate: Boolean = true): Boolean = {
     val spark = delivered.sparkSession
     // established roots keep their committed wire form regardless of
     // the caller's flag — see the wire-form scaladoc above
     val form = wireFormOf(spark, root).getOrElse(hashed)
     IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
-      val prior = priorGrams(spark, root, form)
+      val prior = probeTarget(spark, root, form, delivered, pregate)
       val spans =
         if (form)
           SubstrDedup.probeSpansHashed(delivered, prior, SubstrDedup.MinRun)
@@ -90,6 +164,9 @@ object SubstrStream {
       (if (form) SubstrDedup.gramsOfHashed(delivered, SubstrDedup.MinRun)
        else SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun))
         .write.parquet(s"$staging/grams")
+      if (pregate) IndexMaintainStream.writeBloomSidecar(spark,
+        s"$staging/grams", s"$staging/bloom",
+        if (form) col("kh") else xxhash64(col("kg")))
     }
   }
 
@@ -110,8 +187,13 @@ object SubstrStream {
     IndexMaintainStream.readTable(spark, root, "spans")
 
   /** Fold per-epoch deltas into one compacted run (grams clustered on
-    * the gram key — restores min/max file-skipping — and deduped, since
-    * the probe's semi-join never needed the cross-delta duplicates). */
+    * the gram key — restores min/max file-skipping AND makes the
+    * pregate's IN-literal pushdown prune row groups — and deduped,
+    * since the probe's semi-join never needed the cross-delta
+    * duplicates), then REBUILD one bloom sidecar over the folded gram
+    * set (per-epoch blooms have differing geometries, so they fold by
+    * re-aggregation; this is also how a pre-bloom root self-heals into
+    * the pregated steady state). */
   def compact(spark: SparkSession, root: String,
               hashed: Boolean = false): Unit = {
     // cluster on the root's ESTABLISHED key column, not the flag
@@ -122,6 +204,9 @@ object SubstrStream {
         s"$staging/grams", 1, col(gramKey(form)))
       IndexMaintainStream.readTable(spark, root, "spans")
         .write.parquet(s"$staging/spans")
+      IndexMaintainStream.writeBloomSidecar(spark,
+        s"$staging/grams", s"$staging/bloom",
+        if (form) col("kh") else xxhash64(col("kg")))
     }
     IndexMaintainStream.dropCovered(spark, root)
   }

@@ -142,14 +142,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
   }
 
-  test("tbl_profile computes all column stats in one scan") {
-    // six exact count_distincts must plan as ONE Expand-based pass over
-    // a single parquet scan — not a job per column
+  test("tbl_profile plans one single-distinct leg per column, no Expand") {
+    // the round-11 rewrite: N exact distincts as N union legs, each a
+    // single-distinct aggregate over a ONE-COLUMN pruned scan — the
+    // one-scan Expand form multiplied scan output by N into the first
+    // aggregate (the former documented 100 TB caveat). ProfileSpec
+    // additionally locks the per-leg ReadSchema; here: leg count and
+    // the Expand ban.
     val plan = operators.TableOps.profile(spark, Sf)
       .queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans === 1, s"expected one scan, got $scans\n${plan.take(2000)}")
-    assert(plan.contains("Expand"), plan.take(2000))
+    val legs = "Union".r.findAllIn(plan).length
+    assert(!plan.contains("Expand"), plan.take(2000))
+    assert(scans > 1 && legs >= 1,
+      s"expected per-column union legs, got $scans scans\n${plan.take(2000)}")
   }
 
   test("ann_pq encodes map-only: no sort/object aggregate, one shuffled agg") {

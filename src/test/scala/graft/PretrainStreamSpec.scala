@@ -160,6 +160,82 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(rows(PretrainStream.accounting(spark, root)) === before)
   }
 
+  test("bloom pregate ≡ naive anti-join path on a mixed dup/unique ingest") {
+    import spark.implicits._
+
+    def doc(id: Long, contentId: Long) =
+      Doc(id, "en",
+        (0 until 40).map(j => s"p${contentId}w$j").mkString(" ") +
+          " the of and a")
+    // three epochs; epoch 2 repeats epoch 0's content under new ids
+    // (cross-epoch dups through the verify stage) plus fresh docs
+    val batches = Seq(
+      (0L until 30L).map(i => doc(i, i)),
+      (30L until 60L).map(i => doc(i, i)),
+      (60L until 70L).map(i => doc(i, i - 60)) ++ // dups of epoch 0
+        (70L until 90L).map(i => doc(i, i)))
+
+    val empty = spark.emptyDataset[Doc].select(col("doc_id").as("train_doc_id"))
+    val roots = Seq(true, false).map { pregate =>
+      val root = tmp(s"pretrainab$pregate")
+      batches.zipWithIndex.foreach { case (b, ep) =>
+        streaming.PretrainStream.processBatch(
+          b.toDF(), empty, root, ep.toLong, pregate)
+      }
+      root
+    }
+    val Seq(withGate, naive) = roots.map { r =>
+      PretrainStream.acceptedDocs(spark, r)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(withGate === naive)
+    assert(withGate.intersect((60L until 70L).toSet).isEmpty,
+      "cross-epoch dups must be suppressed on both paths")
+    assert(rows(PretrainStream.accounting(spark, roots.head)) ===
+      rows(PretrainStream.accounting(spark, roots(1))))
+  }
+
+  test("bloom sidecar rides every delta, survives compaction, and " +
+       "pre-bloom deltas keep exact dedup") {
+    import spark.implicits._
+
+    def doc(id: Long) =
+      Doc(id, "en",
+        (0 until 40).map(j => s"s${id}w$j").mkString(" ") + " the of and a")
+    val root = tmp("pretrainbloom")
+    val empty = spark.emptyDataset[Doc].select(col("doc_id").as("train_doc_id"))
+    streaming.PretrainStream.processBatch(
+      Seq(doc(0), doc(1)).toDF(), empty, root, 0L)
+    streaming.PretrainStream.processBatch(
+      Seq(doc(2), doc(3)).toDF(), empty, root, 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1).foreach { ep =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/batch=$ep/bloom")),
+        s"epoch $ep delta must carry its bloom sidecar")
+    }
+    // simulate a pre-upgrade root: epoch 0's sidecar vanishes — its
+    // hashes must keep the exact anti-join (conservative fallback)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=0/bloom"), true)
+    streaming.PretrainStream.processBatch(
+      Seq(Doc(100L, "en", doc(0).text), doc(101)).toDF(), empty, root, 2L)
+    val accepted1 = PretrainStream.acceptedDocs(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!accepted1.contains(100L),
+      "dup of a bloom-less delta's content must still be suppressed")
+    assert(accepted1.contains(101L))
+    // compaction folds the hashes AND rebuilds one bloom over them
+    PretrainStream.compact(spark, root)
+    val cbatch = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("cbatch=")).head
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$cbatch/bloom")))
+    streaming.PretrainStream.processBatch(
+      Seq(Doc(200L, "en", doc(2).text)).toDF(), empty, root, 3L)
+    assert(!PretrainStream.acceptedDocs(spark, root)
+      .select("doc_id").as[Long].collect().toSet.contains(200L),
+      "the compacted bloom + clustered hashes must still suppress dups")
+  }
+
   test("a held-out keeper suppresses its entire duplicate group") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

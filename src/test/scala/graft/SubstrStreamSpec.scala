@@ -142,4 +142,57 @@ class SubstrStreamSpec extends AnyFunSuite {
       Seq(Doc(3L, runA)).toDF(), root, epoch = 2L, hashed = false))
     assert(spans(root).contains((3L, 0L, 9L, 2L)))
   }
+
+  test("bloom pregate ≡ naive probe; sidecar rides deltas; pre-bloom " +
+       "deltas fall back exact") {
+    import spark.implicits._
+    val runA = words("aa", 10)
+    val runC = words("cc", 10)
+    val batches = Seq(
+      Seq(Doc(1L, words("p", 3) + " " + runA)),
+      Seq(Doc(2L, runC + " " + runA), Doc(10L, words("n", 12))),
+      Seq(Doc(3L, runC + " zz0 " + runA)))
+
+    // A/B: both wire forms, pregate vs naive — span sets identical
+    Seq(false, true).foreach { hashed =>
+      val roots = Seq(true, false).map { pregate =>
+        val root = tmp(s"substrab$hashed$pregate")
+        batches.zipWithIndex.foreach { case (b, ep) =>
+          SubstrStream.processBatch(b.toDF(), root, ep.toLong, hashed,
+            pregate)
+        }
+        root
+      }
+      assert(spans(roots.head).nonEmpty)
+      assert(spans(roots.head) === spans(roots(1)),
+        s"pregate must not change spans (hashed=$hashed)")
+    }
+
+    // sidecar presence + pre-bloom fallback (hashed form)
+    val root = tmp("substrbloomfb")
+    batches.zipWithIndex.foreach { case (b, ep) =>
+      SubstrStream.processBatch(b.toDF(), root, ep.toLong, hashed = true)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1, 2).foreach { ep =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/batch=$ep/bloom")), s"epoch $ep delta must carry a bloom")
+    }
+    // a pre-upgrade delta loses its sidecar: its grams must still probe
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=0/bloom"), true)
+    assert(SubstrStream.processBatch(
+      Seq(Doc(9L, runA)).toDF(), root, epoch = 3L, hashed = true))
+    assert(spans(root).contains((9L, 0L, 9L, 3L)),
+      "a run known only to the bloom-less delta must still flag")
+    // compaction rebuilds ONE bloom over the folded gram set
+    SubstrStream.compact(spark, root, hashed = true)
+    val cbatch = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("cbatch=")).head
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$cbatch/bloom")))
+    assert(SubstrStream.processBatch(
+      Seq(Doc(11L, runC)).toDF(), root, epoch = 4L, hashed = true))
+    assert(spans(root).contains((11L, 0L, 9L, 4L)),
+      "the compacted bloom + clustered grams must still probe")
+  }
 }
