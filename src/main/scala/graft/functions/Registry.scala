@@ -57,10 +57,10 @@ object Registry {
       }, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bloom_probe", { exprs =>
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"graft_bloom_probe expects (sidecar path, xxhash64 value), " +
-          s"got ${exprs.length} arguments")
-        BloomFileMightContain(exprs(0), exprs(1))
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"graft_bloom_probe expects (sidecar dir, shards, xxhash64 " +
+          s"value), got ${exprs.length} arguments")
+        BloomFileMightContain(exprs(0), exprs(1), exprs(2))
       }, "built-in")
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
@@ -35,9 +35,13 @@ object BloomFileCache {
   private def load(path: String): BloomFilter = {
     val hp = new org.apache.hadoop.fs.Path(path)
     // executor-side: classpath core-site defaults, same resolution the
-    // task's own input readers use for a plain path
+    // task's own input readers use for a plain path. A missing or
+    // zero-length shard file is an empty key set — always-false filter.
     val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (fs.getFileStatus(hp).getLen == 0) BloomFilter.create(1)
+    val len =
+      try fs.getFileStatus(hp).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    if (len == 0) BloomFilter.create(1)
     else {
       val in = fs.open(hp)
       try BloomFilter.readFrom(in) finally in.close()
@@ -45,52 +49,66 @@ object BloomFileCache {
   }
 
   def get(path: String): BloomFilter = {
-    if (cache.size > 64) cache.clear()
+    if (cache.size > 8192) cache.clear() // ~2.5e10 keys' worth of shards
     cache.computeIfAbsent(path, load(_))
   }
 
-  def mightContain(path: org.apache.spark.unsafe.types.UTF8String,
-                   v: Long): Boolean =
-    get(path.toString).mightContainLong(v)
+  /** Probe the SHARDED sidecar at `dir`: the key space is partitioned
+    * by floorMod(value, shards) into independent per-shard filters
+    * (`shard-<i>` files) — the layout that keeps BOTH the build's
+    * aggregation buffers and each cached load bounded however large
+    * the standing key set grows (a single monolithic filter OOMs its
+    * map-side partials near 10⁹ keys · 10 bits — the 300M-seed ladder
+    * rung caught exactly that). */
+  def mightContain(dir: org.apache.spark.unsafe.types.UTF8String,
+                   shards: Int, v: Long): Boolean =
+    get(s"$dir/shard-${java.lang.Math.floorMod(v, shards.toLong)}")
+      .mightContainLong(v)
 }
 
-/** `graft_bloom_probe(sidecar_path, xxhash64_value)` → boolean.
+/** `graft_bloom_probe(sidecar_dir, shards, xxhash64_value)` → boolean.
   *
-  * Probes the bloom-filter sidecar FILE at `sidecar_path` (written by
-  * IndexMaintainStream.writeBloomSidecar — the byte format of Spark's
-  * own BloomFilterAggregate, so filters built by `graft_bloom_agg`
-  * round-trip) for a long value, through [[BloomFileCache]]. The path
-  * must be a string literal: the plan carries a few dozen BYTES per
-  * sidecar however large the filter is, and the filter itself is
-  * loaded executor-side once per lifetime. Codegen calls the static
-  * cache directly, so probing stays inside whole-stage codegen. */
-case class BloomFileMightContain(left: Expression, right: Expression)
-    extends BinaryExpression {
+  * Probes the SHARDED bloom sidecar at `sidecar_dir` (written by
+  * IndexMaintainStream.writeBloomSidecar — per-shard files in the byte
+  * format of Spark's own BloomFilterAggregate, so filters built by
+  * `graft_bloom_agg` round-trip) for a long value, through
+  * [[BloomFileCache]]. `sidecar_dir` and `shards` must be literals:
+  * the plan carries a few dozen BYTES per sidecar however large the
+  * filters are, and each shard loads executor-side once per lifetime.
+  * Codegen calls the static cache directly, so probing stays inside
+  * whole-stage codegen. */
+case class BloomFileMightContain(first: Expression, second: Expression,
+                                 third: Expression)
+    extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (StringType, LongType) if left.foldable =>
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, LongType)
+          if first.foldable && second.foldable =>
         TypeCheckResult.TypeCheckSuccess
-      case (StringType, LongType) => TypeCheckResult.TypeCheckFailure(
-        "graft_bloom_probe path must be a literal")
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_bloom_probe expects (string path, long value), got " +
-          s"(${l.catalogString}, ${r.catalogString})")
+      case (StringType, IntegerType, LongType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_probe dir and shard count must be literals")
+      case (d, s, v) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_probe expects (string dir, int shards, long " +
+          s"value), got (${d.catalogString}, ${s.catalogString}, " +
+          s"${v.catalogString})")
     }
 
   override def dataType: DataType = BooleanType
 
-  override def nullSafeEval(path: Any, v: Any): Any =
+  override def nullSafeEval(dir: Any, shards: Any, v: Any): Any =
     BloomFileCache.mightContain(
-      path.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      v.asInstanceOf[Long])
+      dir.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      shards.asInstanceOf[Int], v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (p, v) =>
-      s"graft.functions.expressions.BloomFileCache.mightContain($p, $v)")
+    defineCodeGen(ctx, ev, (d, s, v) =>
+      s"graft.functions.expressions.BloomFileCache.mightContain($d, $s, $v)")
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

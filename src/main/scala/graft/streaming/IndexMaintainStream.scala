@@ -281,32 +281,49 @@ object IndexMaintainStream {
     * saturating sketch). */
   private val BloomFloorItems = 1000L
 
-  private[streaming] def raiseBloomCaps(spark: SparkSession, est: Long,
-                                        bits: Long): Unit = {
-    def raiseTo(key: String, v: Long): Unit =
-      if (spark.conf.getOption(key).forall(_.toLong < v))
-        spark.conf.set(key, v.toString)
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", est)
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
-  }
+  /** One sidecar shard holds at most this many keys (→ ≤40 Mbit ≈ 5 MB
+    * serialized at 10 bits/key) — chosen to sit UNDER BloomFilter-
+    * Aggregate's silent conf-clamp defaults (4M items / 64 Mbit), so
+    * the build never depends on a raised session conf reaching the
+    * task. That dependency is a real trap: the sharded build streams
+    * its result through toLocalIterator, whose incremental jobs do NOT
+    * propagate session SQLConf to tasks — a raised cap reads back as
+    * the DEFAULT task-side and the filter silently clamps to 64 Mbit
+    * (the 300M-seed rung shipped 1e8-key shards in 64 Mbit = FPP ~1,
+    * turning the pregate into a full-state semi join every epoch;
+    * tools.BloomClampProbe pins the propagation difference). Small
+    * shards also bound the build's per-group buffers and each
+    * executor-cache load at any state size. */
+  private val BloomShardItems = 4000000L
 
-  /** Build + write a bloom sidecar over the rows of `srcParquet`
-    * (read back from staging — the mergeDocBatch precedent, so a batch
-    * is hashed once), keyed by `key` (must evaluate to a LONG — pass
-    * xxhash64(stringCol) for string keys). The sidecar is a RAW FILE
-    * of the aggregate's serialized filter (BloomFilterAggregate's byte
-    * format), NOT a parquet cell: the probe side
-    * ([[bloomProbe]] → graft_bloom_probe) loads it executor-side by
-    * path, once per executor lifetime — so the per-epoch probe cost is
+  /** Build + write a SHARDED bloom sidecar over the rows of
+    * `srcParquet` (read back from staging — the mergeDocBatch
+    * precedent, so a batch is hashed once), keyed by `key` (must
+    * evaluate to a LONG — pass xxhash64(stringCol) for string keys).
+    * The sidecar is a DIRECTORY of `shard-<i>` files, each the
+    * serialized filter (BloomFilterAggregate's byte format) over the
+    * keys with floorMod(key, S) == i, S = ceil(est /
+    * [[BloomShardItems]]): a MONOLITHIC filter's map-side partials OOM
+    * near 10⁹ keys · 10 bits (every partition allocates the full
+    * bits-sized buffer — the 300M-seed StreamLadder rung died exactly
+    * there), while shards keep every buffer ≤5 MB AND under the
+    * aggregate's silent conf-clamp defaults (see [[BloomShardItems]]
+    * for the toLocalIterator conf-propagation trap that makes raising
+    * the caps unreliable here); shard rows are repartitioned by shard
+    * id first so a partition only materializes its own shards'
+    * buffers, and the driver streams the result files out one at a
+    * time (toLocalIterator). Key-less shards still write a zero-length
+    * file, so shard count = file count and the dir is self-describing
+    * for [[bloomProbe]].
+    *
+    * The probe side (graft_bloom_probe) loads each shard executor-side
+    * by path, once per executor lifetime — per-epoch probe cost is
     * O(plan-literal path bytes), not O(filter bytes) (the collected-
     * literal and scalar-subquery alternatives both re-ship the filter
     * every epoch — measured 4–6.5 s/epoch at 25–125 MB filters,
-    * tools.PregateDiag). The one driver collect here is the BUILD:
-    * per-epoch filters are batch-sized; a compaction's state-sized
-    * rebuild is amortized over its cadence. An empty source writes a
-    * zero-length file (loads as an always-false filter). Sized ~10
-    * bits/item ≈ 1% FPP with the aggregate's silent conf clamp caps
-    * raised (the bloomIncrementalOn lesson). */
+    * tools.PregateDiag). Per-epoch sidecars are batch-sized (S = 1); a
+    * compaction's state-sized rebuild is amortized over its cadence.
+    * Sized ~10 bits/item ≈ 1% FPP. */
   private[graft] def writeBloomSidecar(spark: SparkSession,
                                        srcParquet: String,
                                        bloomPath: String,
@@ -315,33 +332,59 @@ object IndexMaintainStream {
     graft.functions.Registry.register(spark)
     val src = spark.read.parquet(srcParquet)
     val est = math.max(src.count(), BloomFloorItems)
-    val bits = est * 10
-    raiseBloomCaps(spark, est, bits)
-    val row = src.agg(
-      call_function("graft_bloom_agg", key, lit(est), lit(bits))).head()
+    val shards = math.max(1L,
+      math.ceil(est.toDouble / BloomShardItems).toLong).toInt
+    val shardEst = math.min(
+      math.max(est / shards + 1, BloomFloorItems), BloomShardItems)
+    val shardBits = shardEst * 10
     val p = new Path(bloomPath)
-    val out = fsFor(spark, p).create(p, true)
-    try { if (!row.isNullAt(0)) out.write(row.getAs[Array[Byte]](0)) }
-    finally out.close()
+    val fs = fsFor(spark, p)
+    fs.mkdirs(p)
+    val keyed = src.select(key.as("k"))
+      .withColumn("shard", pmod(col("k"), lit(shards.toLong)).cast("int"))
+    val rows = (if (shards == 1) keyed
+                else keyed.repartition(shards, col("shard")))
+      .groupBy(col("shard"))
+      .agg(call_function("graft_bloom_agg", col("k"),
+        lit(shardEst), lit(shardBits)).as("filter"))
+      .toLocalIterator()
+    val seen = scala.collection.mutable.Set.empty[Int]
+    rows.forEachRemaining { r =>
+      seen += r.getInt(0)
+      val out = fs.create(new Path(p, s"shard-${r.getInt(0)}"), true)
+      try { if (!r.isNullAt(1)) out.write(r.getAs[Array[Byte]](1)) }
+      finally out.close()
+    }
+    (0 until shards).filterNot(seen).foreach { i =>
+      fs.create(new Path(p, s"shard-$i"), true).close()
+    }
   }
 
-  /** Whether `deltaPath` carries a bloom sidecar file at all (a
-    * zero-length sidecar — an empty delta — still counts: it covers
-    * its zero keys). */
+  /** Whether `deltaPath` carries a bloom sidecar dir at all (an
+    * all-empty sidecar — an empty delta — still counts: it covers its
+    * zero keys). */
   private[streaming] def hasBloomSidecar(spark: SparkSession,
                                          deltaPath: Path): Boolean =
     fsFor(spark, deltaPath).exists(new Path(deltaPath, "bloom"))
 
-  /** OR-of-probes predicate over a set of bloom sidecar files —
-    * `graft_bloom_probe` per sidecar, executor-cached by path (see
-    * BloomFileCache for why neither a literal nor a scalar subquery
-    * survives at mature filter sizes). `key` must evaluate to the LONG
-    * the sidecars were built over. None when `sidecars` is empty. */
-  private[graft] def bloomProbe(sidecars: Seq[String],
+  /** OR-of-probes predicate over a set of sharded bloom sidecar dirs —
+    * `graft_bloom_probe` per sidecar, executor-cached by shard path
+    * (see BloomFileCache for why neither a literal nor a scalar
+    * subquery survives at mature filter sizes). Shard counts come from
+    * a driver-side metadata listing (sidecars are immutable). `key`
+    * must evaluate to the LONG the sidecars were built over. None when
+    * `sidecars` is empty. */
+  private[graft] def bloomProbe(spark: SparkSession,
+                                sidecars: Seq[String],
                                 key: org.apache.spark.sql.Column)
       : Option[org.apache.spark.sql.Column] =
-    sidecars.map(p => call_function("graft_bloom_probe", lit(p), key))
-      .reduceOption(_ || _)
+    sidecars.map { d =>
+      val p = new Path(d)
+      val shards = fsFor(spark, p).listStatus(p)
+        .count(_.getPath.getName.startsWith("shard-"))
+      call_function("graft_bloom_probe", lit(d), lit(math.max(shards, 1)),
+        key)
+    }.reduceOption(_ || _)
 
   // ----------------------------------------------------------- compaction
 

@@ -138,7 +138,7 @@ object PretrainStream {
     val (bloomed, legacy) = deltas.partition(d =>
       IndexMaintainStream.hasBloomSidecar(spark, d))
     graft.functions.Registry.register(spark)
-    val probe = IndexMaintainStream.bloomProbe(
+    val probe = IndexMaintainStream.bloomProbe(spark,
       bloomed.map(d => s"$d/bloom"), xxhash64(col("norm_hash")))
     val afterBloomed = probe match {
       case None => clean

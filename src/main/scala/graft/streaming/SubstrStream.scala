@@ -110,7 +110,7 @@ object SubstrStream {
       IndexMaintainStream.hasBloomSidecar(spark, d))
     graft.functions.Registry.register(spark)
     val key = gramKey(form)
-    val confirmed: Option[DataFrame] = IndexMaintainStream.bloomProbe(
+    val confirmed: Option[DataFrame] = IndexMaintainStream.bloomProbe(spark,
         bloomed.map(d => s"$d/bloom"),
         if (form) col("kh") else xxhash64(col("kg")))
       .flatMap { maybeSeen =>

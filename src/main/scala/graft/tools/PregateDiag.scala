@@ -78,7 +78,7 @@ object PregateDiag {
     val contaminated = spark.emptyDataset[Long].toDF("train_doc_id")
 
     t("raw_hash_distinct_only")(raw.queryExecution.toRdd.count())
-    val probe = IndexMaintainStream.bloomProbe(
+    val probe = IndexMaintainStream.bloomProbe(spark,
       Seq(s"$root/batch=0/bloom", s"$root/batch=1/bloom"),
       xxhash64(col("norm_hash"))).get
     var ph: Array[String] = Array.empty

@@ -365,4 +365,44 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
     assert(rows(IndexMaintainStream.annServe(spark, root, e, 10, 2,
       cbooks, coarse)) === served)
   }
+
+  test("bloom sidecar shards under the aggregate's conf-clamp defaults " +
+       "and holds ~1% FPP at multi-shard scale") {
+    // Regression for the silent 64 Mbit clamp: writeBloomSidecar streams
+    // its build through toLocalIterator, whose incremental jobs do NOT
+    // propagate a raised session SQLConf to tasks — a shard sized above
+    // the default caps silently clamps and the filter passes ~everything
+    // (the 300M-seed StreamLadder rung). Shards must therefore sit under
+    // the DEFAULT caps by construction, and the probe's false-positive
+    // rate over fresh keys must stay near the designed 1%.
+    val root = tmp("bloomshard")
+    val n = 9000000L // → 3 shards of ≤4M keys each
+    spark.range(n).select(xxhash64(col("id")).as("k"))
+      .write.parquet(s"$root/keys")
+    IndexMaintainStream.writeBloomSidecar(spark, s"$root/keys",
+      s"$root/bloom", col("k"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val shardFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/bloom"))
+      .filter(_.getPath.getName.startsWith("shard-"))
+    assert(shardFiles.length === 3)
+    // every shard's serialized size reflects its REQUESTED bits
+    // (shardEst·10), not the 64 Mbit conf default
+    shardFiles.foreach { f =>
+      assert(f.getLen > 3000000L && f.getLen < 8000000L,
+        s"${f.getPath.getName}: ${f.getLen} bytes — clamped or missized")
+    }
+    graft.functions.Registry.register(spark)
+    val probe = IndexMaintainStream.bloomProbe(spark,
+      Seq(s"$root/bloom"), col("k")).get
+    // member keys: never a false negative
+    assert(spark.range(0, 10000).select(xxhash64(col("id")).as("k"))
+      .filter(!probe).count() === 0L)
+    // fresh keys (disjoint domain): FPP near the designed 1%
+    val fresh = spark.range(10000)
+      .select(xxhash64(concat(lit("fresh"), col("id"))).as("k"))
+    val fp = fresh.filter(probe).count()
+    assert(fp < 500L, s"false-positive count $fp/10000 — filter saturated")
+  }
 }
