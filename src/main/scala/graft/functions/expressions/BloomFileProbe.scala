@@ -22,26 +22,73 @@ import org.apache.spark.util.sketch.BloomFilter
   * commit marker exists — so each executor can load it ONCE from
   * storage and keep the deserialized filter for its lifetime: zero
   * driver traffic, zero plan weight, cost amortized over every
-  * subsequent epoch. The cache is cleared wholesale past 64 entries
-  * (dropped deltas' filters are the only garbage; compaction keeps the
-  * live count at single digits).
+  * subsequent epoch. The cache is bounded by TOTAL FILTER BYTES
+  * ([[maxCacheBytes]], default 4 GiB ≈ a 2.5e9-key mature root at 10
+  * bits/key) with least-recently-probed eviction — dropped deltas'
+  * filters age out individually while the live compacted run's shards
+  * stay hot; a wholesale clear would force a reload storm of exactly
+  * the filters still in use.
   *
-  * An empty or zero-length sidecar (an empty delta) loads as an empty
-  * filter — `mightContain` false, which covers its zero keys exactly. */
+  * An EXISTING zero-length sidecar shard (an empty delta's key-less
+  * shard) loads as an empty filter — `mightContain` false, which
+  * covers its zero keys exactly. A MISSING shard file, however, is a
+  * real fault and must fail the task: writeBloomSidecar creates every
+  * `shard-<i>` file before the delta's commit marker exists, so FNF at
+  * probe time can only mean the delta vanished under the plan — the
+  * concurrent-compaction race (dropCovered deleting a covered delta
+  * while an in-flight micro-batch's cold executor loads its shards).
+  * Swallowing that into an always-false filter would skip the verify
+  * stage and commit cross-epoch duplicates SILENTLY; propagating it
+  * fails the micro-batch, which is re-delivered against the new
+  * compacted run — the loud, self-healing outcome. */
 object BloomFileCache {
+
+  /** One cached shard: its filter, its serialized footprint, and the
+    * load-ordinal of its last probe (the LRU key — advanced only on
+    * cache misses, so steady-state probing writes the volatile at most
+    * once per miss-epoch per entry, never per row). */
+  private final class Entry(val filter: BloomFilter, val bytes: Long) {
+    @volatile var touch: Long = 0L
+  }
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val clock = new java.util.concurrent.atomic.AtomicLong()
+  private val totalBytes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Eviction threshold over the sum of cached filters' serialized
+    * bytes. var so tests (and memory-tight deployments) can lower it. */
+  private[graft] var maxCacheBytes: Long = 4L << 30
+
+  private[graft] def cachedBytes: Long = totalBytes.get()
+  private[graft] def cachedEntries: Int = cache.size()
+  private[graft] def clear(): Unit = { cache.clear(); totalBytes.set(0L) }
+
+  /** Hadoop conf for executor-side shard loads: classpath defaults plus
+    * every `spark.hadoop.*` override from the running application's
+    * SparkConf (SparkEnv is present on both driver and executors), so a
+    * filesystem configured through Spark conf — s3a credentials or
+    * endpoint, fs.defaultFS, connector settings — resolves here exactly
+    * as it does for the task's own input readers. Bare defaults only
+    * when no SparkEnv exists (plain-JVM unit tests). */
+  private lazy val hadoopConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null)
+      env.conf.getAllWithPrefix("spark.hadoop.").foreach {
+        case (k, v) => c.set(k, v)
+      }
+    c
+  }
 
   private def load(path: String): BloomFilter = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    // executor-side: classpath core-site defaults, same resolution the
-    // task's own input readers use for a plain path. A missing or
-    // zero-length shard file is an empty key set — always-false filter.
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val len =
-      try fs.getFileStatus(hp).getLen
-      catch { case _: java.io.FileNotFoundException => 0L }
-    if (len == 0) BloomFilter.create(1)
+    val fs = hp.getFileSystem(hadoopConf)
+    // FileNotFoundException (and any other IOException) PROPAGATES —
+    // see the object scaladoc: a missing shard is the compaction race,
+    // and the task must fail loudly so the micro-batch re-delivers.
+    val len = fs.getFileStatus(hp).getLen
+    if (len == 0) BloomFilter.create(1) // existing empty shard: zero keys
     else {
       val in = fs.open(hp)
       try BloomFilter.readFrom(in) finally in.close()
@@ -49,8 +96,44 @@ object BloomFileCache {
   }
 
   def get(path: String): BloomFilter = {
-    if (cache.size > 8192) cache.clear() // ~2.5e10 keys' worth of shards
-    cache.computeIfAbsent(path, load(_))
+    val e0 = cache.get(path)
+    if (e0 != null) {
+      val t = clock.get()
+      if (e0.touch != t) e0.touch = t
+      return e0.filter
+    }
+    val e = cache.computeIfAbsent(path, { p =>
+      val f = load(p)
+      val bytes = (f.bitSize() >>> 3) + 64L
+      totalBytes.addAndGet(bytes)
+      new Entry(f, bytes)
+    })
+    e.touch = clock.incrementAndGet()
+    evictIfOver()
+    e.filter
+  }
+
+  /** Evict least-recently-probed entries until under [[maxCacheBytes]].
+    * Runs only on misses (loads), under one lock; the O(n) victim scan
+    * is over an entry count compaction keeps small. */
+  private def evictIfOver(): Unit = {
+    if (totalBytes.get() <= maxCacheBytes) return
+    clock.synchronized {
+      while (totalBytes.get() > maxCacheBytes && cache.size() > 1) {
+        var victim: String = null
+        var oldest = Long.MaxValue
+        val it = cache.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          if (en.getValue.touch < oldest) {
+            oldest = en.getValue.touch; victim = en.getKey
+          }
+        }
+        val removed = if (victim == null) null else cache.remove(victim)
+        if (removed == null) return
+        totalBytes.addAndGet(-removed.bytes)
+      }
+    }
   }
 
   /** Probe the SHARDED sidecar at `dir`: the key space is partitioned

@@ -98,17 +98,41 @@ object Etl {
   /** Quarantine split: rows failing any validation rule, one row per
     * (record, violated rule) — the relational form of the reference's
     * data_quality_issues log (schema_validator.log_schema_error). The
-    * rule column unpivots via a literal rules array + filter (map-only). */
+    * rule column unpivots via a literal rules array + filter (map-only).
+    *
+    * The synthetic lineitem violates NONE of the rules (the generator
+    * emits clean rows), which made this a trivially-empty oracle — the
+    * unpivot machinery was never exercised against data. So violations
+    * are PLANTED deterministically in-plan on a stride key (the
+    * derived-partsupp / pii-scrub precedent): residues 0..4 of
+    * (l_orderkey·5 + l_linenumber) mod 199 each corrupt ONE field so
+    * every rule fires ~n/199 times at any SF, mirrored exactly in the
+    * oracle CTE. The planting is a when() per column — map-only, no
+    * new shuffle — and the operator's real shape (rules-array unpivot
+    * + filter) is unchanged. */
   def quarantine(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    val k = pmod(col("l_orderkey") * 5 + col("l_linenumber"), lit(199))
+    val planted = li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(k === 0, -col("l_quantity"))
+        .otherwise(col("l_quantity")).as("l_quantity"),
+      when(k === 1, -col("l_extendedprice"))
+        .otherwise(col("l_extendedprice")).as("l_extendedprice"),
+      when(k === 2, col("l_discount") + 2.0)
+        .otherwise(col("l_discount")).as("l_discount"),
+      when(k === 3, lit("X"))
+        .otherwise(col("l_returnflag")).as("l_returnflag"),
+      when(k =!= 4, col("l_shipdate")).as("l_shipdate"))
     val rules = array(
       when(col("l_quantity") <= 0, "bad_quantity"),
       when(col("l_extendedprice") < 0, "bad_price"),
       when(!col("l_discount").between(0.0, 1.0), "bad_discount"),
       when(!col("l_returnflag").isin("A", "N", "R"), "bad_returnflag"),
       when(col("l_shipdate").isNull, "null_shipdate"))
-    li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
-              explode(filter(rules, r => r.isNotNull)).as("violation"))
+    planted.select(col("l_orderkey"),
+                   col("l_linenumber").cast("long").as("lineno"),
+                   explode(filter(rules, r => r.isNotNull)).as("violation"))
   }
 
   /** Incremental-load bookkeeping: the reference skips a discovered file
@@ -567,21 +591,37 @@ object Etl {
                      ELSE 'reload' END AS decision
          FROM incoming i LEFT JOIN ledger l USING (file_name)""",
     "etl_quarantine" ->
-      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+      """WITH planted AS (
+           SELECT l_orderkey, l_linenumber,
+                  (l_orderkey * 5 + l_linenumber) % 199 AS kk,
+                  CASE WHEN (l_orderkey * 5 + l_linenumber) % 199 = 0
+                       THEN -l_quantity ELSE l_quantity END AS l_quantity,
+                  CASE WHEN (l_orderkey * 5 + l_linenumber) % 199 = 1
+                       THEN -l_extendedprice ELSE l_extendedprice
+                       END AS l_extendedprice,
+                  CASE WHEN (l_orderkey * 5 + l_linenumber) % 199 = 2
+                       THEN l_discount + 2.0 ELSE l_discount
+                       END AS l_discount,
+                  CASE WHEN (l_orderkey * 5 + l_linenumber) % 199 = 3
+                       THEN 'X' ELSE l_returnflag END AS l_returnflag,
+                  CASE WHEN (l_orderkey * 5 + l_linenumber) % 199 = 4
+                       THEN NULL ELSE l_shipdate END AS l_shipdate
+           FROM lineitem)
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
                 'bad_quantity' AS violation
-         FROM lineitem WHERE l_quantity <= 0
+         FROM planted WHERE l_quantity <= 0
          UNION ALL
          SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'bad_price'
-         FROM lineitem WHERE l_extendedprice < 0
+         FROM planted WHERE l_extendedprice < 0
          UNION ALL
          SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'bad_discount'
-         FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 1.0
+         FROM planted WHERE l_discount NOT BETWEEN 0.0 AND 1.0
          UNION ALL
          SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'bad_returnflag'
-         FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
+         FROM planted WHERE l_returnflag NOT IN ('A','N','R')
          UNION ALL
          SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'null_shipdate'
-         FROM lineitem WHERE l_shipdate IS NULL""",
+         FROM planted WHERE l_shipdate IS NULL""",
     "etl_clean_normalize" ->
       """SELECT doc_id,
          CAST(length(trim(replace(replace(replace(replace(text, 'â€™', ''''), 'â€œ', '"'), 'â€“', '-'), 'â€', '"'))) AS BIGINT) AS clean_len,

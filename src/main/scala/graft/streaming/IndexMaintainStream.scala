@@ -367,6 +367,29 @@ object IndexMaintainStream {
                                          deltaPath: Path): Boolean =
     fsFor(spark, deltaPath).exists(new Path(deltaPath, "bloom"))
 
+  /** Estimated COMMITTED key count under `root`, read from the bloom
+    * sidecars' serialized bytes: filters are sized ~10 bits/key, so
+    * keys ≈ shardBytes · 8 / 10. A pure driver-side metadata listing —
+    * O(#deltas · #shards) file statuses, zero data read, additive
+    * across deltas — which is what makes it cheap enough to consult
+    * EVERY micro-batch (the state-aware pregate gate in
+    * PretrainStream/SubstrStream). Deltas without a sidecar contribute
+    * 0 (conservative: the probe handles them through the exact legacy
+    * path anyway); the per-delta 1000-key sizing floor overestimates
+    * tiny deltas by ≤1.25 KB each — noise against a crossover
+    * threshold in the tens of millions. */
+  private[graft] def estimatedCommittedKeys(spark: SparkSession,
+                                            root: String): Long = {
+    val bytes = visibleDeltas(spark, root).map { d =>
+      val bloom = new Path(d, "bloom")
+      val fs = fsFor(spark, bloom)
+      if (!fs.exists(bloom)) 0L
+      else fs.listStatus(bloom).filter(
+        _.getPath.getName.startsWith("shard-")).map(_.getLen).sum
+    }.sum
+    bytes * 8L / 10L
+  }
+
   /** OR-of-probes predicate over a set of sharded bloom sidecar dirs —
     * `graft_bloom_probe` per sidecar, executor-cached by shard path
     * (see BloomFileCache for why neither a literal nor a scalar

@@ -113,8 +113,37 @@ object PretrainStream {
 
   /** Verified-dup hashes pushed as IN-literals into the clustered state
     * scan up to this many; past it the verify falls back to a broadcast
-    * semi join (still scan-only on the state side). */
-  private val InPushdownCap = 10000
+    * semi join (still scan-only on the state side). var only so specs
+    * can lower it to exercise the fallback branch with test-sized
+    * batches. */
+  private[graft] var InPushdownCap = 10000
+
+  /** State-aware pregate gate: below this many committed keys the
+    * NAIVE full anti-join is the cheaper epoch — the probe+verify
+    * constant costs (an extra batch pass, the positives collect, the
+    * confirm scan) only pay for themselves once the state the naive
+    * path would re-shuffle is large. 50M is the locally-measured
+    * break-even neighborhood (tools.StreamLadder §6.7: the seen-set
+    * crossover sits near 60M keys; the gram index still loses at its
+    * 20M rung), rounded down because on a real cluster the naive arm
+    * also pays the WIRE for the full state shuffle every epoch, which
+    * moves the crossover earlier — a cluster deployment may lower
+    * this. State only grows, so the gate flips once per root's life;
+    * sidecars are WRITTEN from the first epoch regardless, so the
+    * root is pregate-ready the moment it crosses. Committed size is
+    * estimated from the sidecars' own bytes
+    * (IndexMaintainStream.estimatedCommittedKeys — a driver-side
+    * listing, no data read). */
+  private[graft] val DefaultPregateMinKeys = 50000000L
+
+  /** Whether this epoch should run the bloom-pregated path: the caller
+    * wants it AND committed state is past the crossover. Both streams'
+    * A/B harnesses force the arms with minKeys = 0 / pregate = false. */
+  private[graft] def pregateActive(spark: SparkSession, root: String,
+                                   pregate: Boolean,
+                                   minKeys: Long): Boolean =
+    pregate && (minKeys <= 0L ||
+      IndexMaintainStream.estimatedCommittedKeys(spark, root) >= minKeys)
 
   /** Rows of `clean` whose norm_hash is NOT in the committed seen-set.
     * `pregate = true` is the bloom-probe path documented on the object
@@ -133,6 +162,7 @@ object PretrainStream {
     if (!pregate)
       return clean.join(priorHashes(spark, root), Seq("norm_hash"),
         "left_anti")
+    // pregate decided by processBatch's gate; reaching here means ON
     val deltas = IndexMaintainStream.visibleDeltas(spark, root)
     if (deltas.isEmpty) return clean
     val (bloomed, legacy) = deltas.partition(d =>
@@ -143,9 +173,14 @@ object PretrainStream {
     val afterBloomed = probe match {
       case None => clean
       case Some(maybeSeen) =>
+        // Materialized ONCE (eager local checkpoint): the limit-collect
+        // below and — past the cap — the broadcast semi branch both
+        // read the same blocks, instead of the fallback re-running the
+        // whole extraction+probe pass a second time.
         val positives = delivered
           .select(md5(normText(col("text"))).as("norm_hash"))
           .distinct().filter(maybeSeen)
+          .localCheckpoint(true)
         val ph = positives.limit(InPushdownCap + 1)
           .collect().map(_.getString(0)).toSeq
         if (ph.isEmpty) clean // every row definitely new — no state read
@@ -179,12 +214,18 @@ object PretrainStream {
                                   contaminated: DataFrame,
                                   root: String,
                                   epoch: Long,
-                                  pregate: Boolean = true): Boolean = {
+                                  pregate: Boolean = true,
+                                  pregateMinKeys: Long = DefaultPregateMinKeys)
+      : Boolean = {
     val spark = delivered.sparkSession
+    // state-aware: below the crossover the naive anti-join is cheaper
+    // (see DefaultPregateMinKeys); sidecars are still written so the
+    // root is pregate-ready the moment committed state crosses
+    val gated = pregateActive(spark, root, pregate, pregateMinKeys)
     IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
       val clean = TextOps.cleanDocs(delivered)
         .withColumn("norm_hash", md5(normText(col("text"))))
-      val firstSeen = firstSeenOf(spark, root, delivered, clean, pregate)
+      val firstSeen = firstSeenOf(spark, root, delivered, clean, gated)
       val byHash = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
       // Consumed twice (hashes + docs). Recomputation is deterministic —
       // row_number over (norm_hash, doc_id) is a total order — and the
@@ -210,11 +251,13 @@ object PretrainStream {
     * (doc_id, lang, text). The accepted corpus and the seen-hash set
     * accumulate under `root`. */
   def start(docs: DataFrame, contaminated: DataFrame, root: String,
-            pregate: Boolean = true): StreamingQuery =
+            pregate: Boolean = true,
+            pregateMinKeys: Long = DefaultPregateMinKeys): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        processBatch(batch, contaminated, root, epoch, pregate); ()
+        processBatch(batch, contaminated, root, epoch, pregate,
+          pregateMinKeys); ()
       }
       .start()
 

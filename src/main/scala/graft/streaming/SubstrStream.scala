@@ -78,8 +78,10 @@ object SubstrStream {
 
   /** Confirmed-gram keys pushed as IN-literals into the clustered state
     * scan up to this many; past it the verify falls back to a broadcast
-    * semi join (still scan-only on the state side). */
-  private val InPushdownCap = 10000
+    * semi join (still scan-only on the state side). var only so specs
+    * can lower it to exercise the fallback branch with test-sized
+    * batches. */
+  private[graft] var InPushdownCap = 10000
 
   /** The probe TARGET for one micro-batch. The naive target (`pregate =
     * false`) is the full committed gram set — a left-semi whose state
@@ -114,10 +116,14 @@ object SubstrStream {
         bloomed.map(d => s"$d/bloom"),
         if (form) col("kh") else xxhash64(col("kg")))
       .flatMap { maybeSeen =>
+        // materialized ONCE (eager local checkpoint): the limit-collect
+        // and — past the cap — the broadcast semi branch both read the
+        // same blocks instead of re-running the gram extraction+probe
         val posit =
           (if (form) SubstrDedup.gramsOfHashed(delivered, SubstrDedup.MinRun)
            else SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun))
             .filter(maybeSeen)
+            .localCheckpoint(true)
         val pk = posit.limit(InPushdownCap + 1).collect()
           .map(_.get(0)).toSeq
         if (pk.isEmpty) None
@@ -149,13 +155,24 @@ object SubstrStream {
   private[graft] def processBatch(delivered: DataFrame, root: String,
                                   epoch: Long,
                                   hashed: Boolean = false,
-                                  pregate: Boolean = true): Boolean = {
+                                  pregate: Boolean = true,
+                                  pregateMinKeys: Long =
+                                    PretrainStream.DefaultPregateMinKeys)
+      : Boolean = {
     val spark = delivered.sparkSession
     // established roots keep their committed wire form regardless of
     // the caller's flag — see the wire-form scaladoc above
     val form = wireFormOf(spark, root).getOrElse(hashed)
+    // state-aware pregate: this index LOSES at its measured 20M-gram
+    // rung (probe+verify constants beat nothing when the state the
+    // naive semi-join would shuffle is small), so below the crossover
+    // the naive full-state target is the shipped path; sidecars are
+    // still written, so the root pregates the moment state crosses
+    // (PretrainStream.DefaultPregateMinKeys documents the evidence)
+    val gated = PretrainStream.pregateActive(spark, root, pregate,
+      pregateMinKeys)
     IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
-      val prior = probeTarget(spark, root, form, delivered, pregate)
+      val prior = probeTarget(spark, root, form, delivered, gated)
       val spans =
         if (form)
           SubstrDedup.probeSpansHashed(delivered, prior, SubstrDedup.MinRun)
@@ -173,11 +190,14 @@ object SubstrStream {
   /** Start the firehose: `docs` is a streaming frame with at least
     * (doc_id, text). */
   def start(docs: DataFrame, root: String,
-            hashed: Boolean = false): StreamingQuery =
+            hashed: Boolean = false,
+            pregate: Boolean = true,
+            pregateMinKeys: Long =
+              PretrainStream.DefaultPregateMinKeys): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        processBatch(batch, root, epoch, hashed); ()
+        processBatch(batch, root, epoch, hashed, pregate, pregateMinKeys); ()
       }
       .start()
 

@@ -72,7 +72,7 @@ object PregateDiag {
 
     t("warmup_full_epoch1")(
       PretrainStream.processBatch(b1, spark.emptyDataset[Long]
-        .toDF("train_doc_id"), root, 1L))
+        .toDF("train_doc_id"), root, 1L, pregateMinKeys = 0L))
 
     val b2 = batch(2) // carries 1% dups of epoch 1
     val contaminated = spark.emptyDataset[Long].toDF("train_doc_id")
@@ -104,12 +104,14 @@ object PregateDiag {
         xxhash64(col("norm_hash")))
     }
     t("full_epoch2_pregate")(
-      PretrainStream.processBatch(b2, contaminated, root, 2L))
+      PretrainStream.processBatch(b2, contaminated, root, 2L,
+        pregateMinKeys = 0L))
     t("full_epoch3_naive")(
       PretrainStream.processBatch(batch(3), contaminated, root, 3L,
         pregate = false))
     t("full_epoch4_pregate")(
-      PretrainStream.processBatch(batch(4), contaminated, root, 4L))
+      PretrainStream.processBatch(batch(4), contaminated, root, 4L,
+        pregateMinKeys = 0L))
     spark.stop()
   }
 }

@@ -129,13 +129,16 @@ object StreamLadder {
     val perEpochSecs = (start until start + epochs).map { ep =>
       val b = batchOf(ep).localCheckpoint(true) // exclude gen cost
       val t0 = System.nanoTime()
+      // pregateMinKeys = 0 forces the labeled arm at EVERY rung — the
+      // ladder measures both paths across the crossover; the shipped
+      // default gates on committed-state size (DefaultPregateMinKeys)
       if (mode == "substr")
         graft.streaming.SubstrStream.processBatch(
           b.select(col("doc_id"), col("text")), root, ep.toLong,
-          hashed = true, pregate = pregate)
+          hashed = true, pregate = pregate, pregateMinKeys = 0L)
       else
         graft.streaming.PretrainStream.processBatch(
-          b, contaminated, root, ep.toLong, pregate)
+          b, contaminated, root, ep.toLong, pregate, pregateMinKeys = 0L)
       val dt = (System.nanoTime() - t0) / 1e9
       if (compactEvery > 0 && (ep + 1) % compactEvery == 0) {
         if (mode == "substr")

@@ -151,11 +151,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // the Expand ban.
     val plan = operators.TableOps.profile(spark, Sf)
       .queryExecution.executedPlan.toString
+    val nCols = Tables.orders(spark, Sf).schema.size
     val scans = "Scan parquet".r.findAllIn(plan).length
     val legs = "Union".r.findAllIn(plan).length
     assert(!plan.contains("Expand"), plan.take(2000))
-    assert(scans > 1 && legs >= 1,
-      s"expected per-column union legs, got $scans scans\n${plan.take(2000)}")
+    // EXACTLY one pruned scan per profiled column — more would mean a
+    // duplicated leg, fewer a collapsed multi-distinct (Expand) form
+    assert(scans === nCols,
+      s"expected $nCols per-column scans, got $scans\n${plan.take(2000)}")
+    assert(legs >= 1,
+      s"expected a union of per-column legs\n${plan.take(2000)}")
   }
 
   test("ann_pq encodes map-only: no sort/object aggregate, one shuffled agg") {

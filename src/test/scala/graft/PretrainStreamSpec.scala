@@ -179,8 +179,10 @@ class PretrainStreamSpec extends AnyFunSuite {
     val roots = Seq(true, false).map { pregate =>
       val root = tmp(s"pretrainab$pregate")
       batches.zipWithIndex.foreach { case (b, ep) =>
+        // minKeys = 0: force the labeled arm — the default state gate
+        // would (correctly) pick naive at test-sized state
         streaming.PretrainStream.processBatch(
-          b.toDF(), empty, root, ep.toLong, pregate)
+          b.toDF(), empty, root, ep.toLong, pregate, pregateMinKeys = 0L)
       }
       root
     }
@@ -205,9 +207,9 @@ class PretrainStreamSpec extends AnyFunSuite {
     val root = tmp("pretrainbloom")
     val empty = spark.emptyDataset[Doc].select(col("doc_id").as("train_doc_id"))
     streaming.PretrainStream.processBatch(
-      Seq(doc(0), doc(1)).toDF(), empty, root, 0L)
+      Seq(doc(0), doc(1)).toDF(), empty, root, 0L, pregateMinKeys = 0L)
     streaming.PretrainStream.processBatch(
-      Seq(doc(2), doc(3)).toDF(), empty, root, 1L)
+      Seq(doc(2), doc(3)).toDF(), empty, root, 1L, pregateMinKeys = 0L)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     Seq(0, 1).foreach { ep =>
@@ -218,7 +220,8 @@ class PretrainStreamSpec extends AnyFunSuite {
     // hashes must keep the exact anti-join (conservative fallback)
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=0/bloom"), true)
     streaming.PretrainStream.processBatch(
-      Seq(Doc(100L, "en", doc(0).text), doc(101)).toDF(), empty, root, 2L)
+      Seq(Doc(100L, "en", doc(0).text), doc(101)).toDF(), empty, root, 2L,
+      pregateMinKeys = 0L)
     val accepted1 = PretrainStream.acceptedDocs(spark, root)
       .select("doc_id").as[Long].collect().toSet
     assert(!accepted1.contains(100L),
@@ -230,10 +233,77 @@ class PretrainStreamSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("cbatch=")).head
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$cbatch/bloom")))
     streaming.PretrainStream.processBatch(
-      Seq(Doc(200L, "en", doc(2).text)).toDF(), empty, root, 3L)
+      Seq(Doc(200L, "en", doc(2).text)).toDF(), empty, root, 3L,
+      pregateMinKeys = 0L)
     assert(!PretrainStream.acceptedDocs(spark, root)
       .select("doc_id").as[Long].collect().toSet.contains(200L),
       "the compacted bloom + clustered hashes must still suppress dups")
+  }
+
+  test("state-aware gate: pregate engages only past the committed-key " +
+       "threshold, estimated from the sidecars' own bytes") {
+    import spark.implicits._
+    def doc(id: Long) =
+      Doc(id, "en",
+        (0 until 40).map(j => s"g${id}w$j").mkString(" ") + " the of and a")
+    val root = tmp("pretraingate")
+    val empty = spark.emptyDataset[Doc].select(col("doc_id").as("train_doc_id"))
+    // empty root: nothing committed → gate off regardless of threshold
+    assert(!PretrainStream.pregateActive(spark, root, pregate = true,
+      minKeys = 1L))
+    streaming.PretrainStream.processBatch(
+      (0L until 5L).map(doc).toDF(), empty, root, 0L)
+    val est = streaming.IndexMaintainStream.estimatedCommittedKeys(spark, root)
+    assert(est > 0L, "sidecar bytes must yield a nonzero key estimate")
+    // below threshold → naive; at/above → pregate; caller opt-out wins
+    assert(!PretrainStream.pregateActive(spark, root, pregate = true,
+      minKeys = est * 1000))
+    assert(PretrainStream.pregateActive(spark, root, pregate = true,
+      minKeys = 1L))
+    assert(PretrainStream.pregateActive(spark, root, pregate = true,
+      minKeys = 0L))
+    assert(!PretrainStream.pregateActive(spark, root, pregate = false,
+      minKeys = 0L))
+  }
+
+  test("verify fallback past InPushdownCap (broadcast semi branch) ≡ " +
+       "naive path") {
+    import spark.implicits._
+    def doc(id: Long, contentId: Long) =
+      Doc(id, "en",
+        (0 until 40).map(j => s"f${contentId}w$j").mkString(" ") +
+          " the of and a")
+    val empty = spark.emptyDataset[Doc].select(col("doc_id").as("train_doc_id"))
+    // epoch 1 re-sends 12 of epoch 0's contents (plus 8 fresh): with the
+    // cap lowered to 3 the confirmed-positives collect overflows and the
+    // verify takes the broadcast left-semi branch — the branch no
+    // test-sized batch reaches at the production cap of 10k
+    val batches = Seq(
+      (0L until 20L).map(i => doc(i, i)),
+      (20L until 32L).map(i => doc(i, i - 20)) ++
+        (40L until 48L).map(i => doc(i, i)))
+    val prior = streaming.PretrainStream.InPushdownCap
+    val roots =
+      try {
+        streaming.PretrainStream.InPushdownCap = 3
+        Seq(true, false).map { pregate =>
+          val root = tmp(s"pretraincap$pregate")
+          batches.zipWithIndex.foreach { case (b, ep) =>
+            streaming.PretrainStream.processBatch(
+              b.toDF(), empty, root, ep.toLong, pregate, pregateMinKeys = 0L)
+          }
+          root
+        }
+      } finally streaming.PretrainStream.InPushdownCap = prior
+    val Seq(gated, naive) = roots.map { r =>
+      PretrainStream.acceptedDocs(spark, r)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(gated === naive)
+    assert(gated.intersect((20L until 32L).toSet).isEmpty,
+      "cross-epoch dups must be suppressed through the broadcast branch")
+    // fresh docs accepted (minus any held-out coin ids)
+    assert(gated.intersect((40L until 48L).toSet).nonEmpty)
   }
 
   test("a held-out keeper suppresses its entire duplicate group") {

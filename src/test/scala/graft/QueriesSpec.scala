@@ -140,6 +140,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_quarantine fires every rule on the planted violations") {
+    val rows = operators.Etl.quarantine(spark, Sf).collect()
+    assert(rows.nonEmpty, "planted violations must produce quarantine rows")
+    val byRule = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    Seq("bad_quantity", "bad_price", "bad_discount", "bad_returnflag",
+        "null_shipdate").foreach { r =>
+      assert(byRule.getOrElse(r, 0) > 0, s"rule $r never fired")
+    }
+    // planting corrupts exactly one field per stride row → one
+    // violation per quarantined record, only on stride residues 0..4
+    rows.foreach { r =>
+      val k = (r.getLong(0) * 5 + r.getLong(1)) % 199
+      assert(k >= 0 && k <= 4, s"row off the planted stride: $r")
+    }
+    val n = Tables.lineitem(spark, Sf).count()
+    assert(rows.length < n / 20,
+      "quarantine volume must track the ~2.5% planted stride density")
+  }
+
   test("etl_scd2 history chains: versions contiguous, exactly one current") {
     val rows = operators.Etl.scd2(spark, Sf).collect()
     rows.groupBy(_.getAs[Long]("custkey")).foreach { case (_, vs) =>

@@ -143,6 +143,37 @@ class SubstrStreamSpec extends AnyFunSuite {
     assert(spans(root).contains((3L, 0L, 9L, 2L)))
   }
 
+  test("verify fallback past InPushdownCap (broadcast semi branch) ≡ " +
+       "naive probe, both wire forms") {
+    import spark.implicits._
+    // a 20-word repeated run → 13 confirmed gram keys in epoch 1; with
+    // the cap lowered to 2 the positives collect overflows and the
+    // verify takes the broadcast left-semi branch (never reached by
+    // test-sized batches at the production cap of 10k)
+    val runL = words("LL", 20)
+    val batches = Seq(
+      Seq(Doc(1L, runL)),
+      Seq(Doc(2L, words("q", 2) + " " + runL), Doc(3L, words("n", 12))))
+    val prior = SubstrStream.InPushdownCap
+    try {
+      SubstrStream.InPushdownCap = 2
+      Seq(false, true).foreach { hashed =>
+        val roots = Seq(true, false).map { pregate =>
+          val root = tmp(s"substrcap$hashed$pregate")
+          batches.zipWithIndex.foreach { case (b, ep) =>
+            SubstrStream.processBatch(b.toDF(), root, ep.toLong, hashed,
+              pregate, pregateMinKeys = 0L)
+          }
+          root
+        }
+        assert(spans(roots.head).contains((2L, 2L, 21L, 1L)),
+          s"run must flag through the broadcast branch (hashed=$hashed)")
+        assert(spans(roots.head) === spans(roots(1)),
+          s"fallback must not change spans (hashed=$hashed)")
+      }
+    } finally SubstrStream.InPushdownCap = prior
+  }
+
   test("bloom pregate ≡ naive probe; sidecar rides deltas; pre-bloom " +
        "deltas fall back exact") {
     import spark.implicits._
@@ -158,8 +189,10 @@ class SubstrStreamSpec extends AnyFunSuite {
       val roots = Seq(true, false).map { pregate =>
         val root = tmp(s"substrab$hashed$pregate")
         batches.zipWithIndex.foreach { case (b, ep) =>
+          // minKeys = 0: force the labeled arm — the default state
+          // gate would (correctly) pick naive at test-sized state
           SubstrStream.processBatch(b.toDF(), root, ep.toLong, hashed,
-            pregate)
+            pregate, pregateMinKeys = 0L)
         }
         root
       }
@@ -171,7 +204,8 @@ class SubstrStreamSpec extends AnyFunSuite {
     // sidecar presence + pre-bloom fallback (hashed form)
     val root = tmp("substrbloomfb")
     batches.zipWithIndex.foreach { case (b, ep) =>
-      SubstrStream.processBatch(b.toDF(), root, ep.toLong, hashed = true)
+      SubstrStream.processBatch(b.toDF(), root, ep.toLong, hashed = true,
+        pregateMinKeys = 0L)
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -182,7 +216,8 @@ class SubstrStreamSpec extends AnyFunSuite {
     // a pre-upgrade delta loses its sidecar: its grams must still probe
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=0/bloom"), true)
     assert(SubstrStream.processBatch(
-      Seq(Doc(9L, runA)).toDF(), root, epoch = 3L, hashed = true))
+      Seq(Doc(9L, runA)).toDF(), root, epoch = 3L, hashed = true,
+      pregateMinKeys = 0L))
     assert(spans(root).contains((9L, 0L, 9L, 3L)),
       "a run known only to the bloom-less delta must still flag")
     // compaction rebuilds ONE bloom over the folded gram set
@@ -191,7 +226,8 @@ class SubstrStreamSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("cbatch=")).head
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$cbatch/bloom")))
     assert(SubstrStream.processBatch(
-      Seq(Doc(11L, runC)).toDF(), root, epoch = 4L, hashed = true))
+      Seq(Doc(11L, runC)).toDF(), root, epoch = 4L, hashed = true,
+      pregateMinKeys = 0L))
     assert(spans(root).contains((11L, 0L, 9L, 4L)),
       "the compacted bloom + clustered grams must still probe")
   }
