@@ -58,15 +58,70 @@ object PageRank {
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
     var ranks = nodes.select(col(id).as("node"), lit(1.0 / n).as("r"))
     (1 to iters).foreach { _ =>
-      val contrib = trans.join(ranks, trans("src") === ranks("node"))
-        .groupBy("dst").agg(sum(col("p") * col("r")).as("c"))
-      ranks = nodes.select(col(id).as("node"))
-        .join(contrib, col("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0)))
-            .as("r"))
+      ranks = step(trans, nodes, id, ranks, n, damping)
     }
     ranks
+  }
+
+  /** One power iteration: edges⋈ranks on src (one shuffle), groupBy dst
+    * with map-side partial sums, teleport re-added over ALL nodes. */
+  private def step(trans: DataFrame, nodes: DataFrame, id: String,
+                   ranks: DataFrame, n: Long, damping: Double): DataFrame = {
+    val contrib = trans.join(ranks, trans("src") === ranks("node"))
+      .groupBy("dst").agg(sum(col("p") * col("r")).as("c"))
+    nodes.select(col(id).as("node"))
+      .join(contrib, col("node") === contrib("dst"), "left")
+      .select(col("node"),
+        (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0)))
+          .as("r"))
+  }
+
+  /** The CONVERGENCE-loop regime [[run]]'s scaladoc documents: iterate
+    * until the L1 rank delta drops under `tol` (or `maxIters`), with
+    * per-round lineage truncation — unlike the fixed-iteration entry,
+    * the plan here is NOT one unrolled DAG, so ReuseExchange cannot
+    * dedup the per-iteration `trans` subtrees and both frames must be
+    * pinned explicitly:
+    *
+    *  - `trans` is eagerly localCheckpoint-ed ONCE up front (`pinTrans
+    *    = false` keeps the recompute-per-round arm runnable for the
+    *    GraphLadder A/B — the measured case for why pinning is the
+    *    default in this regime, the opposite of the fixed-loop
+    *    verdict).
+    *  - `ranks` is localCheckpoint-ed EVERY round — the round-N frame
+    *    otherwise carries N chained shuffles of lineage, and the L1
+    *    delta check re-evaluates it twice per round.
+    *
+    * The delta check is one node-sized self-join + 1-row collect per
+    * round — a bounded convergence statistic, same contract as the
+    * k-means/BPE argmax collects. Returns (ranks, iterations run).
+    * Blocks pinned by intermediate rounds are freed as soon as the
+    * next round lands; the caller owns the returned frame's blocks. */
+  def runToConvergence(edges: DataFrame, nodes: DataFrame, n: Long,
+                       tol: Double = 1e-9, maxIters: Int = 50,
+                       damping: Double = 0.85,
+                       pinTrans: Boolean = true): (DataFrame, Int) = {
+    val id = nodes.columns.head
+    val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+    val trans0 = edges.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+    val trans = if (pinTrans) trans0.localCheckpoint(true) else trans0
+    var ranks = nodes.select(col(id).as("node"), lit(1.0 / n).as("r"))
+      .localCheckpoint(true)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta > tol) {
+      val next = step(trans, nodes, id, ranks, n, damping)
+        .localCheckpoint(true)
+      delta = next
+        .join(ranks.select(col("node"), col("r").as("r0")), "node")
+        .agg(sum(abs(col("r") - col("r0"))).as("d"))
+        .collect().head.getDouble(0)
+      ranks.unpersist(blocking = false)
+      ranks = next
+      it += 1
+    }
+    (ranks, it)
   }
 
   /** Nation-level trade-flow PageRank: the pair-network edge set

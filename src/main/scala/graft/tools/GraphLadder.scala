@@ -90,6 +90,28 @@ object GraphLadder {
     val tr = time("triangles") {
       graft.graph.Triangles.triangleList(edges).agg(count(lit(1)).as("tri"))
     }
+    // convergence-loop regime (per-round checkpointed ranks): the
+    // pin-vs-recompute `trans` A/B that the fixed-iteration entry's
+    // scaladoc predicts flips sign here — measured, not assumed.
+    // Reported as secs + iterations-to-tol (1e-9 on a ~1M-node graph).
+    Seq(("pagerank_conv", true), ("pagerank_conv_nopin", false)).foreach {
+      case (name, pin) =>
+        if (kernels.contains(name)) {
+          val secs = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            val (ranks, iters) = graft.graph.PageRank.runToConvergence(
+              edges, nodes, n, tol = 1e-9, maxIters = 40, pinTrans = pin)
+            ranks.agg(sum(col("r")).as("mass")).collect()
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"""{"tool":"graph_ladder","kernel":"$name","run_iters":$iters,"secs":$dt%.2f}""")
+            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              if (!preexisting.contains(id)) rdd.unpersist(blocking = false) }
+            dt
+          }.sorted.apply(runs / 2)
+          println(f"""{"tool":"graph_ladder","kernel":"$name","edges":$e,""" +
+            f""""nodes":$n,"runs":$runs,"median_secs":$secs%.2f}""")
+        }
+    }
     println(f"""{"tool":"graph_ladder","kernel":"ALL","edges":$e,"nodes":$n,""" +
       f""""runs":$runs,"pagerank":$pr%.2f,"label_prop":$lp%.2f,""" +
       f""""degree_hist":$dh%.2f,"triangles":$tr%.2f}""")

@@ -140,6 +140,29 @@ class NormalizePageRankSpec extends AnyFunSuite {
     assert(ranks("b") > ranks("c"))
   }
 
+  test("pagerank convergence loop: fixed point of the power iteration, " +
+       "both trans arms identical, stops before maxIters") {
+    val edges = edgesDf(Seq(("a", "b", 1.0), ("b", "c", 1.0),
+                            ("c", "a", 1.0), ("a", "c", 2.0)))
+    val nodes = nodesDf(Seq("a", "b", "c"))
+    val (convDf, iters) = PageRank.runToConvergence(
+      edges, nodes, n = 3L, tol = 1e-12, maxIters = 200)
+    assert(iters < 200, "must converge by delta, not exhaust maxIters")
+    val conv = convDf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the fixed point: a long fixed-iteration run lands on the same
+    // vector within tolerance
+    val fixed = PageRank.run(edges, nodes, n = 3L, iters = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    conv.foreach { case (k, v) => assert(math.abs(v - fixed(k)) < 1e-9, k) }
+    // recompute-trans arm is byte-identical in result
+    val (noPin, _) = PageRank.runToConvergence(
+      edges, nodes, n = 3L, tol = 1e-12, maxIters = 200, pinTrans = false)
+    val np = noPin.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    conv.foreach { case (k, v) => assert(math.abs(v - np(k)) < 1e-12, k) }
+    assert(math.abs(conv.values.sum - 1.0) < 1e-6) // this graph is dangling-free
+  }
+
   test("graph_pagerank query: 25 rows, ranks positive, teleport floor respected") {
     val rows = PageRank.nationRank(spark, Sf).collect()
     assert(rows.length === 25)
