@@ -167,7 +167,19 @@ object LakeSink {
                      keys: org.apache.spark.sql.Column*): Unit =
     df.repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      // 32 MB row groups instead of parquet's 128 MB default: the
+      // writer buffers a FULL row group of values on the heap per open
+      // file (each string held as its own Binary object, ~3× the
+      // encoded bytes), so a wide fan-in of concurrent clustered
+      // writers at the default block size OOM'd a 64 g driver at the
+      // 600M-key ladder rung — 4× smaller groups bound that heap at
+      // any concurrency. Smaller groups also mean FINER min/max
+      // skipping for the serves that read these tables (the IN-literal
+      // verify prunes per row group), at the cost of a slightly larger
+      // footer — the right trade for key-clustered state tables.
+      .option("parquet.block.size", 32L * 1024 * 1024)
+      .parquet(path)
 
   /** Z-ORDER clustered write — multi-dimensional data skipping
     * (round 5). `writeClustered` gives one key tight per-file ranges but

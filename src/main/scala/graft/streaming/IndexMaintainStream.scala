@@ -411,6 +411,33 @@ object IndexMaintainStream {
 
   // ----------------------------------------------------------- compaction
 
+  /** Output-file count for a compacted clustered rewrite of `table`:
+    * one file per ~256 MB of INPUT parquet across the visible deltas
+    * (a driver-side listing — no data read), clamped to [1, 4096]. A
+    * hardcoded nFiles = 1 made every compacted rewrite a SINGLE task
+    * sorting and writing the entire state — fine for test roots,
+    * a straight OOM/bottleneck the moment state is real (the 600M-key
+    * ladder rung's failure shape: one sorter + one parquet writer
+    * holding a full row group of string values per open file), and it
+    * produced one giant file that caps a serve's scan parallelism.
+    * Sizing by input bytes keeps per-task sort volume and writer heap
+    * bounded at ANY state size while preserving the disjoint
+    * key-range layout (files = range buckets). */
+  /** Input bytes per compacted output file. var only so specs can
+    * lower it to exercise the multi-file layout with test-sized data. */
+  private[graft] var CompactedFileTargetBytes: Long = 256L * 1024 * 1024
+
+  private[graft] def compactedFileCount(spark: SparkSession, root: String,
+                                        table: String): Int = {
+    val bytes = visibleDeltas(spark, root).map { d =>
+      val t = new Path(d, table)
+      val fs = fsFor(spark, t)
+      if (!fs.exists(t)) 0L
+      else fs.listStatus(t).filter(_.isFile).map(_.getLen).sum
+    }.sum
+    math.min(4096L, bytes / CompactedFileTargetBytes + 1L).toInt
+  }
+
   /** Fold every visible delta into one clustered run, published as
     * `cbatch=<maxCoveredId>` under the commit protocol (no-op if that
     * run is already committed). Covered deltas are NOT dropped here —
@@ -424,7 +451,8 @@ object IndexMaintainStream {
         val df = readTable(spark, root, t)
         key match {
           case Some(k) =>
-            graft.sinks.LakeSink.writeClustered(df, s"$stg/$t", 1, k)
+            graft.sinks.LakeSink.writeClustered(df, s"$stg/$t",
+              compactedFileCount(spark, root, t), k)
           case None => df.write.parquet(s"$stg/$t")
         }
       }

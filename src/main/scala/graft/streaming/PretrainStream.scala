@@ -280,7 +280,11 @@ object PretrainStream {
     IndexMaintainStream.commitCompactedWith(spark, root) { stg =>
       graft.sinks.LakeSink.writeClustered(
         IndexMaintainStream.readTable(spark, root, "hashes"),
-        s"$stg/hashes", 1, col("norm_hash"))
+        s"$stg/hashes",
+        // sized by input bytes — a hardcoded 1 was a single-task sort
+        // of the whole seen-set (see compactedFileCount's scaladoc)
+        IndexMaintainStream.compactedFileCount(spark, root, "hashes"),
+        col("norm_hash"))
       IndexMaintainStream.readTable(spark, root, "docs")
         .write.parquet(s"$stg/docs")
       IndexMaintainStream.writeBloomSidecar(spark,

@@ -221,7 +221,11 @@ object SubstrStream {
     IndexMaintainStream.commitCompactedWith(spark, root) { staging =>
       graft.sinks.LakeSink.writeClustered(
         IndexMaintainStream.readTable(spark, root, "grams").distinct(),
-        s"$staging/grams", 1, col(gramKey(form)))
+        s"$staging/grams",
+        // sized by input bytes — a hardcoded 1 was a single-task sort
+        // of the whole gram set (see compactedFileCount's scaladoc)
+        IndexMaintainStream.compactedFileCount(spark, root, "grams"),
+        col(gramKey(form)))
       IndexMaintainStream.readTable(spark, root, "spans")
         .write.parquet(s"$staging/spans")
       IndexMaintainStream.writeBloomSidecar(spark,

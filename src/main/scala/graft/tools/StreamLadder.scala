@@ -87,6 +87,13 @@ object StreamLadder {
     }
 
     if (seedKeys > 0) {
+      // one range bucket per ~4M keys: bounds the per-task sort AND
+      // the parquet writer's row-group heap (the 600M rung OOM'd 64 g
+      // with cpus-many state-sized buckets — same lesson as
+      // IndexMaintainStream.compactedFileCount, applied pre-commit
+      // because the seed bypasses compaction)
+      val seedFiles = math.max(cpus.toInt,
+        math.min(4096L, seedKeys / 4000000L + 1L).toInt)
       val committed = graft.streaming.IndexMaintainStream
         .commitBatch(spark, root, "batch=0") { staging =>
           // seeds write CLUSTERED by key — the steady-state layout (a
@@ -95,7 +102,7 @@ object StreamLadder {
             graft.sinks.LakeSink.writeClustered(
               spark.range(seedKeys)
                 .select(xxhash64(concat(lit("seedg"), col("id"))).as("kh")),
-              s"$staging/grams", cpus.toInt, col("kh"))
+              s"$staging/grams", seedFiles, col("kh"))
             // 0-row spans THROUGH the real probe, so the seed delta's
             // schema is exactly what the stream writes
             graft.dedup.SubstrDedup.probeSpansHashed(
@@ -112,7 +119,7 @@ object StreamLadder {
               spark.range(seedKeys)
                 .select(md5(concat(lit("seed"), col("id")))
                   .as("norm_hash")),
-              s"$staging/hashes", cpus.toInt, col("norm_hash"))
+              s"$staging/hashes", seedFiles, col("norm_hash"))
             spark.range(0).select(col("id").as("doc_id"),
                 lit("en").as("lang"), lit(0L).as("n_words"),
                 lit("").as("text"))

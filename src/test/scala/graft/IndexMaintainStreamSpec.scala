@@ -366,6 +366,46 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
       cbooks, coarse)) === served)
   }
 
+  test("compacted rewrite splits into byte-sized disjoint-range files, " +
+       "never one state-sized sort") {
+    import spark.implicits._
+    val root = tmp("compactsize")
+    // two deltas of term-keyed postings; lower the per-file byte target
+    // so test-sized data exercises the multi-file layout
+    (0 to 1).foreach { ep =>
+      IndexMaintainStream.mergeDocBatch(spark, root,
+        docs(60).map(d => Doc(d.doc_id + ep * 100, d.text)).toDF(),
+        ep.toLong)
+    }
+    val prior = IndexMaintainStream.CompactedFileTargetBytes
+    try {
+      IndexMaintainStream.CompactedFileTargetBytes = 2048L
+      val n = IndexMaintainStream.compactedFileCount(spark, root, "postings")
+      assert(n > 1, s"byte-sized count must exceed 1 at a 2KB target, got $n")
+      val before = rows(IndexMaintainStream.bm25Serve(spark, root))
+      IndexMaintainStream.compact(spark, root, IndexMaintainStream.Bm25Tables)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val cbatch = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.startsWith("cbatch=")).head
+      val parts = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$cbatch/postings"))
+        .map(_.getPath.getName).count(_.startsWith("part-"))
+      assert(parts > 1, "compaction must write multiple range files")
+      // disjoint term ranges across files (the clustered layout held)
+      val ranges = spark.read.parquet(s"$root/$cbatch/postings")
+        .select(input_file_name().as("f"), col("term"))
+        .groupBy("f").agg(min("term").as("lo"), max("term").as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $hi > $lo")
+        case _ =>
+      }
+      // and the serve is unchanged
+      assert(rows(IndexMaintainStream.bm25Serve(spark, root)) === before)
+    } finally IndexMaintainStream.CompactedFileTargetBytes = prior
+  }
+
   test("bloom sidecar shards under the aggregate's conf-clamp defaults " +
        "and holds ~1% FPP at multi-shard scale") {
     // Regression for the silent 64 Mbit clamp: writeBloomSidecar streams
