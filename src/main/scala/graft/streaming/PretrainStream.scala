@@ -124,8 +124,9 @@ object PretrainStream {
     * confirm scan) only pay for themselves once the state the naive
     * path would re-shuffle is large. 50M is the locally-measured
     * break-even neighborhood (tools.StreamLadder §6.7: the seen-set
-    * crossover sits near 60M keys; the gram index still loses at its
-    * 20M rung), rounded down because on a real cluster the naive arm
+    * crossover sits near 60M keys; the gram index's own crossover is
+    * later — see SubstrStream.DefaultPregateMinKeys and its round-12
+    * rungs), rounded down because on a real cluster the naive arm
     * also pays the WIRE for the full state shuffle every epoch, which
     * moves the crossover earlier — a cluster deployment may lower
     * this. State only grows, so the gate flips once per root's life;

@@ -83,6 +83,18 @@ object SubstrStream {
     * batches. */
   private[graft] var InPushdownCap = 10000
 
+  /** The gram index's OWN pregate crossover, measured (round-12
+    * StreamLadder A/B, 20k docs/epoch, last-quartile means): naive
+    * wins at 20M grams (2.88 vs 3.64 s) and still at 50M (4.19 vs
+    * 4.91 s); the pregate wins 2.1× at 150M (4.26 vs 9.04 s) — the
+    * crossover sits near ~100M keys, later than the pretrain
+    * seen-set's ~60M because each doc carries ~40× more gram keys
+    * than content hashes, so the probe/extraction constant is paid on
+    * a far denser batch. 100M is the conservative local threshold; on
+    * a cluster the naive arm's full-state NETWORK shuffle moves the
+    * crossover earlier, so deployments may lower it. */
+  private[graft] val DefaultPregateMinKeys = 100000000L
+
   /** The probe TARGET for one micro-batch. The naive target (`pregate =
     * false`) is the full committed gram set — a left-semi whose state
     * side re-shuffles every epoch, O(state) per batch
@@ -157,7 +169,7 @@ object SubstrStream {
                                   hashed: Boolean = false,
                                   pregate: Boolean = true,
                                   pregateMinKeys: Long =
-                                    PretrainStream.DefaultPregateMinKeys)
+                                    DefaultPregateMinKeys)
       : Boolean = {
     val spark = delivered.sparkSession
     // established roots keep their committed wire form regardless of
@@ -192,8 +204,7 @@ object SubstrStream {
   def start(docs: DataFrame, root: String,
             hashed: Boolean = false,
             pregate: Boolean = true,
-            pregateMinKeys: Long =
-              PretrainStream.DefaultPregateMinKeys): StreamingQuery =
+            pregateMinKeys: Long = DefaultPregateMinKeys): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
