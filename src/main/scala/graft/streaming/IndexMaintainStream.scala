@@ -554,4 +554,31 @@ object IndexMaintainStream {
     commitCompacted(spark, root, tables)
     dropCovered(spark, root)
   }
+
+  /** Plain (uncompacted) deltas currently visible — the count every
+    * probe pays for: one union leg and one bloom-probe disjunct per
+    * delta, plus one sidecar cold-load per executor lifetime. */
+  def plainDeltaCount(spark: SparkSession, root: String): Int =
+    committed(spark, root)._2.size
+
+  /** Deltas-count compaction POLICY — fold when more than `maxDeltas`
+    * plain deltas have accumulated, instead of a caller-managed
+    * cadence. Why a count bound: probe cost is O(#deltas) (readTable
+    * unions one leg per delta; bloomProbe ORs one probe per sidecar),
+    * each delta's sidecar is another executor cold-load, and
+    * dozens-of-small-files is exactly what compaction exists to fold
+    * (the 600M rung's compacted root cold-loads its shards ONCE; an
+    * uncompacted root would pay per delta). The check is the same
+    * driver-side listing every batch already does — call it right
+    * after processBatch/mergeDocBatch at any frequency. Default 64:
+    * high enough that steady-state folding is rare (one fold per 64
+    * epochs), low enough that probe fan-out and the first-epoch
+    * shard-load premium stay bounded. Returns true when a compaction
+    * ran. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      tables: Seq[(String, Option[org.apache.spark.sql.Column])],
+                      maxDeltas: Int = 64): Boolean = {
+    if (plainDeltaCount(spark, root) <= maxDeltas) false
+    else { compact(spark, root, tables); true }
+  }
 }

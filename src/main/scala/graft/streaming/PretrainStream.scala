@@ -294,6 +294,16 @@ object PretrainStream {
     IndexMaintainStream.dropCovered(spark, root)
   }
 
+  /** [[compact]] under the deltas-count policy
+    * (IndexMaintainStream.compactIfNeeded's rationale): fold when more
+    * than `maxDeltas` plain deltas have accumulated. Returns true when
+    * a compaction ran. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      maxDeltas: Int = 64): Boolean = {
+    if (IndexMaintainStream.plainDeltaCount(spark, root) <= maxDeltas) false
+    else { compact(spark, root); true }
+  }
+
   /** Per-language accounting over the accepted corpus — the streaming
     * counterpart of pretrainPipeline's output (PretrainStreamSpec
     * proves exact equality on an ordered ingest, and pins the

@@ -214,6 +214,17 @@ object SubstrStream {
 
   /** Every duplicated span flagged so far (doc_id, span_start,
     * span_end, span_len, epoch). */
+  /** [[compact]] under the deltas-count policy
+    * (IndexMaintainStream.compactIfNeeded's rationale): fold when more
+    * than `maxDeltas` plain deltas have accumulated. Returns true when
+    * a compaction ran. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      hashed: Boolean = false,
+                      maxDeltas: Int = 64): Boolean = {
+    if (IndexMaintainStream.plainDeltaCount(spark, root) <= maxDeltas) false
+    else { compact(spark, root, hashed); true }
+  }
+
   def spansSoFar(spark: SparkSession, root: String): DataFrame =
     IndexMaintainStream.readTable(spark, root, "spans")
 

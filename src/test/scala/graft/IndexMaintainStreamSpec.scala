@@ -366,6 +366,36 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
       cbooks, coarse)) === served)
   }
 
+  test("compactIfNeeded folds only past the delta-count threshold and " +
+       "changes nothing served") {
+    import spark.implicits._
+    val root = tmp("compactpolicy")
+    (0 to 2).foreach { ep =>
+      IndexMaintainStream.mergeDocBatch(spark, root,
+        docs(10).map(d => Doc(d.doc_id + ep * 100, d.text)).toDF(),
+        ep.toLong)
+    }
+    assert(IndexMaintainStream.plainDeltaCount(spark, root) === 3)
+    val before = rows(IndexMaintainStream.bm25Serve(spark, root))
+    // below threshold: a clean no-op, no compacted run appears
+    assert(!IndexMaintainStream.compactIfNeeded(spark, root,
+      IndexMaintainStream.Bm25Tables, maxDeltas = 3))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def cbatches = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).count(_.startsWith("cbatch="))
+    assert(cbatches === 0)
+    // past threshold: folds, covered deltas drop, serve unchanged
+    assert(IndexMaintainStream.compactIfNeeded(spark, root,
+      IndexMaintainStream.Bm25Tables, maxDeltas = 2))
+    assert(cbatches === 1)
+    assert(IndexMaintainStream.plainDeltaCount(spark, root) === 0)
+    assert(rows(IndexMaintainStream.bm25Serve(spark, root)) === before)
+    // and the policy is idempotent right after a fold
+    assert(!IndexMaintainStream.compactIfNeeded(spark, root,
+      IndexMaintainStream.Bm25Tables, maxDeltas = 2))
+  }
+
   test("compacted rewrite splits into byte-sized disjoint-range files, " +
        "never one state-sized sort") {
     import spark.implicits._
