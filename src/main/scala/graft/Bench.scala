@@ -51,6 +51,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.configure(spark)  // registry + serve confs
     // Warm the JVM/codegen/parquet-reader paths once so the first timed
     // query doesn't carry session bring-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -16,6 +16,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.configure(spark)  // registry + serve confs (plan-affecting)
     names.foreach { name =>
       println(s"\n========== $name ==========")
       try println(SparkEntry.queries(name)(spark, sfDir)

@@ -15,12 +15,29 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Apply graft's session-level requirements to an existing session:
-    * native function registration (idempotent). Extensions
-    * (rule/strategy) can only be injected at build time — sessions not
-    * built via [[local]]/the SPI still run every operator, with
-    * TopKPerKey falling back to its logical form's window rewrite. */
+    * native function registration (idempotent) plus the runtime confs
+    * the serve paths assume. Extensions (rule/strategy) can only be
+    * injected at build time — sessions not built via [[local]]/the SPI
+    * still run every operator, with TopKPerKey falling back to its
+    * logical form's window rewrite.
+    *
+    * `parquet.pushdown.inFilterThreshold = 10000`: Spark pushes a
+    * literal IN to parquet as a REAL In predicate only up to this
+    * threshold (default 10) and degrades to a min/max RANGE above it —
+    * for the uniformly-distributed keys every standing index here
+    * serves (md5 hashes, xxhash64 terms/grams, cell ids), that range
+    * spans the whole keyspace and prunes nothing, so the IN-literal
+    * serve silently reads every row group. With the values pushed,
+    * the clustered tables' tight per-row-group min/max skip the groups
+    * containing no probed key — measured 2.4× on a 1000-key probe of a
+    * 200M-row clustered table (tools.InPushdownProbe, 0.69 → 0.29 s).
+    * 10000 matches the streams' InPushdownCap, so the pregate verify
+    * always pushes its real key set; per-row-group evaluation of a
+    * sorted 10k set is microseconds against stats, noise next to
+    * reading one group. */
   def configure(spark: SparkSession): SparkSession = {
     functions.Registry.register(spark)
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
     spark
   }
 

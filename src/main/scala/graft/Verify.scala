@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.configure(spark)  // registry + serve confs
     new java.io.File(outDir).mkdirs()
     // optional comma-separated allowlist for local iteration (same
     // convention as Bench's SPARK_GRAFT_BENCH_ONLY); driver never sets it

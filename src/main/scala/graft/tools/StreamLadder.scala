@@ -58,6 +58,7 @@ object StreamLadder {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.configure(spark)  // registry + serve confs
     import spark.implicits._
 
     val root = java.nio.file.Files
