@@ -34,10 +34,15 @@ object GraftSession {
     * 10000 matches the streams' InPushdownCap, so the pregate verify
     * always pushes its real key set; per-row-group evaluation of a
     * sorted 10k set is microseconds against stats, noise next to
-    * reading one group. */
+    * reading one group. Applied only when the session still carries
+    * Spark's default (10): a value the deployment set explicitly
+    * (spark-submit --conf, builder config) is deliberate tuning and
+    * configure() must not silently clobber it. */
   def configure(spark: SparkSession): SparkSession = {
     functions.Registry.register(spark)
-    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
+    val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.get(inKey, "10") == "10")
+      spark.conf.set(inKey, "10000")
     spark
   }
 

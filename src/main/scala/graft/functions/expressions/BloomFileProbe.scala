@@ -106,7 +106,13 @@ object BloomFileCache {
       val f = load(p)
       val bytes = (f.bitSize() >>> 3) + 64L
       totalBytes.addAndGet(bytes)
-      new Entry(f, bytes)
+      val en = new Entry(f, bytes)
+      // stamped INSIDE the mapping: an entry visible at ordinal 0
+      // would be a concurrent miss's evictIfOver's first LRU victim —
+      // the just-loaded shard discarded before its first probe (a
+      // wasted storage round-trip)
+      en.touch = clock.incrementAndGet()
+      en
     })
     e.touch = clock.incrementAndGet()
     evictIfOver()

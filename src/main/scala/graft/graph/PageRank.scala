@@ -96,7 +96,15 @@ object PageRank {
     * round — a bounded convergence statistic, same contract as the
     * k-means/BPE argmax collects. Returns (ranks, iterations run).
     * Blocks pinned by intermediate rounds are freed as soon as the
-    * next round lands; the caller owns the returned frame's blocks. */
+    * next round lands — via [[graft.CheckpointBlocks]], because
+    * `Dataset.unpersist` does NOT release checkpoint blocks (it only
+    * uncaches CacheManager entries; a checkpointed frame's blocks
+    * belong to the RDD under its LogicalRDD plan, reclaimed otherwise
+    * only by GC-lazy ContextCleaner — over up to `maxIters` rounds
+    * that is `maxIters` node-sized block sets of pressure). `trans`'s
+    * blocks are freed on return (the returned ranks frame is its own
+    * eager checkpoint, self-contained); the caller owns only the
+    * returned frame's blocks. */
   def runToConvergence(edges: DataFrame, nodes: DataFrame, n: Long,
                        tol: Double = 1e-9, maxIters: Int = 50,
                        damping: Double = 0.85,
@@ -117,10 +125,13 @@ object PageRank {
         .join(ranks.select(col("node"), col("r").as("r0")), "node")
         .agg(sum(abs(col("r") - col("r0"))).as("d"))
         .collect().head.getDouble(0)
-      ranks.unpersist(blocking = false)
+      // release the retired round's CHECKPOINT blocks (next is its own
+      // eager checkpoint, so nothing reads the old frame again)
+      graft.CheckpointBlocks.free(ranks)
       ranks = next
       it += 1
     }
+    if (pinTrans) graft.CheckpointBlocks.free(trans)
     (ranks, it)
   }
 

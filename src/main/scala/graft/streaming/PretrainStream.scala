@@ -157,22 +157,29 @@ object PretrainStream {
     * raw hashes and no-false-negatives is preserved, while the probe
     * job skips re-evaluating the gate chain's windows. Extra positives
     * from gate-failing docs only pad the verify sliver. */
+  /** Returns the first-seen frame plus the eagerly-checkpointed
+    * positives frame when the pregate path pinned one — the CALLER
+    * (processBatch) releases its blocks once the epoch's writes have
+    * consumed it; without the explicit release each micro-batch would
+    * pin another block set reclaimed only by GC-lazy ContextCleaner
+    * (Dataset.unpersist never frees checkpoint blocks — see
+    * [[graft.CheckpointBlocks]]). */
   private def firstSeenOf(spark: SparkSession, root: String,
                           delivered: DataFrame, clean: DataFrame,
-                          pregate: Boolean): DataFrame = {
+                          pregate: Boolean): (DataFrame, Option[DataFrame]) = {
     if (!pregate)
-      return clean.join(priorHashes(spark, root), Seq("norm_hash"),
-        "left_anti")
+      return (clean.join(priorHashes(spark, root), Seq("norm_hash"),
+        "left_anti"), None)
     // pregate decided by processBatch's gate; reaching here means ON
     val deltas = IndexMaintainStream.visibleDeltas(spark, root)
-    if (deltas.isEmpty) return clean
+    if (deltas.isEmpty) return (clean, None)
     val (bloomed, legacy) = deltas.partition(d =>
       IndexMaintainStream.hasBloomSidecar(spark, d))
     graft.functions.Registry.register(spark)
     val probe = IndexMaintainStream.bloomProbe(spark,
       bloomed.map(d => s"$d/bloom"), xxhash64(col("norm_hash")))
-    val afterBloomed = probe match {
-      case None => clean
+    val (afterBloomed, pinned) = probe match {
+      case None => (clean, None)
       case Some(maybeSeen) =>
         // Materialized ONCE (eager local checkpoint): the limit-collect
         // below and — past the cap — the broadcast semi branch both
@@ -184,7 +191,7 @@ object PretrainStream {
           .localCheckpoint(true)
         val ph = positives.limit(InPushdownCap + 1)
           .collect().map(_.getString(0)).toSeq
-        if (ph.isEmpty) clean // every row definitely new — no state read
+        if (ph.isEmpty) (clean, Some(positives)) // every row definitely new
         else {
           val state = spark.read.parquet(bloomed.map(d => s"$d/hashes"): _*)
           val confirmed =
@@ -192,15 +199,17 @@ object PretrainStream {
               state.filter(col("norm_hash").isin(ph: _*))
             else state.join(broadcast(positives), Seq("norm_hash"),
               "left_semi")
-          clean.join(
+          (clean.join(
             broadcast(confirmed.select(col("norm_hash")).distinct()),
-            Seq("norm_hash"), "left_anti")
+            Seq("norm_hash"), "left_anti"), Some(positives))
         }
     }
-    if (legacy.isEmpty) afterBloomed
-    else afterBloomed.join(
-      spark.read.parquet(legacy.map(d => s"$d/hashes"): _*),
-      Seq("norm_hash"), "left_anti")
+    val out =
+      if (legacy.isEmpty) afterBloomed
+      else afterBloomed.join(
+        spark.read.parquet(legacy.map(d => s"$d/hashes"): _*),
+        Seq("norm_hash"), "left_anti")
+    (out, pinned)
   }
 
   /** One micro-batch: gate, dedup against the committed seen-set,
@@ -223,10 +232,16 @@ object PretrainStream {
     // (see DefaultPregateMinKeys); sidecars are still written so the
     // root is pregate-ready the moment committed state crosses
     val gated = pregateActive(spark, root, pregate, pregateMinKeys)
-    IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
+    // the pregate's eagerly-checkpointed positives frame is released
+    // once the epoch's writes have consumed it (finally, so a failed
+    // epoch doesn't leak the blocks either)
+    var pinned: Option[DataFrame] = None
+    try IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") {
+        staging =>
       val clean = TextOps.cleanDocs(delivered)
         .withColumn("norm_hash", md5(normText(col("text"))))
-      val firstSeen = firstSeenOf(spark, root, delivered, clean, gated)
+      val (firstSeen, pin) = firstSeenOf(spark, root, delivered, clean, gated)
+      pinned = pin
       val byHash = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
       // Consumed twice (hashes + docs). Recomputation is deterministic —
       // row_number over (norm_hash, doc_id) is a total order — and the
@@ -245,7 +260,7 @@ object PretrainStream {
           "left_anti")
         .select(col("doc_id"), col("lang"), col("n_words"), col("text"))
         .write.parquet(s"$staging/docs")
-    }
+    } finally pinned.foreach(graft.CheckpointBlocks.free)
   }
 
   /** Start the firehose: `docs` is a streaming frame with at least

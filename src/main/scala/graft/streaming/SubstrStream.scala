@@ -114,28 +114,33 @@ object SubstrStream {
     * is row-identical to the naive path's. */
   private def probeTarget(spark: SparkSession, root: String, form: Boolean,
                           delivered: DataFrame, pregate: Boolean)
-      : DataFrame = {
-    if (!pregate) return priorGrams(spark, root, form)
+      : (DataFrame, Option[DataFrame]) = {
+    if (!pregate) return (priorGrams(spark, root, form), None)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], gramSchema(form))
     val deltas = IndexMaintainStream.visibleDeltas(spark, root)
-    if (deltas.isEmpty) return empty
+    if (deltas.isEmpty) return (empty, None)
     val (bloomed, legacy) = deltas.partition(d =>
       IndexMaintainStream.hasBloomSidecar(spark, d))
     graft.functions.Registry.register(spark)
     val key = gramKey(form)
+    var pinned: Option[DataFrame] = None
     val confirmed: Option[DataFrame] = IndexMaintainStream.bloomProbe(spark,
         bloomed.map(d => s"$d/bloom"),
         if (form) col("kh") else xxhash64(col("kg")))
       .flatMap { maybeSeen =>
         // materialized ONCE (eager local checkpoint): the limit-collect
         // and — past the cap — the broadcast semi branch both read the
-        // same blocks instead of re-running the gram extraction+probe
+        // same blocks instead of re-running the gram extraction+probe.
+        // Handed to processBatch (second tuple slot) for release once
+        // the epoch's writes consume it — Dataset.unpersist never frees
+        // checkpoint blocks (graft.CheckpointBlocks).
         val posit =
           (if (form) SubstrDedup.gramsOfHashed(delivered, SubstrDedup.MinRun)
            else SubstrDedup.gramsOf(delivered, SubstrDedup.MinRun))
             .filter(maybeSeen)
             .localCheckpoint(true)
+        pinned = Some(posit)
         val pk = posit.limit(InPushdownCap + 1).collect()
           .map(_.get(0)).toSeq
         if (pk.isEmpty) None
@@ -152,12 +157,13 @@ object SubstrStream {
     val legacyGrams =
       if (legacy.isEmpty) None
       else Some(spark.read.parquet(legacy.map(d => s"$d/grams"): _*))
-    (confirmed, legacyGrams) match {
+    val target = (confirmed, legacyGrams) match {
       case (None, None)       => empty
       case (Some(c), None)    => broadcast(c)
       case (None, Some(l))    => l
       case (Some(c), Some(l)) => c.unionByName(l.select(col(key)))
     }
+    (target, pinned)
   }
 
   /** One micro-batch: probe against the committed gram set (bloom
@@ -183,8 +189,14 @@ object SubstrStream {
     // (PretrainStream.DefaultPregateMinKeys documents the evidence)
     val gated = PretrainStream.pregateActive(spark, root, pregate,
       pregateMinKeys)
-    IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") { staging =>
-      val prior = probeTarget(spark, root, form, delivered, gated)
+    // the pregate's eagerly-checkpointed positives frame is released
+    // once the epoch's writes have consumed it (finally, so a failed
+    // epoch doesn't leak the blocks either)
+    var pinned: Option[DataFrame] = None
+    try IndexMaintainStream.commitBatch(spark, root, s"batch=$epoch") {
+        staging =>
+      val (prior, pin) = probeTarget(spark, root, form, delivered, gated)
+      pinned = pin
       val spans =
         if (form)
           SubstrDedup.probeSpansHashed(delivered, prior, SubstrDedup.MinRun)
@@ -196,7 +208,7 @@ object SubstrStream {
       if (pregate) IndexMaintainStream.writeBloomSidecar(spark,
         s"$staging/grams", s"$staging/bloom",
         if (form) col("kh") else xxhash64(col("kg")))
-    }
+    } finally pinned.foreach(graft.CheckpointBlocks.free)
   }
 
   /** Start the firehose: `docs` is a streaming frame with at least
@@ -212,8 +224,6 @@ object SubstrStream {
       }
       .start()
 
-  /** Every duplicated span flagged so far (doc_id, span_start,
-    * span_end, span_len, epoch). */
   /** [[compact]] under the deltas-count policy
     * (IndexMaintainStream.compactIfNeeded's rationale): fold when more
     * than `maxDeltas` plain deltas have accumulated. Returns true when
@@ -225,6 +235,8 @@ object SubstrStream {
     else { compact(spark, root, hashed); true }
   }
 
+  /** Every duplicated span flagged so far (doc_id, span_start,
+    * span_end, span_len, epoch). */
   def spansSoFar(spark: SparkSession, root: String): DataFrame =
     IndexMaintainStream.readTable(spark, root, "spans")
 

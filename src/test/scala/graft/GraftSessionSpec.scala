@@ -45,6 +45,23 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("configure"))
   }
 
+  test("configure raises the IN-pushdown threshold only from Spark's " +
+       "default — an explicit deployment value is honored") {
+    val spark = TestSpark.spark
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val restore = spark.conf.get(key, "10")
+    try {
+      // deployment tuning survives configure()
+      spark.conf.set(key, "500")
+      GraftSession.configure(spark)
+      assert(spark.conf.get(key) === "500")
+      // the Spark default is raised to the serve-path value
+      spark.conf.set(key, "10")
+      GraftSession.configure(spark)
+      assert(spark.conf.get(key) === "10000")
+    } finally spark.conf.set(key, restore)
+  }
+
   test("GraftSession.configure is idempotent on an existing session") {
     val spark = TestSpark.spark
     GraftSession.configure(spark)

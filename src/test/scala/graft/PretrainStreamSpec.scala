@@ -197,6 +197,35 @@ class PretrainStreamSpec extends AnyFunSuite {
       rows(PretrainStream.accounting(spark, roots(1))))
   }
 
+  test("pregate epochs release their checkpointed positives — no " +
+       "block accumulation across micro-batches") {
+    import spark.implicits._
+    def doc(id: Long, contentId: Long) =
+      Doc(id, "en",
+        (0 until 40).map(j => s"b${contentId}w$j").mkString(" ") +
+          " the of and a")
+    val empty = spark.emptyDataset[Doc].select(col("doc_id").as("train_doc_id"))
+    val root = tmp("pretrainblocks")
+    // epoch 0 commits state + sidecar (no probe yet — nothing visible)
+    streaming.PretrainStream.processBatch(
+      (0L until 30L).map(i => doc(i, i)).toDF(), empty, root, 0L,
+      pregate = true, pregateMinKeys = 0L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // epochs 1-3 run the pregate probe with NON-EMPTY positives (every
+    // third doc repeats prior content), so each epoch eagerly
+    // checkpoints a positives frame — which must be gone afterwards
+    (1 to 3).foreach { ep =>
+      val base = ep * 30L
+      streaming.PretrainStream.processBatch(
+        (base until base + 30L)
+          .map(i => doc(i, if (i % 3 == 0) i - 30L else i)).toDF(),
+        empty, root, ep.toLong, pregate = true, pregateMinKeys = 0L)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "each epoch's eagerly-checkpointed positives must be released " +
+      "(Dataset.unpersist would not do it — CheckpointBlocks does)")
+  }
+
   test("bloom sidecar rides every delta, survives compaction, and " +
        "pre-bloom deltas keep exact dedup") {
     import spark.implicits._

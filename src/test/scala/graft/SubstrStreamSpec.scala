@@ -77,6 +77,25 @@ class SubstrStreamSpec extends AnyFunSuite {
     assert(spans(root).contains((9L, 0L, 9L, 3L)))
   }
 
+  test("pregate epochs release their checkpointed positives — no " +
+       "block accumulation across micro-batches") {
+    import spark.implicits._
+    val root = tmp("substrblocks")
+    val runA = words("ba", 12)
+    // epoch 0 commits grams + sidecar
+    SubstrStream.processBatch(Seq(Doc(1L, runA)).toDF(), root, 0L,
+      pregate = true, pregateMinKeys = 0L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // epochs 1-3 probe with non-empty positives (each quotes runA)
+    (1 to 3).foreach { ep =>
+      SubstrStream.processBatch(
+        Seq(Doc(ep + 1L, words(s"n$ep", 3) + " " + runA)).toDF(),
+        root, ep.toLong, pregate = true, pregateMinKeys = 0L)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "each epoch's eagerly-checkpointed positives must be released")
+  }
+
   test("hashed wire: same ingest flags identical spans, index stores longs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
