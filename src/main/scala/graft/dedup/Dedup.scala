@@ -823,13 +823,39 @@ object Dedup {
     * Spark's runtime row-level filtering injects, SPARK-32268); here
     * it is derived in-query so the oracle can rebuild the semantics.
     * BloomDedupSpec locks the plan (might_contain below the join) and
-    * output parity with the sketch-free formulation. */
+    * output parity with the sketch-free formulation.
+    *
+    * The dir entry plants cross-split duplicates via
+    * [[plantCrossSplitDups]] — the synthetic corpus has no batch doc
+    * whose exact content recurs in the corpus split, so without the
+    * planting the oracle row was green on ZERO rows and the bloom
+    * probe, the dynamic sizing, and the exact-verify join ran
+    * unexercised by the hard correctness signal (the etl_quarantine
+    * precedent: a trivially-empty oracle verifies nothing). */
   def bloomIncremental(spark: SparkSession, dir: String): DataFrame =
-    bloomIncrementalOn(spark, Tables.documents(spark, dir))
+    bloomIncrementalOn(spark, plantCrossSplitDups(Tables.documents(spark, dir)))
+
+  /** Deterministic cross-split duplicate planting for
+    * [[bloomIncremental]]'s dir entry: every doc_id ≡ 0 (mod 7) has
+    * its text replaced IN-PLAN (one map-only when(), no new shuffle)
+    * by one of 3 canonical group texts keyed by (doc_id div 7) mod 3.
+    * Each group's ~n/21 members span both md5 split buckets at every
+    * test SF (verified 8 output rows at sf0.001/0.01, 53 at sf0.1),
+    * so the batch members surface as true duplicates-of-corpus and
+    * the whole probe→verify chain is exercised by the DuckDB hash
+    * check. The planted text is its own normText normalization
+    * (lowercase alnum tokens, single spaces), so the oracle CTE
+    * mirrors it verbatim. Integral `div` (not `/`): doc ids must
+    * group exactly at any magnitude, not through a double. */
+  private[graft] def plantCrossSplitDups(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("graft planted duplicate block "),
+          pmod(expr("doc_id div 7"), lit(3)).cast("string")))
+        .otherwise(col("text")))
 
   /** Frame-level core (docs must have doc_id + text; BloomDedupSpec
-    * plants cross-split duplicates through it — the synthetic corpus
-    * has none, so the dir entry is legitimately empty). The filter is
+    * plants adversarial fixtures through it directly). The filter is
     * SIZED TO THE CORPUS (~10 bits/item ≈ 1% FPP) from a row count
     * read at plan build — a fixed width would saturate on a larger
     * corpus and silently stop filtering, the embedCosineLsh lesson.
@@ -1364,13 +1390,20 @@ object Dedup {
          SELECT node AS doc_id, min(label) AS cluster_id
          FROM cc GROUP BY node ORDER BY doc_id""",
     "dedup_bloom_incremental" ->
-      """WITH h AS (
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN 'graft planted duplicate block ' ||
+                            CAST((doc_id // 7) % 3 AS VARCHAR)
+                       ELSE text END AS text
+           FROM documents),
+         h AS (
            SELECT doc_id,
                   md5(array_to_string(
                     regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS norm_hash,
                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
                        AS INTEGER) = 0 AS is_batch
-           FROM documents),
+           FROM d),
          ck AS (SELECT norm_hash, min(doc_id) AS corpus_keeper
                 FROM h WHERE NOT is_batch GROUP BY 1)
          SELECT b.doc_id, b.norm_hash, ck.corpus_keeper
