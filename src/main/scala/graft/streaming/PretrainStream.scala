@@ -128,8 +128,11 @@ object PretrainStream {
     * later — see SubstrStream.DefaultPregateMinKeys and its round-12
     * rungs), rounded down because on a real cluster the naive arm
     * also pays the WIRE for the full state shuffle every epoch, which
-    * moves the crossover earlier — a cluster deployment may lower
-    * this. State only grows, so the gate flips once per root's life;
+    * moves the crossover earlier — calibrate per deployment class by
+    * running StreamLadder's A/B rungs on the target cluster and
+    * passing the measured crossover to [[start]] (README,
+    * "Calibrating the streaming pregate on a cluster").
+    * State only grows, so the gate flips once per root's life;
     * sidecars are WRITTEN from the first epoch regardless, so the
     * root is pregate-ready the moment it crosses. Committed size is
     * estimated from the sidecars' own bytes

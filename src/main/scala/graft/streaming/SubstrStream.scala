@@ -92,7 +92,10 @@ object SubstrStream {
     * than content hashes, so the probe/extraction constant is paid on
     * a far denser batch. 100M is the conservative local threshold; on
     * a cluster the naive arm's full-state NETWORK shuffle moves the
-    * crossover earlier, so deployments may lower it. */
+    * crossover earlier — calibrate with StreamLadder's A/B rungs
+    * (mode=substr) on the target cluster and pass the measured value
+    * to [[start]] (README, "Calibrating the streaming pregate on a
+    * cluster"). */
   private[graft] val DefaultPregateMinKeys = 100000000L
 
   /** The probe TARGET for one micro-batch. The naive target (`pregate =

@@ -50,8 +50,13 @@ object StreamLadder {
     val cpus = if (args.length > 4) args(4) else "32"
     val mode = if (args.length > 5) args(5) else "pretrain"
     val seedKeys = if (args.length > 6) args(6).toLong else 0L
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // honor an externally-supplied master (spark-submit sets the
+    // spark.master system property) so the SAME binary calibrates a
+    // real cluster — the README's pregate-crossover recipe; local
+    // otherwise
+    val builder0 = SparkSession.builder()
+    val spark = (if (sys.props.contains("spark.master")) builder0
+                 else builder0.master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
