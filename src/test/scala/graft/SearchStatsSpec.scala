@@ -243,6 +243,89 @@ class SearchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("rag_mmr ≡ an independent driver-side MMR on random corpora " +
+       "(duplicates planted, every λ/k shape)") {
+    import spark.implicits._
+    // Independent reference, arithmetic-identical by construction:
+    // cosine is the same index-ordered float→double accumulate as
+    // DotProduct.nullSafeEval, rounding the same floor(x·1e4+.5)/1e4
+    // as Num.rnd — so equality is exact, not approximate.
+    def cos(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    def reference(vecs: Map[Long, IndexedSeq[Float]], k: Int,
+                  lambda: Double): Seq[(Long, Long, Long, Double)] =
+      (1L to 3L).flatMap { qid =>
+        val q = vecs(qid)
+        // the candidate generator's contract: top-20 by rounded sim
+        // desc, doc_id asc (TopKPerKey with tiebreak)
+        val cands = vecs.toSeq.filter(_._1 != qid)
+          .map { case (id, v) => (id, r4(cos(q, v)), v) }
+          .sortBy(c => (-c._2, c._1)).take(20)
+        val chosen = scala.collection.mutable.ArrayBuffer
+          .empty[IndexedSeq[Float]]
+        val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+        (1L to math.min(k, cands.size).toLong).map { rank =>
+          val best = remaining.minBy { c =>
+            val red = if (chosen.isEmpty) 0.0
+                      else chosen.iterator.map(s => cos(c._3, s)).max
+            (-(lambda * c._2 - (1 - lambda) * red), c._1)
+          }
+          val red = if (chosen.isEmpty) 0.0
+                    else chosen.iterator.map(s => cos(best._3, s)).max
+          chosen += best._3
+          remaining -= best
+          (qid, rank, best._1, r4(lambda * best._2 - (1 - lambda) * red))
+        }
+      }
+    val rnd = new scala.util.Random(1337)
+    (0 until 8).foreach { trial =>
+      val dim = if (trial % 2 == 0) 4 else 8
+      val n = 10 + rnd.nextInt(50)
+      val k = Seq(3, 5, 10)(trial % 3)
+      val lambda = Seq(0.3, 0.5, 0.7, 0.9)(trial % 4)
+      val vecs = scala.collection.mutable.Map.empty[Long, IndexedSeq[Float]]
+      (1L to n.toLong).foreach { id =>
+        // ~20% planted duplicates of an earlier vector — the redundancy
+        // penalty must bite, not just order by sim
+        vecs(id) =
+          if (id > 3L && rnd.nextDouble() < 0.2)
+            vecs(1L + rnd.nextInt(id.toInt - 1))
+          else IndexedSeq.fill(dim)(rnd.nextFloat() * 2f - 1f + 0.01f)
+      }
+      val df = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val got = operators.Search.mmrOn(spark, df, k, lambda)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      val want = reference(vecs.toMap, k, lambda).sortBy(t => (t._1, t._2))
+      assert(got === want, s"trial $trial (n=$n dim=$dim k=$k λ=$lambda)")
+      // structural invariants on top of equality: distinct picks, and
+      // rank 1 = the plain rounded-cosine argmax (no redundancy term
+      // yet). Scores are NOT monotone in rank here: cosine is signed,
+      // so an all-anti-correlated chosen set gives a NEGATIVE max
+      // redundancy that boosts a later pick above an earlier one —
+      // first observed on trial corpora, kept out of the invariants.
+      got.groupBy(_._1).foreach { case (qid, rs) =>
+        assert(rs.map(_._3).distinct.size === rs.size, s"q$qid repeats a doc")
+        val top1 = vecs.toSeq.filter(_._1 != qid)
+          .map { case (id, v) => (id, r4(cos(vecs(qid), v))) }
+          .minBy(c => (-c._2, c._1))._1
+        assert(rs.minBy(_._2)._3 === top1, s"q$qid rank-1 ≠ cosine argmax")
+      }
+    }
+  }
+
   test("text_zipf_fit recovers slope ~ -1 on a planted Zipfian corpus") {
     import spark.implicits._
     // term i appears floor(2000/i) times: frequency ∝ 1/rank exactly
