@@ -14,6 +14,32 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Max literals per SINGLE pushed IN predicate — the depth bound
+    * behind [[InFilterThreshold]] and the streams' chunked verify
+    * scans (IndexMaintainStream.literalInScan). Spark translates an
+    * IN at or under the pushdown threshold into a LEFT-NESTED
+    * `or(or(or(...)))` chain — `reduceLeftOption(FilterApi.or)` in
+    * ParquetFilters, verified in the 4.1.2 bytecode — whose depth
+    * equals the literal count, and parquet evaluates that tree
+    * RECURSIVELY per row group. Under a deep whole-stage-codegen task
+    * stack the recursion overflows somewhere past ~2000 literals: the
+    * round-13 1B-key StreamLadder rung died exactly there
+    * (StackOverflowError inside the verify scan's nextBatch once
+    * accumulated sidecar false positives pushed the epoch's verify
+    * set past ~2k literals; epochs carrying ~1000–1500 passed).
+    * 512 sits ≥4× under the measured crash and ~2× under
+    * measured-good, while a 512-chunk scan still prunes row groups
+    * exactly as well — a larger probe set becomes a UNION of
+    * bounded-depth scans, never a deeper tree. */
+  val InScanChunk: Int = 512
+
+  /** Session value for `parquet.pushdown.inFilterThreshold` — twice
+    * [[InScanChunk]]: every graft-built IN is chunk-bounded anyway,
+    * and ad-hoc caller INs up to 1024 literals stay in the
+    * measured-safe depth band (tools.InPushdownProbe ran 1000-literal
+    * probes through the identical scan stack). */
+  val InFilterThreshold: Int = InScanChunk * 2
+
   /** Apply graft's session-level requirements to an existing session:
     * native function registration (idempotent) plus the runtime confs
     * the serve paths assume. Extensions (rule/strategy) can only be
@@ -21,28 +47,29 @@ object GraftSession {
     * still run every operator, with TopKPerKey falling back to its
     * logical form's window rewrite.
     *
-    * `parquet.pushdown.inFilterThreshold = 10000`: Spark pushes a
-    * literal IN to parquet as a REAL In predicate only up to this
-    * threshold (default 10) and degrades to a min/max RANGE above it —
-    * for the uniformly-distributed keys every standing index here
-    * serves (md5 hashes, xxhash64 terms/grams, cell ids), that range
-    * spans the whole keyspace and prunes nothing, so the IN-literal
-    * serve silently reads every row group. With the values pushed,
-    * the clustered tables' tight per-row-group min/max skip the groups
-    * containing no probed key — measured 2.4× on a 1000-key probe of a
-    * 200M-row clustered table (tools.InPushdownProbe, 0.69 → 0.29 s).
-    * 10000 matches the streams' InPushdownCap, so the pregate verify
-    * always pushes its real key set; per-row-group evaluation of a
-    * sorted 10k set is microseconds against stats, noise next to
-    * reading one group. Applied only when the session still carries
-    * Spark's default (10): a value the deployment set explicitly
-    * (spark-submit --conf, builder config) is deliberate tuning and
-    * configure() must not silently clobber it. */
+    * `parquet.pushdown.inFilterThreshold = ` [[InFilterThreshold]]:
+    * Spark pushes a literal IN to parquet as a REAL In predicate only
+    * up to this threshold (default 10) and degrades to a min/max
+    * RANGE above it — for the uniformly-distributed keys every
+    * standing index here serves (md5 hashes, xxhash64 terms/grams,
+    * cell ids), that range spans the whole keyspace and prunes
+    * nothing, so the IN-literal serve silently reads every row group.
+    * With the values pushed, the clustered tables' tight per-row-group
+    * min/max skip the groups containing no probed key — measured 2.4×
+    * on a 1000-key probe of a 200M-row clustered table
+    * (tools.InPushdownProbe, 0.69 → 0.29 s). The threshold is NOT
+    * 10000 (round 12's value): a pushed IN is a literal-count-deep
+    * recursive Or tree, and past ~2k literals it overflows the task
+    * stack — see [[InScanChunk]]; large probe sets are chunked into
+    * unions of bounded scans instead. Applied only when the session
+    * still carries Spark's default (10): a value the deployment set
+    * explicitly (spark-submit --conf, builder config) is deliberate
+    * tuning and configure() must not silently clobber it. */
   def configure(spark: SparkSession): SparkSession = {
     functions.Registry.register(spark)
     val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     if (spark.conf.get(inKey, "10") == "10")
-      spark.conf.set(inKey, "10000")
+      spark.conf.set(inKey, InFilterThreshold.toString)
     spark
   }
 

@@ -409,6 +409,22 @@ object IndexMaintainStream {
         key)
     }.reduceOption(_ || _)
 
+  /** Literal-IN scan of `df` on `colName`, CHUNKED so no single pushed
+    * IN predicate exceeds GraftSession.InScanChunk literals: Spark
+    * translates a pushed IN into a left-nested recursive Or tree whose
+    * depth is the literal count, and past ~2k literals parquet's
+    * per-row-group evaluation overflows the task stack (the round-13
+    * 1B-key rung's failure — see GraftSession.InScanChunk). Each chunk
+    * is its own scan with its own shallow pushed filter, pruning row
+    * groups exactly as the single big IN would; chunks are disjoint,
+    * so the union is duplicate-free. ≤ cap/chunk ≈ 20 legs at the
+    * streams' verify cap — metadata-cheap next to reading one group. */
+  private[graft] def literalInScan(df: DataFrame, colName: String,
+                                   values: Seq[Any]): DataFrame =
+    values.grouped(graft.GraftSession.InScanChunk)
+      .map(vs => df.filter(col(colName).isin(vs: _*)))
+      .reduce(_ union _)
+
   // ----------------------------------------------------------- compaction
 
   /** Output-file count for a compacted clustered rewrite of `table`:

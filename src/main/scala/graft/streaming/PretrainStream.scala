@@ -113,9 +113,12 @@ object PretrainStream {
 
   /** Verified-dup hashes pushed as IN-literals into the clustered state
     * scan up to this many; past it the verify falls back to a broadcast
-    * semi join (still scan-only on the state side). var only so specs
-    * can lower it to exercise the fallback branch with test-sized
-    * batches. */
+    * semi join (still scan-only on the state side). The literal route
+    * is CHUNKED (IndexMaintainStream.literalInScan — one scan per
+    * ≤GraftSession.InScanChunk values), so this cap bounds total
+    * literal count / union fan-out, never the depth of a single pushed
+    * predicate. var only so specs can lower it to exercise the
+    * fallback branch with test-sized batches. */
   private[graft] var InPushdownCap = 10000
 
   /** State-aware pregate gate: below this many committed keys the
@@ -199,7 +202,10 @@ object PretrainStream {
           val state = spark.read.parquet(bloomed.map(d => s"$d/hashes"): _*)
           val confirmed =
             if (ph.length <= InPushdownCap)
-              state.filter(col("norm_hash").isin(ph: _*))
+              // chunked: one pushed IN per ≤InScanChunk literals — a
+              // single cap-sized IN is a recursive Or tree deep enough
+              // to overflow the task stack (GraftSession.InScanChunk)
+              IndexMaintainStream.literalInScan(state, "norm_hash", ph)
             else state.join(broadcast(positives), Seq("norm_hash"),
               "left_semi")
           (clean.join(

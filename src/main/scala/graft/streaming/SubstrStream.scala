@@ -78,7 +78,9 @@ object SubstrStream {
 
   /** Confirmed-gram keys pushed as IN-literals into the clustered state
     * scan up to this many; past it the verify falls back to a broadcast
-    * semi join (still scan-only on the state side). var only so specs
+    * semi join (still scan-only on the state side). Chunked per scan
+    * like the pretrain verify (IndexMaintainStream.literalInScan) so
+    * no single pushed IN is a stack-deep Or tree. var only so specs
     * can lower it to exercise the fallback branch with test-sized
     * batches. */
   private[graft] var InPushdownCap = 10000
@@ -151,7 +153,9 @@ object SubstrStream {
           val state = spark.read.parquet(bloomed.map(d => s"$d/grams"): _*)
           Some(
             if (pk.length <= InPushdownCap)
-              state.filter(col(key).isin(pk: _*))
+              // chunked pushed INs — never a stack-deep Or tree
+              // (GraftSession.InScanChunk; the 1B-rung lesson)
+              IndexMaintainStream.literalInScan(state, key, pk)
                 .select(col(key)).distinct()
             else state.join(broadcast(posit), Seq(key), "left_semi")
               .select(col(key)).distinct())

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * `mode=substr` drives SubstrStream (hashed wire form) over the same
   * firehose — the gram-index probe has the identical O(state)-per-epoch
   * naive shape, at ~40× the key volume (one gram per token position).
+  * `compactEvery > 0` folds unconditionally every N epochs;
+  * `compactEvery = -1` consults the production deltas-count policy
+  * (compactIfNeeded, default 64 plain deltas) after every epoch and
+  * prints the fold's wall when it trips.
   *
   * `seedKeys > 0` pre-commits that many synthetic state keys as epoch
   * 0 before any timed epoch — the honest way to measure the per-epoch
@@ -153,10 +157,28 @@ object StreamLadder {
         graft.streaming.PretrainStream.processBatch(
           b, contaminated, root, ep.toLong, pregate, pregateMinKeys = 0L)
       val dt = (System.nanoTime() - t0) / 1e9
-      if (compactEvery > 0 && (ep + 1) % compactEvery == 0) {
-        if (mode == "substr")
-          graft.streaming.SubstrStream.compact(spark, root, hashed = true)
-        else graft.streaming.PretrainStream.compact(spark, root)
+      // compactEvery > 0: unconditional fold every N epochs (caller-
+      // managed cadence). compactEvery < 0: the PRODUCTION policy —
+      // compactIfNeeded consulted after every epoch, folding only past
+      // its default-64 plain-delta bound (the organic trip; fold wall
+      // printed so the amortized cost is a reading, not a guess).
+      if (compactEvery != 0) {
+        val c0 = System.nanoTime()
+        val ran =
+          if (compactEvery < 0) {
+            if (mode == "substr")
+              graft.streaming.SubstrStream.compactIfNeeded(spark, root,
+                hashed = true)
+            else graft.streaming.PretrainStream.compactIfNeeded(spark, root)
+          } else if ((ep + 1) % compactEvery == 0) {
+            if (mode == "substr")
+              graft.streaming.SubstrStream.compact(spark, root, hashed = true)
+            else graft.streaming.PretrainStream.compact(spark, root)
+            true
+          } else false
+        if (ran) println(f"""{"tool":"stream_ladder","mode":"$mode",""" +
+          f""""epoch":$ep,"compacted":true,""" +
+          f""""compact_secs":${(System.nanoTime() - c0) / 1e9}%.3f}""")
       }
       println(f"""{"tool":"stream_ladder","mode":"$mode","epoch":$ep,""" +
         f""""secs":$dt%.3f,"cum_docs":${(ep + 1) * perEpoch},""" +

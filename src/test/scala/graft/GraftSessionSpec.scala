@@ -55,10 +55,16 @@ class GraftSessionSpec extends AnyFunSuite {
       spark.conf.set(key, "500")
       GraftSession.configure(spark)
       assert(spark.conf.get(key) === "500")
-      // the Spark default is raised to the serve-path value
+      // the Spark default is raised to the serve-path value — which is
+      // depth-bounded (a pushed IN is a recursive Or tree; see
+      // GraftSession.InScanChunk), never the old 10000
       spark.conf.set(key, "10")
       GraftSession.configure(spark)
-      assert(spark.conf.get(key) === "10000")
+      assert(spark.conf.get(key) === GraftSession.InFilterThreshold.toString)
+      assert(GraftSession.InFilterThreshold === 2 * GraftSession.InScanChunk)
+      assert(GraftSession.InFilterThreshold <= 1024,
+        "a single pushed IN past ~2k literals overflows the task stack " +
+        "(round-13 1B rung); the threshold must stay in the measured-safe band")
     } finally spark.conf.set(key, restore)
   }
 

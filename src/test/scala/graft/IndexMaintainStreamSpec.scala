@@ -475,4 +475,39 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
     val fp = fresh.filter(probe).count()
     assert(fp < 500L, s"false-positive count $fp/10000 — filter saturated")
   }
+
+  test("literalInScan ≡ one big isin, with no pushed IN deeper than " +
+       "the chunk (one scan leg per chunk)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmp("inchunk") + "/state"
+    spark.range(0, 20000).select(md5(col("id").cast("string")).as("k"))
+      .write.parquet(dir)
+    val state = spark.read.parquet(dir)
+    // 1200 probe values (~600 present, ~600 foreign) — past one chunk,
+    // exactly the regime whose single pushed IN blew the task stack on
+    // the 1B rung
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val values: Seq[Any] =
+      (0L until 600L).map(i => md5Hex(i.toString)) ++
+      (0L until 600L).map(i => s"not-a-hash-$i")
+    val chunked = IndexMaintainStream.literalInScan(state, "k", values)
+    val direct = state.filter(col("k").isin(values: _*))
+    assert(chunked.collect().map(_.getString(0)).sorted.toSeq ===
+      direct.collect().map(_.getString(0)).sorted.toSeq)
+    // one scan per ceil(1200/512) = 3 chunks, each leg's IN ≤ 512 deep
+    val scans = chunked.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.size ===
+      (values.size + GraftSession.InScanChunk - 1) / GraftSession.InScanChunk)
+    scans.foreach { s =>
+      val ins = s.dataFilters.flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+        case i: org.apache.spark.sql.catalyst.expressions.InSet => i.hset.size
+      })
+      assert(ins.nonEmpty && ins.forall(_ <= GraftSession.InScanChunk),
+        s"scan leg pushes an IN deeper than the chunk: $ins")
+    }
+  }
 }
