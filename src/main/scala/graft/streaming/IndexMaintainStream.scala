@@ -281,6 +281,35 @@ object IndexMaintainStream {
     * saturating sketch). */
   private val BloomFloorItems = 1000L
 
+  /** Bits/key for STATE-sized sidecars (a compacted run's rebuild, a
+    * seed): ~0.8% FPP — the classic 1%-class sizing, where filter
+    * bytes are proportional to the full state and actually matter. */
+  private val StateBitsPerKey = 10L
+
+  /** Bits/key for BATCH-sized sidecars (the per-epoch deltas):
+    * ~0.007% FPP. Why so much tighter: [[bloomProbe]] ORs across every
+    * visible sidecar, so the aggregate false-positive rate is ADDITIVE
+    * in delta count — and the deltas-count compaction policy lets up
+    * to 64 plain deltas accumulate before folding. At 10 bits/key
+    * (0.8% each) that sum reaches ~50% of the batch by the policy
+    * bound, silently degrading the pregate verify from a literal
+    * sliver into chunked-scan plan bloat and, past InPushdownCap, a
+    * FULL-STATE broadcast-semi join every epoch (the round-13
+    * 150M-key organic-policy rung measured exactly this: a flat
+    * ~10 s/epoch floor through ~17 deltas, 17–22 s as the verify
+    * chunk count grew, then 43–76 s/epoch once accumulated FPs
+    * crossed the cap at ~25 deltas — §6.9). At 20 bits/key the same
+    * 64 deltas contribute ~0.4% aggregate, and the bytes are free at
+    * batch scale (50k keys: 125 KB vs 62 KB). State-sized filters
+    * keep [[StateBitsPerKey]]; each fold resets the sum to the one
+    * rebuilt filter's ~0.8%. */
+  private val TightBitsPerKey = 20L
+
+  /** Per-shard serialized-bits bound: 40 Mbit ≈ 5 MB, sitting UNDER
+    * BloomFilterAggregate's silent 64 Mbit conf clamp at either
+    * density (see [[BloomShardItems]] for the clamp trap). */
+  private val MaxShardBits = 40000000L
+
   /** One sidecar shard holds at most this many keys (→ ≤40 Mbit ≈ 5 MB
     * serialized at 10 bits/key) — chosen to sit UNDER BloomFilter-
     * Aggregate's silent conf-clamp defaults (4M items / 64 Mbit), so
@@ -323,7 +352,9 @@ object IndexMaintainStream {
     * every epoch — measured 4–6.5 s/epoch at 25–125 MB filters,
     * tools.PregateDiag). Per-epoch sidecars are batch-sized (S = 1); a
     * compaction's state-sized rebuild is amortized over its cadence.
-    * Sized ~10 bits/item ≈ 1% FPP. */
+    * Density is size-dependent — [[TightBitsPerKey]] for batch-sized
+    * filters, [[StateBitsPerKey]] for state-sized — recorded in a
+    * `_bpk-<n>` marker file per sidecar dir. */
   private[graft] def writeBloomSidecar(spark: SparkSession,
                                        srcParquet: String,
                                        bloomPath: String,
@@ -332,14 +363,24 @@ object IndexMaintainStream {
     graft.functions.Registry.register(spark)
     val src = spark.read.parquet(srcParquet)
     val est = math.max(src.count(), BloomFloorItems)
+    // Batch-sized sidecars get the TIGHT density (aggregate probe FPP
+    // is additive across accumulated deltas — see TightBitsPerKey);
+    // state-sized ones keep the classic sizing, where bytes matter.
+    val bitsPerKey =
+      if (est <= BloomShardItems) TightBitsPerKey else StateBitsPerKey
     val shards = math.max(1L,
-      math.ceil(est.toDouble / BloomShardItems).toLong).toInt
+      math.ceil(est.toDouble * bitsPerKey / MaxShardBits).toLong).toInt
     val shardEst = math.min(
-      math.max(est / shards + 1, BloomFloorItems), BloomShardItems)
-    val shardBits = shardEst * 10
+      math.max(est / shards + 1, BloomFloorItems), MaxShardBits / bitsPerKey)
+    val shardBits = shardEst * bitsPerKey
     val p = new Path(bloomPath)
     val fs = fsFor(spark, p)
     fs.mkdirs(p)
+    // Self-describing density marker so estimatedCommittedKeys divides
+    // serialized bytes by the RIGHT bits/key (legacy dirs without one
+    // read as StateBitsPerKey). Zero-length; bloomProbe's shard count
+    // and BloomFileProbe's loads only look at shard-* names.
+    fs.create(new Path(p, s"_bpk-$bitsPerKey"), true).close()
     val keyed = src.select(key.as("k"))
       .withColumn("shard", pmod(col("k"), lit(shards.toLong)).cast("int"))
     val rows = (if (shards == 1) keyed
@@ -368,27 +409,33 @@ object IndexMaintainStream {
     fsFor(spark, deltaPath).exists(new Path(deltaPath, "bloom"))
 
   /** Estimated COMMITTED key count under `root`, read from the bloom
-    * sidecars' serialized bytes: filters are sized ~10 bits/key, so
-    * keys ≈ shardBytes · 8 / 10. A pure driver-side metadata listing —
-    * O(#deltas · #shards) file statuses, zero data read, additive
-    * across deltas — which is what makes it cheap enough to consult
-    * EVERY micro-batch (the state-aware pregate gate in
-    * PretrainStream/SubstrStream). Deltas without a sidecar contribute
-    * 0 (conservative: the probe handles them through the exact legacy
-    * path anyway); the per-delta 1000-key sizing floor overestimates
-    * tiny deltas by ≤1.25 KB each — noise against a crossover
-    * threshold in the tens of millions. */
+    * sidecars' serialized bytes: each sidecar's `_bpk-<n>` marker
+    * records its bits/key density, so keys ≈ shardBytes · 8 / n
+    * (markerless legacy dirs read as [[StateBitsPerKey]]). A pure
+    * driver-side metadata listing — O(#deltas · #shards) file
+    * statuses, zero data read, additive across deltas — which is what
+    * makes it cheap enough to consult EVERY micro-batch (the
+    * state-aware pregate gate in PretrainStream/SubstrStream). Deltas
+    * without a sidecar contribute 0 (conservative: the probe handles
+    * them through the exact legacy path anyway); the per-delta
+    * 1000-key sizing floor overestimates tiny deltas by ≤2.5 KB each —
+    * noise against a crossover threshold in the tens of millions. */
   private[graft] def estimatedCommittedKeys(spark: SparkSession,
-                                            root: String): Long = {
-    val bytes = visibleDeltas(spark, root).map { d =>
+                                            root: String): Long =
+    visibleDeltas(spark, root).map { d =>
       val bloom = new Path(d, "bloom")
       val fs = fsFor(spark, bloom)
       if (!fs.exists(bloom)) 0L
-      else fs.listStatus(bloom).filter(
-        _.getPath.getName.startsWith("shard-")).map(_.getLen).sum
+      else {
+        val statuses = fs.listStatus(bloom)
+        val bpk = statuses.map(_.getPath.getName)
+          .collectFirst { case n if n.startsWith("_bpk-") =>
+            n.stripPrefix("_bpk-").toLong }
+          .getOrElse(StateBitsPerKey)
+        statuses.filter(_.getPath.getName.startsWith("shard-"))
+          .map(_.getLen).sum * 8L / bpk
+      }
     }.sum
-    bytes * 8L / 10L
-  }
 
   /** OR-of-probes predicate over a set of sharded bloom sidecar dirs —
     * `graft_bloom_probe` per sidecar, executor-cached by shard path

@@ -476,6 +476,75 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
     assert(fp < 500L, s"false-positive count $fp/10000 — filter saturated")
   }
 
+  test("batch-sized sidecars are tight: aggregate OR-of-probes FPP " +
+       "stays bounded across accumulated deltas") {
+    // Regression for the round-13 organic-policy rung's finding:
+    // bloomProbe ORs across every visible sidecar, so aggregate FPP is
+    // ADDITIVE in delta count — at the old uniform 10 bits/key (~0.8%
+    // each), 32 accumulated deltas pass ~25% of fresh keys, silently
+    // degrading the pregate verify to a full-state semi join. Tight
+    // (20 bits/key) batch-sized filters keep the 32-delta sum ~0.2%.
+    val root = tmp("tightbloom")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val sidecars = (0 until 32).map { d =>
+      spark.range(20000).select(
+          xxhash64(concat(lit(s"delta$d-"), col("id"))).as("k"))
+        .write.parquet(s"$root/d$d/keys")
+      IndexMaintainStream.writeBloomSidecar(spark, s"$root/d$d/keys",
+        s"$root/d$d/bloom", col("k"))
+      s"$root/d$d/bloom"
+    }
+    // density recorded per sidecar, and bytes reflect 20 bits/key
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(sidecars.head))
+    assert(st.exists(_.getPath.getName === "_bpk-20"))
+    val shardBytes = st.filter(_.getPath.getName.startsWith("shard-"))
+      .map(_.getLen).sum
+    assert(shardBytes > 40000L && shardBytes < 80000L,
+      s"$shardBytes bytes for 20k keys — expected ~50 KB at 20 bits/key")
+    graft.functions.Registry.register(spark)
+    val probe = IndexMaintainStream.bloomProbe(spark, sidecars,
+      col("k")).get
+    // member keys across several deltas: never a false negative
+    (0 until 32 by 8).foreach { d =>
+      assert(spark.range(20000).select(
+          xxhash64(concat(lit(s"delta$d-"), col("id"))).as("k"))
+        .filter(!probe).count() === 0L, s"false negative in delta $d")
+    }
+    // fresh keys: the 32-sidecar aggregate passes ~0.2%, not ~25%
+    val fp = spark.range(20000)
+      .select(xxhash64(concat(lit("fresh"), col("id"))).as("k"))
+      .filter(probe).count()
+    assert(fp < 500L,
+      s"aggregate FP count $fp/20000 — additive FPP regression")
+  }
+
+  test("estimatedCommittedKeys honors each sidecar's density marker " +
+       "(markerless legacy dirs read as 10 bits/key)") {
+    val root = tmp("bpkest")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    spark.range(100000).select(xxhash64(col("id")).as("k"))
+      .write.parquet(s"$root/keys")
+    // two committed deltas with identical tight sidecars, one stripped
+    // of its marker to stand in for a pre-marker legacy dir
+    Seq(0, 1).foreach { b =>
+      IndexMaintainStream.writeBloomSidecar(spark, s"$root/keys",
+        s"$root/batch=$b/bloom", col("k"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/batch=$b/_COMMIT"),
+        true).close()
+    }
+    val marked = IndexMaintainStream.estimatedCommittedKeys(spark, root)
+    // both marked at 20 bits/key: estimate lands near the true 200k
+    assert(math.abs(marked - 200000L) < 40000L, s"marked estimate $marked")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=1/bloom/_bpk-20"),
+      false)
+    val mixed = IndexMaintainStream.estimatedCommittedKeys(spark, root)
+    // the stripped delta now reads at /10 — exactly 2x its marked share
+    assert(math.abs(mixed - (marked / 2) * 3) < 30000L,
+      s"mixed estimate $mixed vs marked $marked")
+  }
+
   test("literalInScan ≡ one big isin, with no pushed IN deeper than " +
        "the chunk (one scan leg per chunk)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
