@@ -51,7 +51,19 @@ object LabelProp {
     * graph_pagerank (integer link counts as weights), 3 LPA rounds,
     * labels mapped back to nation names. Integer weights + smallest-
     * label ties ⇒ bit-exact across engines, so the iteration unrolls
-    * into a chained-CTE DuckDB oracle like graph_pagerank's. */
+    * into a chained-CTE DuckDB oracle like graph_pagerank's.
+    *
+    * The aggregated edge frame is ≤ nations² rows but derives from the
+    * full two-fact join, and [[run]]'s per-round lazy checkpoints split
+    * the iteration into SEPARATE physical plans — so without pinning,
+    * every round (plus the label init) re-runs the fact join: 4
+    * executions per query where one suffices. ReuseExchange cannot help
+    * across plans (it dedups subtrees within ONE plan — the fixed-loop
+    * regime graph_pagerank unrolls into; see PageRank.run's scaladoc
+    * for that A/B). Lazily checkpointing the tiny aggregated frame —
+    * the graph_triangles nationEdges precedent — makes all rounds read
+    * the one materialization. Measured (r13 opt round, sf0.1,
+    * median-of-5 isolated): 2.15 s → 1.69 s. */
   def nationCommunities(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
@@ -64,6 +76,7 @@ object LabelProp {
       .groupBy(col("c_nationkey").cast("long").as("src"),
                col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
     val names = Tables.nation(spark, dir)
       .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
     run(edges, iters = 3)

@@ -82,13 +82,19 @@ object BpeVocab {
     var depth = 0   // map() links since `base`
     while (rank <= k && !exhausted) {
       // weighted adjacent-pair counts over the dictionary (vocab-sized)
+      // as a codegen'd DataFrame hash aggregate (the typed
+      // groupByKey.reduceGroups form it replaces ran through encoders
+      // with no whole-stage codegen; same exchange, same rows — r13 opt
+      // round, guide §4). The argmax stays orderBy+limit(1): it plans
+      // as TakeOrderedAndProject directly over the aggregate — one job
+      // — where a second global min_by aggregate was measured to add a
+      // SinglePartition exchange job per merge round (42 → 58 jobs).
       val best = dict.flatMap { ws =>
           ws.syms.iterator.sliding(2).withPartial(false)
-            .map(p => ((p.head, p(1)), ws.count))
+            .map(p => (p.head, p(1), ws.count))
         }
-        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((l, r), c) => (l, r, c) }
-        .toDF("left", "right", "c")
+        .toDF("left", "right", "cnt")
+        .groupBy(col("left"), col("right")).agg(sum(col("cnt")).as("c"))
         // argmax with lexicographic tie-break → deterministic merges
         .orderBy(col("c").desc, col("left"), col("right"))
         .limit(1).collect() // 1 row: the chosen merge (bounded model param)

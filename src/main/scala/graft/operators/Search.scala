@@ -190,9 +190,18 @@ object Search {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val (cbooks, coarse, codes) =
       graft.similarity.AnnIndex.ivfPqCached(spark, dir)
+    // Serve ONLY the declared query ids: ivfPqServe derives its query
+    // set from the frame it is handed (vec_id < 5), so handing it the
+    // pre-filtered 3-query frame skips query 4's probe, LUT, and ADC
+    // work — and shrinks the probed-cell IN pushed into the clustered
+    // codes scan — instead of computing a fourth query's shortlist and
+    // discarding it post-serve (guide §1.2: don't compute what you
+    // throw away). Row-identical: each query's candidates bind to its
+    // OWN probed cells via the cluster equality, so dropping another
+    // query's cells never changes this query's scores.
     val shortlist = graft.similarity.Knn
-      .ivfPqServe(spark, e, 80, nprobe = 3, cbooks, coarse, codes)
-      .filter(col("query_id").isin(1L, 2L, 3L))
+      .ivfPqServe(spark, e.filter(col("vec_id").isin(1L, 2L, 3L)), 80,
+        nprobe = 3, cbooks, coarse, codes)
       .select(col("query_id").as("sl_query"), col("neighbor_id").as("sl_nb"))
     val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
