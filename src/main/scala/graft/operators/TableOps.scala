@@ -21,12 +21,25 @@ import graft.functions.Num.rnd
 object TableOps {
 
   /** The database-catalog page (ref app.py:1746 get_tables_list → one
-    * row per table: record count + column count, sorted by size): each
-    * table contributes one 1-row count aggregate and the rows union —
+    * row per table: record count + column count, sorted by size):
     * count-star over parquet reads footers, not data, so this "scans"
     * every table at metadata cost; column counts come from the schema
-    * (driver-side metadata, no job). */
+    * (driver-side metadata, no job).
+    *
+    * The 10 per-table counts are INDEPENDENT one-row-aggregate job
+    * chains, so they are submitted concurrently from a thread pool
+    * (guide §2.6 — the single-plan union executed them as sequential
+    * AQE stage materializations: 21 back-to-back tiny jobs, each
+    * leaving every core idle during its tail; r13 measured the entry
+    * at 2.4 s of almost pure scheduling). Each count collects ONE long
+    * — bounded model-sized driver work, not a data loop — and the
+    * assembled page is deterministic: values are exact counts, the
+    * sort is the same (record_count desc, table_name). */
   def catalogPage(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
     val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "region" -> (Tables.region _), "nation" -> (Tables.nation _),
       "customer" -> (Tables.customer _), "supplier" -> (Tables.supplier _),
@@ -34,12 +47,12 @@ object TableOps {
       "lineitem" -> (Tables.lineitem _), "events" -> (Tables.events _),
       "documents" -> (Tables.documents _),
       "embeddings" -> (Tables.embeddings _))
-    loaders.map { case (name, load) =>
-      val df = load(spark, dir)
-      df.agg(count(lit(1)).as("record_count"))
-        .select(lit(name).as("table_name"), col("record_count"),
-                lit(df.schema.fields.length.toLong).as("n_columns"))
-    }.reduce(_ unionByName _)
+    val rows: Seq[(String, Long, Long)] = Await.result(
+      Future.sequence(loaders.map { case (name, load) => Future {
+        val df = load(spark, dir)
+        (name, df.count(), df.schema.fields.length.toLong)
+      }}), Duration.Inf)
+    rows.toDF("table_name", "record_count", "n_columns")
       .orderBy(col("record_count").desc, col("table_name"))
   }
 

@@ -95,6 +95,44 @@ object KMeans {
                          col("b.s"), lit(0.0)).as("sqdist"))
   }
 
+  /** Bounded training frame shared by every inline Lloyd fit of an
+    * entry (r14, guide §1.2/§2.4): Knn.ivfPqFit introduced the
+    * Faiss-style train() contract — codebook quality needs thousands
+    * of representatives, not the corpus — and r14 moves the shared
+    * gate here so EVERY inline trainer (pqTrainedOn's M subspace fits,
+    * fitRqTrained's two levels, ivfTrained, kmeansProfile,
+    * Dedup.semanticPairs) uses it. Past `cap` rows the training input
+    * is a deterministic md5-ordered sample (TakeOrderedAndProject:
+    * bounded per-partition heaps, O(cap) memory, one pass, no global
+    * sort), eagerly localCheckpointed so the M fits × rounds read ONE
+    * materialized ≤cap-row pin instead of each re-executing the corpus
+    * scan (pqTrainedOn alone re-ran it M×rounds+inits ≈ 16 times per
+    * call at 100 TB). UNDER the cap the frame passes through UNTOUCHED
+    * — the exact pre-sampling plan, so test-SF corpora pay one bounded
+    * probe job and entry outputs stay byte-identical by construction
+    * (an r14 A/B measured the eager under-cap pin variant NET-NEGATIVE
+    * at sf0.1: the probe+materialize jobs cost more than the trivial
+    * ≤cap-row rescans they save — honest negative result, reverted).
+    * The gate is a BOUNDED existence probe, not a count, and it runs
+    * as ONE job with NO exchange: a per-partition count capped at
+    * cap+1 rows, folded on the driver — Σ min(rows_p, cap+1) > cap ⟺
+    * total > cap, so the capped partials decide the gate exactly.
+    * (A/B'd alternatives both lost: limit().count() pays a
+    * global-limit shuffle + AQE stage materialization; take(cap+1)
+    * under the cap escalates through ~log rounds of incremental
+    * partition jobs to prove the rows aren't there.) Each partition
+    * reads at most cap+1 rows of one int column however large the
+    * corpus. */
+  private[graft] def trainPin(e: DataFrame, cap: Int = Knn.TrainCap): DataFrame = {
+    val overCap = e.select(lit(1).as("one")).queryExecution.toRdd
+      .mapPartitions(it => Iterator(it.take(cap + 1).size.toLong))
+      .fold(0L)(_ + _) > cap
+    if (!overCap) e
+    else e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(cap)
+      .localCheckpoint(true)
+  }
+
   /** Lloyd iterations from a deterministic id-strided init. Returns the
     * final centroids and the inertia (Σ min-sqdist) measured at the
     * START of each round — non-increasing by the Lloyd argument, which

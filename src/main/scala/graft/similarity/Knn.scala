@@ -477,15 +477,21 @@ object Knn {
     * submitted CONCURRENTLY (Spark's scheduler interleaves jobs from
     * multiple threads) — wall-clock is one trainer, not M; results
     * stay deterministic because each future returns its own subspace's
-    * centroids regardless of completion order. */
+    * centroids regardless of completion order. All M fits slice ONE
+    * bounded training frame (KMeans.trainPin: pass-through under the
+    * cap, a pinned md5 sample past it) — without the gate the trainers
+    * re-execute the corpus scan M × rounds times at 100 TB (the slice
+    * is map-only, but its INPUT is the full scan); the search
+    * (encode + ADC) still runs over the full frame. */
   private[graft] def pqTrainedOn(spark: SparkSession, e: DataFrame, M: Int,
       subDim: Int, K: Int, k: Int): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val train = KMeans.trainPin(e)
     val cbooks = Await.result(
       Future.sequence((0 until M).map { m => Future {
-        KMeans.fit(e.select(col("vec_id"),
+        KMeans.fit(train.select(col("vec_id"),
           slice(col("embedding"), m * subDim + 1, subDim).as("embedding")),
           K, 3)._1
       }}), Duration.Inf).toIndexedSeq
@@ -634,7 +640,10 @@ object Knn {
     * Lloyd's fit over the raw embeddings; level 2 trains on the ACTUAL
     * corpus residuals (x − c1[assign(x)]) — the residual frame is a
     * pure map (zip_with against the literal level-1 centroids), so the
-    * residual trainer sees every vector, not a 15-row sample. Codeword
+    * residual trainer sees the actual residual of every training
+    * vector (the full corpus up to KMeans.trainPin's bounded cap; a
+    * deterministic sample past it — the Faiss train() contract), not
+    * a 15-row sample. Codeword
     * 1 of the trained level-2 book is pinned to the zero vector, so
     * "refine by nothing" stays available and the per-vector monotone
     * guarantee err2 ≤ err1 survives training (RqSpec asserts it, plus
@@ -646,7 +655,13 @@ object Knn {
     rqSearch(spark, e, 10, c1, c2)
   }
 
-  /** Trained RQ codebooks (shared with RqSpec). */
+  /** Trained RQ codebooks (shared with RqSpec). Both levels train on
+    * ONE bounded training frame (KMeans.trainPin — the Faiss train()
+    * contract: every vector up to the cap, a pinned deterministic md5
+    * sample past it); the residual frame is a pure map over it, so
+    * past the cap the sequential two-level fit reads the pin instead
+    * of re-scanning the corpus per round. The search (encode +
+    * two-LUT ADC) still runs over the full frame. */
   private[graft] def fitRqTrained(e: DataFrame)
       : (IndexedSeq[Array[Float]], IndexedSeq[Array[Float]]) = {
     VectorFunctions.register(e.sparkSession)
@@ -654,8 +669,9 @@ object Knn {
     // codebook comes almost entirely from seeing every residual, and
     // the two fits are sequential (level 2 needs level 1's assignment)
     val K1 = 16; val K2 = 16
-    val c1d = KMeans.fit(e, K1, 2)._1
-    val resid = KMeans.assignLiteral(e, c1d)
+    val train = KMeans.trainPin(e)
+    val c1d = KMeans.fit(train, K1, 2)._1
+    val resid = KMeans.assignLiteral(train, c1d)
       .select(col("vec_id"),
         zip_with(col("embedding"),
                  element_at(typedlit(c1d.map(_.toSeq)), col("cluster")),
@@ -752,37 +768,20 @@ object Knn {
     // codebooks themselves. 64-dim test embeddings → subDim 16;
     // 768-dim production embeddings → subDim 192, same plans.
     val M = 4
-    val dim = e.select(size(col("embedding"))).take(1).headOption.getOrElse(
+    // Bounded training frame (KMeans.trainPin — the Faiss train()
+    // contract; r14 moved the shared gate+pin there so every inline
+    // trainer uses it): past the cap the 5 concurrent fits below read
+    // ONE pinned md5 sample instead of each re-running the corpus
+    // scan per Lloyd round; under the cap the frame passes through
+    // untouched, so entry outputs are unchanged by construction.
+    // Encoding/assignment (ivfPqAdd) still runs over the full corpus
+    // — that part is a pure map.
+    val train = KMeans.trainPin(e)
+    val dim = train.select(size(col("embedding"))).take(1).headOption.getOrElse(
       throw new IllegalArgumentException(
         "ivfPqFit: cannot train on an empty embeddings corpus")).getInt(0)
     require(dim % M == 0, s"embedding dim $dim not divisible by M=$M")
     val subDim = dim / M; val K = 16; val CoarseK = 8
-    // Train on a BOUNDED deterministic sample — the Faiss train()
-    // contract: codebook quality needs thousands of representatives,
-    // not the corpus, and a fit that scans 100 TB per Lloyd round is
-    // not a production design. The md5-ordered limit plans as
-    // TakeOrderedAndProject (bounded per-partition heaps + one merge —
-    // O(TrainCap) memory, one pass, NO global sort), is deterministic
-    // across runs and partitionings, and at test SF the cap exceeds
-    // the corpus so every entry's output is byte-identical to the
-    // train-on-all form. Encoding/assignment (ivfPqAdd) still runs
-    // over the full corpus — that part is a pure map.
-    // The sample is gated on a BOUNDED existence probe, not a count:
-    // limit(cap+1) truncates per partition before counting, so the gate
-    // reads at most cap+1 zero-column rows however large (or however
-    // derived — the gate stays bounded even when `e` is not a bare
-    // parquet scan) the corpus is. Under the cap the frame passes
-    // through UNTOUCHED — the exact pre-sampling plan — so test-SF
-    // corpora pay one trivial probe and the outputs stay byte-identical
-    // by construction, not just by cap arithmetic.
-    val overCap =
-      e.select(lit(1).as("one")).limit(TrainCap + 1).count() > TrainCap
-    val train =
-      if (!overCap) e
-      else e
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(TrainCap)
-        .localCheckpoint(true) // 5 fits below share it; ≤ TrainCap rows
     val coarseF = Future { KMeans.fit(train, CoarseK, 3)._1 }
     val cbooksF = Future.sequence((0 until M).map { m => Future {
         KMeans.fit(train.select(col("vec_id"),
@@ -887,7 +886,10 @@ object Knn {
   def kmeansProfile(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val (cents, _) = KMeans.fit(e, 8, 5)
+    // fit on the bounded training frame (trainPin: pass-through under
+    // the cap, pinned md5 sample past it); the assignment + rollup
+    // below still cover the corpus
+    val (cents, _) = KMeans.fit(KMeans.trainPin(e), 8, 5)
     KMeans.assign(e, cents)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vectors"),
@@ -907,7 +909,10 @@ object Knn {
   def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val (cents, _) = KMeans.fit(e, 16, 3)
+    // fit on the bounded training frame (trainPin: pass-through under
+    // the cap, pinned md5 sample past it); the corpus-side assignment
+    // below is a pure map as before
+    val (cents, _) = KMeans.fit(KMeans.trainPin(e), 16, 3)
     val assigned = KMeans.assign(e, cents)
       .select(col("cluster"), col("vec_id"), col("embedding"))
     val q = assigned.filter(isQuery)
