@@ -52,6 +52,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.configure(spark)  // registry + serve confs
+    // Environment fingerprint on STDERR only (the stdout JSON contract
+    // is untouched): round 13's driver session showed a 23-query,
+    // 4-25x degradation at local[32] that no code path explains and
+    // that neither a 2 GB heap floor nor 8x CPU oversubscription
+    // reproduces at this SF (r14 diagnosis, OPTIMIZATION_r14.md). If
+    // it recurs, this line tells the next diagnosis what JVM heap and
+    // how many EFFECTIVE processors (cgroup-aware on JDK 17) the bench
+    // actually had, plus the host load it started under.
+    System.err.println(s"[bench] env: heapMaxMb=${Runtime.getRuntime.maxMemory / (1024 * 1024)}" +
+      s" availProcs=${Runtime.getRuntime.availableProcessors}" +
+      s" master=local[$cpus]" +
+      s" loadAvg=${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}")
     // Warm the JVM/codegen/parquet-reader paths once so the first timed
     // query doesn't carry session bring-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()
