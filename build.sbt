@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Dev-only conf A/B hook for the scale-rung measurements (r14): extra
+// -D flags, e.g. SPARK_GRAFT_EXTRA_OPTS="-Dspark.sql.join.preferSortMergeJoin=false".
+// Spark picks spark.* system properties up into every SparkConf, so the
+// UNMODIFIED Bench protocol runs both arms of a conf A/B. Unset (the
+// driver never sets it) this adds nothing.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -82,6 +82,54 @@ class SearchIndexedSpec extends AnyFunSuite {
       .foreach(rows => assert(rows.length <= 10))
   }
 
+  test("ivfPqServe: a planted exact duplicate of a query attains the served ADC maximum") {
+    // r14 (verdict item 9): the indexed serves are no-oracle entries, so
+    // the serve path itself gets a planted hard invariant — an exact
+    // copy of query 1's vector lands in query 1's own coarse cell
+    // (argmin determinism), every probe set includes that cell, and the
+    // duplicate's per-subspace codes attain the per-subspace LUT maxima,
+    // so NO served candidate may out-score it. A serve rewrite that
+    // drops the query's own cell (the r13 probed-cell narrowing made
+    // that the live risk) fails this loudly.
+    import graft.similarity.{AnnIndex, Knn}
+    functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val dup = e.filter(col("vec_id") === 1L)
+      .select(lit(100001L).as("vec_id"), col("embedding"))
+    val planted = e.unionByName(dup)
+    val (cbooks, coarse) = Knn.ivfPqFit(planted)
+    val codes = AnnIndex.ivfPqAdd(planted, cbooks, coarse)
+    val served = Knn.ivfPqServe(spark, planted, k = 10, nprobe = 3,
+      cbooks, coarse, codes)
+      .filter(col("query_id") === 1L).collect()
+    assert(served.nonEmpty)
+    val dupRow = served.find(_.getAs[Long]("neighbor_id") == 100001L)
+    assert(dupRow.isDefined,
+      "planted exact duplicate missing from its own query's serve")
+    val maxScore = served.map(_.getAs[Double]("adc_score")).max
+    assert(dupRow.get.getAs[Double]("adc_score") === maxScore,
+      "planted duplicate must attain the served ADC maximum")
+  }
+
+  test("serving the pre-filtered query frame ≡ serving all queries then filtering (row identity)") {
+    // the r13 optimization's exact claim, pinned: each query's
+    // candidates bind to its OWN probed cells via the cluster equality,
+    // so narrowing the served query set (and with it the pushed
+    // probed-cell IN) never changes a surviving query's rows
+    import graft.similarity.{AnnIndex, Knn}
+    functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val (cbooks, coarse, codes) = AnnIndex.ivfPqCached(spark, Sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("query_id").isin(1L, 2L, 3L)).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+                   r.getAs[Double]("adc_score"), r.getAs[Long]("rank"))).toSet
+    val narrowed = rows(Knn.ivfPqServe(spark,
+      e.filter(col("vec_id").isin(1L, 2L, 3L)), 80, 3, cbooks, coarse, codes))
+    val full = rows(Knn.ivfPqServe(spark, e, 80, 3, cbooks, coarse, codes))
+    assert(narrowed === full)
+  }
+
   test("probeClusters at nprobe=1 reproduces the k-means assignment exactly") {
     // the multi-probe selector shares assignLiteral's argmax identity
     // and tie-break, so its first probe IS the assignment — the
